@@ -1,0 +1,130 @@
+"""Per-partition lineage manifests + checkpoint-resume writes.
+
+The reference commits a range checkpoint per event group AFTER a successful
+send (core/checkpoint/RangeCheckpoint.h:27-37, replay path FlusherSLS.cpp:
+588-591; leveldb-backed plugin checkpoints pluginmanager/checkpoint_manager.
+go:52-62): on restart, committed ranges are skipped.
+
+Spark-first mapping: the unit of commit is a shard-hash BUCKET. A run writes
+data files partitioned by ``__bucket__`` (dynamic partition overwrite), then
+writes one manifest JSON per bucket recording rows / token sums / an
+order-insensitive xxhash digest. The manifest is the commit marker: a resumed
+run lists existing manifests, filters already-committed buckets out of the
+input, and overwrites only uncommitted bucket partitions — no duplicates, no
+missing rows, idempotent under kill-anywhere (data without manifest is
+rewritten; manifest without data cannot exist because the manifest is written
+after its bucket's data job completes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET = "__bucket__"
+MANIFEST_DIR = "_lineage"
+
+
+def _manifest_path(base: str, bucket: int) -> str:
+    return os.path.join(base, MANIFEST_DIR, f"bucket-{bucket:05d}.json")
+
+
+def committed_buckets(base: str) -> set[int]:
+    mdir = os.path.join(base, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for f in os.listdir(mdir):
+        if f.startswith("bucket-") and f.endswith(".json"):
+            out.add(int(f[len("bucket-") : -len(".json")]))
+    return out
+
+
+def bucket_stats(df: DataFrame, tokens_col: str | None = "n_tok", id_col: str = "doc_id") -> DataFrame:
+    """Per-bucket lineage facts: row count, token sum, order-insensitive
+    digest (bit_xor of per-row xxhash64 — commutative/associative, so it
+    survives any partitioning, and immune to ANSI overflow) — the audit trail
+    the reference keeps per pack (__pack_id__ sequences)."""
+    aggs = [
+        F.count(F.lit(1)).alias("rows"),
+        F.bit_xor(F.xxhash64(F.col(id_col))).alias("digest"),
+    ]
+    if tokens_col:
+        aggs.append(F.sum(F.col(tokens_col).cast("long")).alias("tokens"))
+    return df.groupBy(BUCKET).agg(*aggs)
+
+
+def checkpointed_write(
+    df: DataFrame,
+    base: str,
+    run_id: str = "run",
+    tokens_col: str | None = "n_tok",
+    id_col: str = "doc_id",
+    format: str = "parquet",
+) -> dict[str, Any]:
+    """Write ``df`` (must carry an int ``__bucket__`` column, e.g. from
+    operators.aggregate.shard_hash) to ``base`` partitioned by bucket,
+    skipping buckets already committed by a previous run. Returns counters.
+    """
+    spark = df.sparkSession
+    done = committed_buckets(base)
+    pending_df = df.filter(~F.col(BUCKET).isin(sorted(done))) if done else df
+
+    stats_rows = bucket_stats(pending_df, tokens_col, id_col).collect()
+    pending = {int(r[BUCKET]): r.asDict() for r in stats_rows}
+    if not pending:
+        return {"written_buckets": 0, "skipped_buckets": len(done), "rows": 0}
+
+    with _dynamic_overwrite(spark):
+        (
+            pending_df.write.mode("overwrite")
+            .partitionBy(BUCKET)
+            .format(format)
+            .save(os.path.join(base, "data"))
+        )
+
+    os.makedirs(os.path.join(base, MANIFEST_DIR), exist_ok=True)
+    rows = 0
+    for b, stats in sorted(pending.items()):
+        stats = {k: (int(v) if v is not None else None) for k, v in stats.items()}
+        stats["run_id"] = run_id
+        tmp = _manifest_path(base, b) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(stats, fh)
+        os.replace(tmp, _manifest_path(base, b))  # atomic commit marker
+        rows += stats.get("rows", 0)
+    return {
+        "written_buckets": len(pending),
+        "skipped_buckets": len(done),
+        "rows": rows,
+    }
+
+
+class _dynamic_overwrite:
+    """Temporarily set dynamic partition-overwrite (only replace the bucket
+    partitions we are writing, never committed ones)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def __exit__(self, *exc: object) -> None:
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
+
+
+def read_manifests(base: str) -> list[dict[str, Any]]:
+    mdir = os.path.join(base, MANIFEST_DIR)
+    out = []
+    if os.path.isdir(mdir):
+        for f in sorted(os.listdir(mdir)):
+            if f.endswith(".json"):
+                with open(os.path.join(mdir, f)) as fh:
+                    out.append(json.load(fh))
+    return out

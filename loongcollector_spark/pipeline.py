@@ -1,0 +1,190 @@
+"""Pipeline compiler: declarative config → one composed DataFrame graph.
+
+The reference parses a YAML/JSON pipeline (inputs → processors → aggregators
+→ flushers) into plugin instance vectors plus a Router table at Init
+(core/collection_pipeline/CollectionPipeline.cpp:76-120; Go twin
+pluginmanager/logstore_config.go:306+). Our Init compiles the same shape of
+spec into a chained DataFrame expression; Catalyst then owns fusion and
+physical planning (the reference fuses by construction; whole-stage codegen
+does it for us).
+
+One pipeline spec = ONE Spark job graph:
+    read → parse stages → enrich/filter stages → route tag → shard-hash
+    repartition → per-sink writes + per-(source,sink) metrics rollup
+with per-stage self-monitoring counters riding the same action
+(metrics.MetricsRegistry) and checkpoint-resumable bucket writes
+(lineage.checkpointed_write).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Mapping, Sequence
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from loongcollector_spark import lineage
+from loongcollector_spark.metrics import MetricsRegistry
+from loongcollector_spark.operators import aggregate as agg_ops
+from loongcollector_spark.operators import enrich, filters, multiline, route
+from loongcollector_spark.operators.grok import parse_grok
+from loongcollector_spark.operators.parse_apsara import parse_apsara
+from loongcollector_spark.operators.parse_common import ParserOptions
+from loongcollector_spark.operators.parse_delimiter import parse_delimiter, split_string, split_to_rows
+from loongcollector_spark.operators.parse_json import expand_json, parse_json
+from loongcollector_spark.operators.parse_kv import parse_key_value
+from loongcollector_spark.operators.parse_regex import parse_regex
+from loongcollector_spark.operators.parse_time import parse_timestamp, reformat_time
+from loongcollector_spark.sinks import SinkSpec, write_sink
+
+# Processor registry — the PluginRegistry analogue. Each entry is
+# (DataFrame, **params) -> DataFrame.
+PROCESSORS: dict[str, Callable[..., DataFrame]] = {
+    "parse_regex": parse_regex,
+    "parse_json": parse_json,
+    "expand_json": expand_json,
+    "parse_delimiter": parse_delimiter,
+    "parse_key_value": parse_key_value,
+    "parse_apsara": parse_apsara,
+    "parse_timestamp": parse_timestamp,
+    "reformat_time": reformat_time,
+    "parse_grok": parse_grok,
+    "split_string": split_string,
+    "split_to_rows": split_to_rows,
+    "merge_multiline": multiline.merge_multiline,
+    "filter_expression": filters.filter_expression,
+    "filter_rule": filters.filter_rule,
+    "filter_include_exclude": filters.filter_include_exclude,
+    "fields_with_condition": filters.fields_with_condition,
+    "rate_limit": filters.rate_limit,
+    "drop": filters.drop_keys,
+    "pick_keys": filters.pick_keys,
+    "add_fields": enrich.add_fields,
+    "rename": enrich.rename_fields,
+    "dict_map": enrich.dict_map,
+    "geo_lookup": enrich.geo_lookup,
+    "cloud_meta": enrich.cloud_meta,
+    "appender": enrich.appender,
+    "string_replace": enrich.string_replace,
+    "desensitize": enrich.desensitize,
+    "md5": enrich.md5_field,
+    "base64_encode": enrich.base64_encode,
+    "base64_decode": enrich.base64_decode,
+    "pack_json": enrich.pack_json,
+    "log_to_metric": enrich.log_to_metric,
+    "dynamic_topic": route.dynamic_topic,
+}
+
+
+@dataclass
+class PipelineSpec:
+    """Declarative pipeline config (the YAML shape, as Python data)."""
+
+    name: str
+    processors: Sequence[tuple[str, Mapping[str, Any]]] = ()
+    routes: Sequence[route.Route] = ()
+    route_mode: str = "first_match"  # first_match | fanout
+    default_sink: str | None = route.DEFAULT_SINK
+    drop_dismatch: bool = False
+    shard_keys: Sequence[str] = ("source", "doc_id")
+    shard_count: int = 16
+    tags: Mapping[str, str] = field(default_factory=dict)  # processor_tag
+    sinks: Mapping[str, SinkSpec] = field(default_factory=dict)
+    metrics_source_col: str = "source"
+    metrics_tokens_col: str | None = "n_tok"
+
+
+def compile_pipeline(
+    df: DataFrame, spec: PipelineSpec, metrics: MetricsRegistry | None = None
+) -> DataFrame:
+    """Apply processors + tag injection + routing + shard hashing; returns the
+    routed DataFrame (``__sink__``, ``__bucket__``, ``__shardhash__`` cols)."""
+    metrics = metrics or MetricsRegistry()
+    out = metrics.observe_counts(df, f"{spec.name}.in")
+
+    for proc_name, params in spec.processors:
+        if proc_name not in PROCESSORS:
+            raise KeyError(f"unknown processor {proc_name!r}")
+        kwargs = dict(params)
+        if "options" in kwargs and isinstance(kwargs["options"], Mapping):
+            kwargs["options"] = ParserOptions(**kwargs["options"])
+        out = PROCESSORS[proc_name](out, **kwargs)
+
+    # tag injection (processor_tag_native / ProcessorTag)
+    if spec.tags:
+        out = enrich.add_fields(out, spec.tags, ignore_if_exist=False)
+
+    if spec.route_mode == "first_match":
+        out = route.route_first_match(
+            out, spec.routes, default_sink=spec.default_sink, drop_dismatch=spec.drop_dismatch
+        )
+    # fanout mode routes at write time (run_pipeline) from the cached parent
+
+    if spec.shard_keys:
+        out = agg_ops.shard_hash(
+            out, spec.shard_keys, spec.shard_count, repartition=False
+        )
+    out = metrics.observe_counts(out, f"{spec.name}.routed")
+    return out
+
+
+def run_pipeline(
+    df: DataFrame,
+    spec: PipelineSpec,
+    output_base: str | None = None,
+    metrics: MetricsRegistry | None = None,
+    checkpoint: bool = False,
+    run_id: str = "run",
+) -> dict[str, Any]:
+    """Execute the pipeline: write every sink + the metrics rollup table.
+    Returns {sink: counters, "metrics": rollup rows, "elapsed_sec": ...}."""
+    metrics = metrics or MetricsRegistry()
+    t0 = time.time()
+    routed = compile_pipeline(df, spec, metrics)
+
+    results: dict[str, Any] = {}
+    if spec.route_mode == "fanout":
+        per_sink = route.route_fanout(routed, spec.routes)
+    else:
+        routed = routed.persist()
+        per_sink = {
+            r.sink: routed.filter(F.col(route.SINK_COLUMN) == r.sink) for r in spec.routes
+        }
+        if spec.default_sink and spec.default_sink not in per_sink:
+            per_sink[spec.default_sink] = routed.filter(
+                F.col(route.SINK_COLUMN) == spec.default_sink
+            )
+
+    for sink_name, sink_df in per_sink.items():
+        sink_spec = spec.sinks.get(sink_name)
+        if sink_spec is None and output_base is not None:
+            sink_spec = SinkSpec(name=sink_name, path=f"{output_base}/{sink_name}")
+        if sink_spec is None:
+            sink_spec = SinkSpec(name=sink_name, format="noop")
+        if checkpoint and sink_spec.format == "parquet" and sink_spec.path:
+            results[sink_name] = lineage.checkpointed_write(
+                sink_df,
+                sink_spec.path,
+                run_id=run_id,
+                tokens_col=spec.metrics_tokens_col,
+            )
+        else:
+            results[sink_name] = write_sink(sink_df, sink_spec)
+
+    # headline rollup: per (source, sink) rows/bytes/tokens, salted
+    if spec.metrics_tokens_col and spec.route_mode == "first_match":
+        rollup = agg_ops.sink_metrics(
+            routed,
+            source_col=spec.metrics_source_col,
+            tokens_col=spec.metrics_tokens_col,
+        )
+        results["metrics_rollup"] = [r.asDict() for r in rollup.collect()]
+
+    results["elapsed_sec"] = time.time() - t0
+    results["stage_counters"] = metrics.export()
+    if spec.route_mode != "fanout":
+        routed.unpersist()
+    return results

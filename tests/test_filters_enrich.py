@@ -1,0 +1,159 @@
+"""Filter / enrich operator golden tests (reference patterns:
+ProcessorFilterNativeUnittest.cpp, plugins/processor/*_test.go)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators import enrich, filters
+
+
+@pytest.fixture()
+def logs(spark):
+    rows = [
+        (0, "ERROR", "db timeout", "10.1.2.3", "prod"),
+        (1, "INFO", "ok", "10.1.9.9", "prod"),
+        (2, "ERROR", "disk full", "192.168.0.1", "dev"),
+        (3, "WARN", "slow query", "10.2.0.1", "dev"),
+    ]
+    return spark.createDataFrame(rows, "id int, level string, msg string, ip string, env string")
+
+
+# --- filters ------------------------------------------------------------------
+
+def test_condition_tree_and_or_not(logs):
+    expr = {"and": [{"key": "level", "regex": "ERROR|WARN"},
+                    {"not": {"key": "env", "equals": "dev"}}]}
+    assert [r.id for r in filters.filter_expression(logs, expr).collect()] == [0]
+
+
+def test_filter_rule_all_must_match(logs):
+    out = filters.filter_rule(logs, ["level", "env"], ["ERROR", "prod"])
+    assert [r.id for r in out.collect()] == [0]
+
+
+def test_include_exclude(logs):
+    inc = filters.filter_include_exclude(logs, include={"level": "ERROR"})
+    assert sorted(r.id for r in inc.collect()) == [0, 2]
+    exc = filters.filter_include_exclude(logs, exclude={"env": "dev"})
+    assert sorted(r.id for r in exc.collect()) == [0, 1]
+
+
+def test_pick_and_drop_keys(logs):
+    assert filters.pick_keys(logs, include=["id", "level"]).columns == ["id", "level"]
+    assert "msg" not in filters.drop_keys(logs, ["msg"]).columns
+
+
+def test_filter_key_regex(logs):
+    assert filters.filter_key_regex(logs, "(id|level)").columns == ["id", "level"]
+
+
+def test_rate_limit_per_key(spark):
+    rows = [(i, "a" if i < 7 else "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "seq int, k string")
+    out = filters.rate_limit(df, ["k"], limit=3, order_by=["seq"])
+    got = sorted((r.k, r.seq) for r in out.collect())
+    assert got == [("a", 0), ("a", 1), ("a", 2), ("b", 7), ("b", 8), ("b", 9)]
+
+
+def test_fields_with_condition_first_match_wins(logs):
+    cases = [
+        filters.ConditionCase({"key": "level", "equals": "ERROR"}, add_fields={"sev": "2"}),
+        filters.ConditionCase({"key": "level", "regex": ".*"}, add_fields={"sev": "0"}),
+    ]
+    out = {r.id: r.sev for r in filters.fields_with_condition(logs, cases).collect()}
+    assert out == {0: "2", 1: "0", 2: "2", 3: "0"}
+
+
+def test_fields_with_condition_drop_if_not_match(logs):
+    cases = [filters.ConditionCase({"key": "level", "equals": "ERROR"}, add_fields={"x": "1"})]
+    assert filters.fields_with_condition(logs, cases, drop_if_not_match=True).count() == 2
+
+
+# --- enrich -------------------------------------------------------------------
+
+def test_add_fields_ignore_if_exist(logs):
+    out = enrich.add_fields(logs, {"env": "OVERRIDE", "dc": "us-1"}, ignore_if_exist=True)
+    r = out.first()
+    assert r.env == "prod" and r.dc == "us-1"
+    out2 = enrich.add_fields(logs, {"env": "OVERRIDE"}, ignore_if_exist=False)
+    assert out2.first().env == "OVERRIDE"
+
+
+def test_rename(logs):
+    out = enrich.rename_fields(logs, {"msg": "message"})
+    assert "message" in out.columns and "msg" not in out.columns
+    with pytest.raises(KeyError):
+        enrich.rename_fields(logs, {"nope": "x"}, no_key_error=True)
+
+
+def test_dict_map_expr_and_broadcast(logs):
+    mapping = {"prod": "dc-east", "staging": "dc-west"}
+    # tiny dict → map-literal expression
+    out = enrich.dict_map(logs, "env", mapping, "dc", missing="unknown")
+    vals = {r.id: r.dc for r in out.collect()}
+    assert vals == {0: "dc-east", 1: "dc-east", 2: "unknown", 3: "unknown"}
+    # force broadcast-join path
+    out2 = enrich.dict_map(logs, "env", mapping, "dc", missing="unknown", max_expr_size=0)
+    assert {r.id: r.dc for r in out2.collect()} == vals
+
+
+def test_dict_map_drop_missing(logs):
+    out = enrich.dict_map(logs, "env", {"prod": "x"}, "dc", keep_missing=False)
+    assert sorted(r.id for r in out.collect()) == [0, 1]
+
+
+def test_geo_lookup(spark, logs):
+    geo = spark.createDataFrame([("10.1", "us-east"), ("10.2", "us-west")], "ip_prefix string, region string")
+    out = enrich.geo_lookup(logs, "ip", geo, prefix_len=2)
+    got = {r.id: r.region for r in out.collect()}
+    assert got == {0: "us-east", 1: "us-east", 2: None, 3: "us-west"}
+
+
+def test_appender_env_substitution(logs):
+    out = enrich.appender(logs, "msg", "|host={{HOST}}", env={"HOST": "h1"})
+    assert out.first().msg.endswith("|host=h1")
+
+
+def test_string_replace_and_desensitize(spark):
+    df = spark.createDataFrame([(0, "password=hunter2&u=bob")], "id int, content string")
+    rep = enrich.string_replace(df, "content", r"password=\w+", "password=***")
+    assert rep.first().content == "password=***&u=bob"
+    des = enrich.desensitize(df, "content", r"password=", r"\w+", method="const", replacement="XXX")
+    assert des.first().content == "password=XXX&u=bob"
+    md5v = enrich.desensitize(df, "content", r"password=", r"[^&]+", method="md5").first().content
+    import hashlib
+
+    assert md5v == f"password={hashlib.md5(b'hunter2').hexdigest()}&u=bob"
+
+
+def test_md5_base64_roundtrip(spark):
+    df = spark.createDataFrame([(0, "hello")], "id int, content string")
+    assert enrich.md5_field(df, "content", "h").first().h == "5d41402abc4b2a76b9719d911017c592"
+    enc = enrich.base64_encode(df, "content", "b64")
+    assert enc.first().b64 == "aGVsbG8="
+    dec = enrich.base64_decode(enc, "b64", "plain")
+    assert dec.first().plain == "hello"
+
+
+def test_pack_json(spark):
+    df = spark.createDataFrame([(1, "a", "b")], "id int, x string, y string")
+    out = enrich.pack_json(df, ["x", "y"], "packed", drop_packed=True)
+    assert out.first().packed == '{"x":"a","y":"b"}'
+    assert "x" not in out.columns
+
+
+def test_log_to_metric(spark):
+    df = spark.createDataFrame(
+        [(1, "cpu_usage", "0.93", "host1", "prod")],
+        "id int, mname string, mval string, host string, env string",
+    )
+    r = enrich.log_to_metric(df, ["host", "env"], "mname", "mval").first()
+    assert r["__name__"] == "cpu_usage" and abs(r["__value__"] - 0.93) < 1e-9
+    assert r["__labels__"] == "env=prod#$#host=host1"  # sorted, #$# joined
+
+
+def test_log_to_metric_invalid_name_dropped(spark):
+    df = spark.createDataFrame([(1, "bad name!", "1", "h")], "id int, mname string, mval string, host string")
+    assert enrich.log_to_metric(df, ["host"], "mname", "mval").count() == 0

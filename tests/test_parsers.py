@@ -1,0 +1,216 @@
+"""Parser golden tests — the reference's JSON-in/JSON-out unit pattern
+(core/unittest/processor/ProcessorParse*Unittest.cpp): build a tiny frame
+from inline fixtures, run ONE operator, compare rows + failure semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators.grok import GrokCycleError, compile_grok, expand_grok, parse_grok
+from loongcollector_spark.operators.parse_apsara import parse_apsara
+from loongcollector_spark.operators.parse_common import RAW_LOG_KEY, ParserOptions
+from loongcollector_spark.operators.parse_delimiter import parse_delimiter, split_to_rows
+from loongcollector_spark.operators.parse_json import expand_json, parse_json
+from loongcollector_spark.operators.parse_kv import parse_key_value
+from loongcollector_spark.operators.parse_regex import parse_regex
+from loongcollector_spark.operators.parse_time import parse_timestamp, strptime_to_spark
+
+
+def lines_df(spark, *lines: str):
+    return spark.createDataFrame([(i, s) for i, s in enumerate(lines)], "id int, content string")
+
+
+# --- regex (ProcessorParseRegexNativeUnittest pattern) -----------------------
+
+NGINX = r'(\S+) - - \[([^\]]+)\] "(\S+) (\S+) ([^"]+)" (\d+) (\d+)'
+NGINX_KEYS = ["remote_addr", "time_local", "method", "url", "protocol", "status", "body_bytes"]
+GOOD = '::1 - - [18/Jul/2022:07:28:01 +0000] "GET /hello/loong HTTP/1.1" 404 153'
+BAD = "not an access line"
+
+
+@pytest.mark.parametrize("engine", ["jvm", "arrow"])
+def test_parse_regex_success(spark, engine):
+    df = parse_regex(lines_df(spark, GOOD), "content", NGINX, NGINX_KEYS, engine=engine, full_match=False)
+    row = df.first()
+    assert row.method == "GET" and row.url == "/hello/loong" and row.status == "404"
+
+
+def test_parse_regex_fail_keep_source(spark):
+    df = parse_regex(lines_df(spark, GOOD, BAD), "content", NGINX, NGINX_KEYS,
+                     ParserOptions(keep_source_on_fail=True), full_match=False)
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 2
+    assert rows[1].method is None and rows[1].content == BAD
+    assert rows[0].content is None  # source dropped on success by default
+
+
+def test_parse_regex_fail_erase(spark):
+    df = parse_regex(lines_df(spark, GOOD, BAD), "content", NGINX, NGINX_KEYS,
+                     ParserOptions(keep_source_on_fail=False, copy_raw_log=False), full_match=False)
+    assert df.count() == 1  # ShouldEraseEvent (CommonParserOptions.cpp:100-118)
+
+
+def test_parse_regex_copy_raw_log(spark):
+    df = parse_regex(lines_df(spark, GOOD, BAD), "content", NGINX, NGINX_KEYS,
+                     ParserOptions(keep_source_on_fail=False, copy_raw_log=True), full_match=False)
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1][RAW_LOG_KEY] == BAD and rows[1].content is None
+    assert rows[0][RAW_LOG_KEY] is None
+
+
+def test_parse_regex_keep_source_on_success(spark):
+    df = parse_regex(lines_df(spark, GOOD), "content", NGINX, NGINX_KEYS,
+                     ParserOptions(keep_source_on_success=True), full_match=False)
+    assert df.first().content == GOOD
+
+
+def test_whole_line_fastpath(spark):
+    df = parse_regex(lines_df(spark, GOOD), "content", "(.*)", ["raw"])
+    assert df.first().raw == GOOD
+
+
+# --- json (ProcessorParseJsonNativeUnittest pattern) -------------------------
+
+def test_parse_json_top_level_restringified(spark):
+    df = parse_json(lines_df(spark, '{"key1":"value1","key2":2}'), "content", keys=["key1", "key2"])
+    row = df.first()
+    assert row.key1 == "value1" and row.key2 == "2"  # numbers restringified
+
+
+def test_parse_json_nested_not_expanded(spark):
+    df = parse_json(lines_df(spark, '{"a":{"b":1},"c":"x"}'), "content", keys=["a", "c"])
+    row = df.first()
+    assert row.c == "x"
+    assert '"b"' in row.a  # nested object stays one stringified value
+
+
+def test_parse_json_failure_matrix(spark):
+    df = parse_json(lines_df(spark, "{bad json", '{"k":"v"}'), "content", keys=["k"],
+                    options=ParserOptions(keep_source_on_fail=False, copy_raw_log=False))
+    assert df.count() == 1
+
+
+def test_expand_json_depth2(spark):
+    df = expand_json(lines_df(spark, '{"a":{"b":"1","c":"2"},"d":"x"}'), "content",
+                     expand_depth=2, connector="_")
+    m = df.first().expanded
+    assert m == {"a_b": "1", "a_c": "2", "d": "x"}
+
+
+# --- delimiter (ProcessorParseDelimiterNativeUnittest pattern) ---------------
+
+def test_delimiter_basic(spark):
+    df = parse_delimiter(lines_df(spark, "123\t2022-08-08\tbuy\t10000"), "content",
+                         "\t", ["uid", "time", "method", "value"])
+    r = df.first()
+    assert (r.uid, r.time, r.method, r.value) == ("123", "2022-08-08", "buy", "10000")
+
+
+def test_delimiter_short_row(spark):
+    keys = ["uid", "time", "method", "value"]
+    strict = parse_delimiter(lines_df(spark, "123\t2022"), "content", "\t", keys,
+                             options=ParserOptions(keep_source_on_fail=False, copy_raw_log=False))
+    assert strict.count() == 0
+    lax = parse_delimiter(lines_df(spark, "123\t2022"), "content", "\t", keys, allow_shortened=True)
+    r = lax.first()
+    assert r.uid == "123" and r.value is None
+
+
+def test_delimiter_overflow_extend(spark):
+    df = parse_delimiter(lines_df(spark, "a,b,c,d,e"), "content", ",", ["k0", "k1"],
+                         overflow="extend", max_extend_columns=4)
+    r = df.first()
+    assert r.k0 == "a" and r["__column2__"] == "c" and r["__column4__"] == "e"
+    # naming per ProcessorParseDelimiterNative.cpp:338
+
+
+def test_delimiter_overflow_keep_rejoins(spark):
+    df = parse_delimiter(lines_df(spark, "a,b,c,d"), "content", ",", ["k0", "k1"], overflow="keep")
+    assert df.first().k1 == "b,c,d"
+
+
+def test_delimiter_quoted_csv(spark):
+    df = parse_delimiter(lines_df(spark, 'x,"y,z",w'), "content", ",", ["a", "b", "c"], quote='"')
+    r = df.first()
+    assert (r.a, r.b, r.c) == ("x", "y,z", "w")
+
+
+def test_split_to_rows(spark):
+    df = split_to_rows(lines_df(spark, "l1\nl2\nl3"), "content")
+    assert [r.content for r in df.orderBy("content").collect()] == ["l1", "l2", "l3"]
+
+
+# --- key/value ---------------------------------------------------------------
+
+def test_key_value_basic(spark):
+    df = parse_key_value(lines_df(spark, "a:1\tb:2"), "content", "\t", ":", keys=["a", "b"])
+    r = df.first()
+    assert r.a == "1" and r.b == "2"
+
+
+def test_key_value_no_separator_prefix(spark):
+    df = parse_key_value(lines_df(spark, "a:1\torphan"), "content", "\t", ":",
+                         no_separator_key_prefix="no_separator_key_")
+    m = df.first().kv
+    assert m["a"] == "1" and m["no_separator_key_2"] == "orphan"
+
+
+# --- timestamp ---------------------------------------------------------------
+
+def test_strptime_compiler():
+    assert strptime_to_spark("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss"
+    assert strptime_to_spark("%d/%b/%Y:%H:%M:%S") == "dd/MMM/yyyy:HH:mm:ss"
+
+
+def test_parse_timestamp(spark):
+    df = parse_timestamp(lines_df(spark, "2022-08-08 12:30:00"), "content",
+                         "%Y-%m-%d %H:%M:%S", source_timezone="Asia/Shanghai")
+    ts = df.first()["__event_time__"]
+    assert ts.hour == 4  # UTC+8 shifted to UTC
+
+
+# --- apsara ------------------------------------------------------------------
+
+def test_parse_apsara(spark):
+    line = "[2024-01-01 12:00:00.123456]\t[INFO]\t[12345]\tkey1:val1\tkey2:val2"
+    r = parse_apsara(lines_df(spark, line), "content").first()
+    assert r["__LEVEL__"] == "INFO"
+    assert r.fields["key1"] == "val1" and r.fields["key2"] == "val2"
+    assert r.apsara_time.year == 2024
+
+
+# --- grok --------------------------------------------------------------------
+
+def test_grok_expand_and_types():
+    regex, caps = compile_grok("%{IP:client} %{WORD:method} %{NUMBER:bytes:int}")
+    assert [c[0] for c in caps] == ["client", "method", "bytes"]
+    assert dict(caps)["bytes"] == "long"
+
+
+def test_grok_cycle_detection():
+    with pytest.raises(GrokCycleError):
+        expand_grok("%{A}", {"A": "%{B}", "B": "%{A}"})
+
+
+def test_grok_first_match_wins(spark):
+    df = parse_grok(
+        lines_df(spark, "10.0.0.1 GET /index.html 15824 0.043", "ERROR something broke"),
+        "content",
+        match=[
+            "%{IP:client} %{WORD:method} %{URIPATHPARAM:request} %{NUMBER:bytes:int} %{NUMBER:duration:float}",
+            "%{LOGLEVEL:level} %{GREEDYDATA:msg}",
+        ],
+    )
+    rows = {r.id: r for r in df.collect()}
+    assert rows[0].client == "10.0.0.1" and rows[0].bytes == 15824 and abs(rows[0].duration - 0.043) < 1e-9
+    assert rows[0].level is None
+    assert rows[1].level == "ERROR" and rows[1].msg == "something broke"
+
+
+def test_grok_nested_pattern_group_indexing(spark):
+    # IPORHOST nests IP/HOSTNAME — decapture must keep group indexes aligned
+    df = parse_grok(lines_df(spark, "10.1.2.3 hello"), "content",
+                    match=["%{IPORHOST:host} %{WORD:w}"])
+    r = df.first()
+    assert r.host == "10.1.2.3" and r.w == "hello"

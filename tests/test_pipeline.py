@@ -1,0 +1,148 @@
+"""End-to-end pipeline: generate → multi-format parse → enrich → route →
+shard → per-sink checkpointed writes + metrics rollup.
+
+This is the M0 slice from SURVEY.md §7.2 — one Spark job = one collector
+pipeline, verified by per-sink aggregate-count equality against independent
+recomputation plus per-row token-array equality on a sample (BASELINE.json
+correctness contract)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators.route import Condition, Route
+from loongcollector_spark.pipeline import PipelineSpec, run_pipeline
+from loongcollector_spark.sinks import SinkSpec
+from loongcollector_spark.sources import expected_tokens, generate_sequences, render_lines
+
+NGINX = r'(\S+) - - \[([^\]]+)\] "(\S+) (\S+) ([^"]+)" (\d+) (\d+) "([^"]*)" "([^"]*)" "([^"]*)"'
+NGINX_KEYS = [
+    "remote_addr", "time_local", "method", "url", "protocol",
+    "status", "body_bytes_sent", "http_referer", "http_user_agent", "http_x_forwarded_for",
+]
+
+TIER_MAP = {
+    "web-01": "edge", "web-02": "edge", "web-03": "edge", "web-04": "edge",
+    "app-01": "svc", "app-02": "svc",
+    "sys-01": "infra",
+}
+
+
+def flagship_spec() -> PipelineSpec:
+    return PipelineSpec(
+        name="flagship",
+        processors=[
+            ("parse_regex", {
+                "source_key": "line", "pattern": NGINX, "keys": NGINX_KEYS,
+                "full_match": False,
+                "options": {"keep_source_on_fail": True, "keep_source_on_success": True},
+            }),
+            ("parse_json", {
+                "source_key": "line", "keys": ["method", "path", "status", "bytes", "level"],
+                "options": {"keep_source_on_fail": True, "keep_source_on_success": True},
+            }),
+            ("parse_delimiter", {
+                "source_key": "line", "separator": "\t",
+                "keys": ["uid", "time", "d_method", "value", "d_level"],
+                "options": {"keep_source_on_fail": True, "keep_source_on_success": True},
+            }),
+            ("dict_map", {"source_key": "source", "mapping": TIER_MAP,
+                          "dest_key": "tier", "missing": "other"}),
+        ],
+        routes=[
+            Route("errors", Condition(content_key="status", content_regex="5\\d\\d")),
+            Route("web", Condition(content_key="source", content_regex="web-.*")),
+            Route("app", Condition(content_key="source", content_regex="app-.*")),
+        ],
+        tags={"__hostname__": "test-host", "pipeline": "flagship"},
+        shard_keys=("source", "doc_id"),
+        shard_count=8,
+    )
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("sinks"))
+    df = render_lines(generate_sequences(spark, 3000, partitions=8))
+    spec = flagship_spec()
+    spec.sinks = {
+        s: SinkSpec(name=s, path=os.path.join(base, s))
+        for s in ("errors", "web", "app", "default")
+    }
+    res = run_pipeline(df, spec, checkpoint=True, run_id="t1")
+    return df, res, base
+
+
+def test_sink_counts_match_independent_oracle(spark, pipeline_result):
+    df, res, base = pipeline_result
+    # independent recomputation of routing with plain expressions
+    status = F.when(
+        F.col("source").startswith("web"),
+        F.regexp_extract("line", r'" (\d+) \d+ "', 1),
+    ).otherwise(F.get_json_object("line", "$.status"))
+    truth = (
+        df.withColumn("st", status)
+        .withColumn(
+            "sink",
+            F.when(F.col("st").rlike("^5\\d\\d$"), "errors")
+            .when(F.col("source").startswith("web"), "web")
+            .when(F.col("source").startswith("app"), "app")
+            .otherwise("default"),
+        )
+        .groupBy("sink").count()
+    )
+    expected = {r.sink: r["count"] for r in truth.collect()}
+    for sink in ("errors", "web", "app", "default"):
+        assert res[sink]["rows"] == expected.get(sink, 0), sink
+    assert sum(expected.values()) == 3000
+
+
+def test_rollup_matches_sink_rows(pipeline_result):
+    _, res, _ = pipeline_result
+    rollup = res["metrics_rollup"]
+    by_sink: dict[str, int] = {}
+    for r in rollup:
+        by_sink[r["__sink__"]] = by_sink.get(r["__sink__"], 0) + r["rows"]
+    for sink in ("errors", "web", "app", "default"):
+        assert by_sink.get(sink, 0) == res[sink]["rows"]
+    assert all(r["tokens"] > 0 and r["bytes"] == 4 * r["tokens"] for r in rollup)
+
+
+def test_stage_counters(pipeline_result):
+    _, res, _ = pipeline_result
+    counters = {c["label.plugin"]: c for c in res["stage_counters"]}
+    assert counters["flagship.in"]["value.in_events_total"] == 3000
+    assert counters["flagship.routed"]["value.in_events_total"] == 3000
+
+
+def test_token_array_equality_per_sink(spark, pipeline_result):
+    """Per-row token-array equality vs the recomputation oracle on written
+    sink data (the BASELINE.json invariant)."""
+    _, res, base = pipeline_result
+    out = spark.read.parquet(os.path.join(base, "web", "data"))
+    sample = out.select("doc_id", "tokens").limit(20).collect()
+    assert sample
+    for r in sample:
+        assert list(expected_tokens(r.doc_id)) == list(r.tokens)
+
+
+def test_resume_skips_committed(spark, pipeline_result):
+    df, first, base = pipeline_result
+    spec = flagship_spec()
+    spec.sinks = {
+        s: SinkSpec(name=s, path=os.path.join(base, s))
+        for s in ("errors", "web", "app", "default")
+    }
+    res2 = run_pipeline(df, spec, checkpoint=True, run_id="t2")
+    for sink in ("errors", "web", "app", "default"):
+        assert res2[sink]["written_buckets"] == 0
+        assert res2[sink]["skipped_buckets"] == first[sink]["written_buckets"]
+    # data unchanged after no-op resume
+    total = sum(
+        spark.read.parquet(os.path.join(base, s, "data")).count()
+        for s in ("errors", "web", "app", "default")
+    )
+    assert total == 3000

@@ -1,0 +1,199 @@
+"""Routing, aggregation, multiline, metrics, lineage tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark import lineage
+from loongcollector_spark.metrics import MetricsRegistry
+from loongcollector_spark.operators import aggregate as agg
+from loongcollector_spark.operators import multiline, route
+
+
+@pytest.fixture()
+def events(spark):
+    rows = [
+        (0, "LOG", "prod", "checkout failed"),
+        (1, "LOG", "dev", "ok"),
+        (2, "METRIC", "prod", "cpu=1"),
+        (3, "LOG", "prod", "payment ok"),
+    ]
+    return spark.createDataFrame(rows, "id int, event_type string, env string, content string")
+
+
+# --- routing ------------------------------------------------------------------
+
+def test_route_fanout_duplication(events):
+    routes = [
+        route.Route("sink_a", route.Condition(tag_key="env", tag_value="prod", discard_tag=True)),
+        route.Route("sink_b", route.Condition(event_type="METRIC")),
+        route.Route("sink_all", None),
+    ]
+    out = route.route_fanout(events, routes, cache=False)
+    assert sorted(r.id for r in out["sink_a"].collect()) == [0, 2, 3]
+    assert "env" not in out["sink_a"].columns  # DiscardingTag (Condition.h:28-73)
+    assert [r.id for r in out["sink_b"].collect()] == [2]
+    assert out["sink_all"].count() == 4  # always-match duplicates rows
+
+
+def test_route_first_match_wins(events):
+    routes = [
+        route.Route("errors", route.Condition(content_key="content", content_regex=".*failed.*")),
+        route.Route("prod", route.Condition(tag_key="env", tag_value="prod")),
+    ]
+    out = route.route_first_match(events, routes)
+    got = {r.id: r["__sink__"] for r in out.collect()}
+    assert got == {0: "errors", 1: "default", 2: "prod", 3: "prod"}
+
+
+def test_route_full_match_semantics(events):
+    # logstore router regex is a FULL match (aggregator_router.go:106)
+    routes = [route.Route("x", route.Condition(content_key="content", content_regex="ok"))]
+    got = {r.id: r["__sink__"] for r in route.route_first_match(events, routes).collect()}
+    assert got == {0: "default", 1: "x", 2: "default", 3: "default"}
+
+
+def test_route_drop_dismatch(events):
+    routes = [route.Route("x", route.Condition(tag_key="env", tag_value="prod"))]
+    out = route.route_first_match(events, routes, default_sink=None, drop_dismatch=True)
+    assert sorted(r.id for r in out.collect()) == [0, 2, 3]
+
+
+def test_dynamic_topic(events):
+    out = route.dynamic_topic(events, "logs_%{env}_v1")
+    assert out.first()["__topic__"] == "logs_prod_v1"
+
+
+# --- aggregate ----------------------------------------------------------------
+
+def test_shard_hash_buckets_deterministic(spark):
+    df = spark.range(1000).withColumn("k", F.col("id").cast("string"))
+    out = agg.shard_hash(df, ["k"], shard_count=8, repartition=False)
+    buckets = out.select("__bucket__").distinct().collect()
+    assert all(0 <= r["__bucket__"] < 8 for r in buckets)
+    a = {r.id: r["__bucket__"] for r in out.collect()}
+    b = {r.id: r["__bucket__"] for r in agg.shard_hash(df, ["k"], 8, repartition=False).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        agg.shard_hash(df, ["k"], shard_count=6)
+
+
+def test_content_value_group(events):
+    out = agg.content_value_group(events, ["env"])
+    assert {r.env: r.rows for r in out.collect()} == {"prod": 3, "dev": 1}
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.range(5000).select(
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("n"),
+    )
+    salted = agg.salted_agg(
+        df, ["source"],
+        {"rows": ("count", F.lit(1)), "tok": ("sum", F.col("n")),
+         "mx": ("max", F.col("n")), "avg_n": ("avg", F.col("n"))},
+        salt_expr=F.xxhash64("doc_id"), salt_buckets=8,
+    )
+    plain = df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("n").alias("tok"),
+        F.max("n").alias("mx"), F.avg("n").alias("avg_n"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_pack_id_stamping(spark):
+    df = agg.with_pack_id(spark.range(100).repartition(4), group_size=10)
+    rows = df.collect()
+    assert all("-" in r["__pack_id__"] for r in rows)
+
+
+def test_metadata_group_cap(spark):
+    df = spark.createDataFrame([(i, "g") for i in range(10)], "id int, g string")
+    assert agg.metadata_group(df, ["g"], max_events=3, drop_oversize=True).count() == 3
+
+
+# --- multiline ----------------------------------------------------------------
+
+STACK = [
+    ("f", 0, "2024-01-01 10:00:00 [ERROR] boom"),
+    ("f", 1, "  at com.foo.Bar(Bar.java:1)"),
+    ("f", 2, "  at com.foo.Baz(Baz.java:2)"),
+    ("f", 3, "2024-01-01 10:00:01 [INFO] fine"),
+    ("f", 4, "2024-01-01 10:00:02 [ERROR] again"),
+    ("f", 5, "  at com.foo.Qux(Qux.java:3)"),
+]
+START = r"\d+-\d+-\d+\s\d+:\d+:\d+\s\[.*"
+
+
+def test_merge_multiline(spark):
+    df = spark.createDataFrame(STACK, "file string, offset long, line string")
+    out = multiline.merge_multiline(df, "line", "file", "offset", START)
+    rows = sorted(out.collect(), key=lambda r: r.offset)
+    assert len(rows) == 3
+    assert rows[0].line.count("\n") == 2 and "Baz.java" in rows[0].line
+    assert rows[1].line == "2024-01-01 10:00:01 [INFO] fine"
+
+
+def test_merge_multiline_unmatched_modes(spark):
+    data = [("f", 0, "orphan1"), ("f", 1, "orphan2")] + [
+        ("f", o + 10, l) for _, o, l in STACK[:3]
+    ]
+    df = spark.createDataFrame(data, "file string, offset long, line string")
+    single = multiline.merge_multiline(df, "line", "file", "offset", START, unmatched="single_line")
+    assert single.count() == 3  # 2 orphans single-line + 1 merged block
+    disc = multiline.merge_multiline(df, "line", "file", "offset", START, unmatched="discard")
+    assert disc.count() == 1
+
+
+def test_merge_by_flag(spark):
+    data = [("f", 0, "par", True), ("f", 1, "tial", True), ("f", 2, " end", False),
+            ("f", 3, "whole", False)]
+    df = spark.createDataFrame(data, "file string, offset long, line string, partial boolean")
+    out = sorted(multiline.merge_by_flag(df, "line", "file", "offset", "partial").collect(),
+                 key=lambda r: r.offset)
+    assert [r.line for r in out] == ["partial end", "whole"]
+
+
+# --- metrics ------------------------------------------------------------------
+
+def test_observed_counters(spark):
+    reg = MetricsRegistry()
+    df = spark.range(100).withColumn("s", F.lit("x"))
+    observed = reg.observe_counts(df, "stage1", size_col="s")
+    observed.write.format("noop").mode("overwrite").save()
+    got = reg.get("stage1")
+    assert got["in_events_total"] == 100 and got["in_size_bytes"] == 100
+
+
+# --- lineage / checkpoint resume ----------------------------------------------
+
+def test_checkpointed_write_resume(spark, tmp_path):
+    base = str(tmp_path / "out")
+    df = (
+        spark.range(200)
+        .select(
+            F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id"),
+            (F.col("id") % 5).cast("int").alias("n_tok"),
+            F.pmod(F.col("id"), F.lit(4)).cast("int").alias("__bucket__"),
+        )
+    )
+    r1 = lineage.checkpointed_write(df, base, run_id="r1")
+    assert r1["written_buckets"] == 4 and r1["rows"] == 200
+
+    # simulate partial failure: delete 2 manifests (their data must be rewritten)
+    import os
+
+    for b in (1, 3):
+        os.remove(os.path.join(base, "_lineage", f"bucket-{b:05d}.json"))
+    r2 = lineage.checkpointed_write(df, base, run_id="r2")
+    assert r2["written_buckets"] == 2 and r2["skipped_buckets"] == 2
+
+    back = spark.read.parquet(os.path.join(base, "data"))
+    assert back.count() == 200  # no dups, no missing
+    assert back.select("doc_id").distinct().count() == 200
+    manifests = lineage.read_manifests(base)
+    assert len(manifests) == 4 and sum(m["rows"] for m in manifests) == 200
+    runs = {m["run_id"] for m in manifests}
+    assert runs == {"r1", "r2"}
