@@ -1,0 +1,142 @@
+"""Benchmark: end-to-end pipeline throughput + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": "pipeline_sequences_per_sec", "value": N, "unit": "sec"-denominated
+   rate, "queries": {name: sec, ...}, "sf": S, ...extras}
+
+Headline: the full collector pipeline (read tokenized sequences -> decode
+stage (mapInPandas detok render, the vectorized-UDF hot path) -> multi-format
+parse (JVM regex/json/delimiter) -> dict_map enrich -> first-match route ->
+shard-hash -> per-sink noop writes + salted per-(source,sink) rollup) over a
+deterministic synthetic F1 table sized to the sf. Sinks are noop —
+mirroring the reference's file->blackhole benchmark methodology
+(test/benchmark/.../performance_file_to_blackhole_loongcollector).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all), LC_BENCH_ROWS to override input size,
+     LC_BENCH_SKIP_QUERIES=1 for the pipeline-only scaling runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
+    sf = _sf_of(sf_dir)
+
+    from loongcollector_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="loongcollector-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=str(max(int(cpus) * 2, 16)),
+        extra_conf={"spark.sql.mapKeyDedupPolicy": "LAST_WIN"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_rows = int(os.environ.get("LC_BENCH_ROWS") or max(int(2_000_000 * sf), 20_000))
+    pipeline_stats = _bench_pipeline(spark, n_rows)
+
+    query_times: dict[str, float] = {}
+    if os.environ.get("LC_BENCH_SKIP_QUERIES") != "1":
+        from loongcollector_spark.queries import QUERIES
+
+        for name, q in QUERIES.items():
+            t0 = time.time()
+            q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            query_times[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "pipeline_sequences_per_sec",
+        "value": pipeline_stats["sequences_per_sec"],
+        "unit": "sec",
+        "queries": query_times,
+        "sf": sf,
+        "pipeline": pipeline_stats,
+        "cpus": int(cpus),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _bench_pipeline(spark, n_rows: int) -> dict:
+    """Measure the flagship pipeline over n_rows synthetic sequences.
+    Input parquet is materialized once per size under /tmp (generation is
+    excluded from the measured window)."""
+    from pyspark.sql import functions as F
+
+    from loongcollector_spark.operators.route import Condition, Route
+    from loongcollector_spark.pipeline import PipelineSpec, run_pipeline
+    from loongcollector_spark.sinks import SinkSpec
+    from loongcollector_spark.sources import generate_sequences, render_lines
+
+    data_path = f"/tmp/lc_bench_input_{n_rows}"
+    if not os.path.isdir(data_path):
+        generate_sequences(spark, n_rows, partitions=max(32, n_rows // 50_000)).write.mode(
+            "overwrite"
+        ).parquet(data_path)
+
+    seqs = spark.read.parquet(data_path)
+
+    NGINX = r'(\S+) - - \[([^\]]+)\] "(\S+) (\S+) ([^"]+)" (\d+) (\d+) "([^"]*)" "([^"]*)" "([^"]*)"'
+    NGINX_KEYS = [
+        "remote_addr", "time_local", "method", "url", "protocol",
+        "status", "body_bytes_sent", "http_referer", "http_user_agent", "http_x_forwarded_for",
+    ]
+    spec = PipelineSpec(
+        name="bench",
+        processors=[
+            ("parse_regex", {"source_key": "line", "pattern": NGINX, "keys": NGINX_KEYS,
+                             "full_match": False,
+                             "options": {"keep_source_on_fail": True, "keep_source_on_success": True}}),
+            ("parse_json", {"source_key": "line", "keys": ["method", "path", "status", "bytes", "level"],
+                            "options": {"keep_source_on_fail": True, "keep_source_on_success": True}}),
+            ("parse_delimiter", {"source_key": "line", "separator": "\t",
+                                 "keys": ["uid", "time", "d_method", "value", "d_level"],
+                                 "options": {"keep_source_on_fail": True, "keep_source_on_success": True}}),
+            ("dict_map", {"source_key": "source",
+                          "mapping": {"web-01": "edge", "web-02": "edge", "app-01": "svc", "sys-01": "infra"},
+                          "dest_key": "tier", "missing": "other"}),
+        ],
+        routes=[
+            Route("errors", Condition(content_key="status", content_regex=r"5\d\d")),
+            Route("web", Condition(content_key="source", content_regex="web-.*")),
+            Route("app", Condition(content_key="source", content_regex="app-.*")),
+        ],
+        shard_keys=("source", "doc_id"),
+        shard_count=64,
+        sinks={s: SinkSpec(name=s, format="noop") for s in ("errors", "web", "app", "default")},
+    )
+
+    t0 = time.time()
+    rendered = render_lines(seqs)
+    res = run_pipeline(rendered, spec, checkpoint=False)
+    elapsed = time.time() - t0
+
+    tokens = sum(r["tokens"] for r in res["metrics_rollup"])
+    rows = sum(r["rows"] for r in res["metrics_rollup"])
+    return {
+        "rows": rows,
+        "tokens": int(tokens),
+        "elapsed_sec": round(elapsed, 3),
+        "sequences_per_sec": round(rows / elapsed, 1),
+        "tokens_per_sec": round(tokens / elapsed, 1),
+    }
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,259 @@
+"""Deduplication for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Scale design:
+- exact dedup is one hash-groupBy (map-side combine keeps the shuffle tiny —
+  only (hash, min_id, count) partials move).
+- n-gram Jaccard avoids the O(n²) cross join via an inverted shingle index:
+  explode shingles → self-join on shingle → per-pair common counts. At 100TB
+  add a document-frequency cut (drop shingles appearing in >df_max docs) —
+  exposed as ``max_shingle_df``.
+- MinHash+LSH: k permutations via (a*x+b) mod p over xxhash64 shingles —
+  pure column expressions; bands are arrays sliced from the signature; the
+  candidate join is an equi-join on (band_idx, band_hash) — exactly the
+  banding scheme from the MMDS literature.
+- SimHash: 64-bit signature from per-token hashes; near-dup = small Hamming
+  distance within LSH buckets on signature prefixes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61-1 for the universal-hash permutations
+_MERSENNE = (1 << 61) - 1
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) as an array<string>."""
+    ws = F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " ")
+    )
+    return F.array_distinct(F.when(F.size(ws) >= n, grams).otherwise(F.array()))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct content,
+    keeper = min id, dup_count recorded."""
+    return (
+        df.withColumn("__h__", F.md5(F.col(text_col)))
+        .groupBy("__h__")
+        .agg(
+            F.min(F.col(id_col)).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .withColumnRenamed("__h__", "content_md5")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs with exact n-gram Jaccard >= threshold, computed via an
+    inverted shingle index (no cross join). Returns (id_a, id_b, jaccard)
+    with id_a < id_b."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    if max_shingle_df:
+        df_counts = inv.groupBy("g").count().filter(F.col("count") <= max_shingle_df)
+        inv = inv.join(df_counts.select("g"), "g")
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), "g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            (F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+_P31 = (1 << 31) - 1  # Mersenne prime 2^31-1: products of 31-bit values fit u64
+
+
+def _minhash_signature_udf(num_hashes: int, seed: int = 42):
+    """Vectorized MinHash: one Arrow UDF turning the per-row gram-hash array
+    into the k-permutation signature. The whole batch is ONE numpy outer
+    product + reduceat — no per-row Python, no k-wide JVM expression tree
+    (the expression form blew up whole-stage codegen at k=32)."""
+    import random
+
+    from pyspark.sql.functions import pandas_udf
+
+    rng = random.Random(seed)
+    a = np.array([rng.randrange(1, _P31) for _ in range(num_hashes)], dtype=np.uint64)
+    b = np.array([rng.randrange(0, _P31) for _ in range(num_hashes)], dtype=np.uint64)
+
+    @pandas_udf("array<long>")
+    def sig(hs: pd.Series) -> pd.Series:
+        lengths = hs.map(lambda v: 0 if v is None else len(v)).to_numpy()
+        if lengths.sum() == 0:
+            return pd.Series([None] * len(hs))
+        flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in hs if v is not None and len(v)])
+        h31 = (flat.view(np.uint64) % np.uint64(_P31)).astype(np.uint64)
+        # (N, k) universal hashes, minimized per row segment
+        hk = (h31[:, None] * a[None, :] + b[None, :]) % np.uint64(_P31)
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])[lengths > 0]
+        mins = np.minimum.reduceat(hk, starts.astype(np.int64), axis=0)
+        out: list = []
+        j = 0
+        for n in lengths:
+            if n == 0:
+                out.append(None)
+            else:
+                out.append(mins[j].astype(np.int64))
+                j += 1
+        return pd.Series(out)
+
+    return sig
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + LSH banding: candidate pairs that share at least one band.
+    Returns (id_a, id_b, est_jaccard) where est_jaccard = fraction of equal
+    signature positions (the MinHash estimate)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(F.col(text_col), n), lambda g: F.xxhash64(g)).alias("gh"),
+    )
+    sig = grams.select(
+        "id", _minhash_signature_udf(num_hashes, seed)("gh").alias("sig")
+    ).filter(F.col("sig").isNotNull() & (F.size("sig") > 0))
+
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"), b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    ) / F.lit(float(num_hashes))
+    return cand.withColumn("est_jaccard", est.cast("double")).select("id_a", "id_b", "est_jaccard")
+
+
+def simhash_from_hashes(hashes_col: str = "gram_hashes"):
+    """Vectorized SimHash fold: numpy over Arrow batches. Input column is the
+    array<long> of per-gram xxhash64 values (computed JVM-side); output is
+    the 64-bit signature. The bit-unpack + sign-accumulate is pure numpy —
+    no per-row Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def fold(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.int64)
+        for i, lst in enumerate(hs):
+            if lst is None or len(lst) == 0:
+                continue
+            arr = np.asarray(lst, dtype=np.int64).view(np.uint64)
+            # bits[j] = count of grams with bit j set; sign vs half the grams
+            bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).sum(axis=0)
+            sig = np.where(bits * 2 > len(arr), np.uint64(1), np.uint64(0))
+            out[i] = (sig << np.arange(64, dtype=np.uint64)).sum().astype(np.uint64).view(np.int64)
+        return pd.Series(out)
+
+    return fold(hashes_col)
+
+
+def simhash64(col: Column, n: int = 2) -> Column:
+    """Gram hashes JVM-side; bit fold via the Arrow UDF above (used through
+    simhash_near_dups, which materializes the gram-hash column first)."""
+    raise NotImplementedError("use simhash_near_dups / simhash_from_hashes")
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs: bucket on signature prefix (LSH over the
+    leading ``prefix_bits``), compare within buckets by Hamming distance.
+    At scale, run over 64/prefix_bits rotations for full recall; one rotation
+    here keeps the test graph simple."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(F.col(text_col), n), lambda g: F.xxhash64(g)).alias("gram_hashes"),
+    )
+    sig = grams.select("id", simhash_from_hashes("gram_hashes").alias("sig"))
+    bucketed = sig.withColumn(
+        "bucket", F.shiftrightunsigned("sig", 64 - prefix_bits)
+    )
+    pairs = (
+        bucketed.alias("a")
+        .join(bucketed.alias("b"), "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

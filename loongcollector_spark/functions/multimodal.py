@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video are ``binary`` columns with a metadata struct. The Spark
+side — schema, partitioning, Arrow batch shape, UDF signatures — is real and
+tested; the actual codec step is STUBBED (the container has no image/audio
+libraries): ``decode_stub`` derives deterministic fake features from the
+bytes so the pipeline is end-to-end testable, and ``decode_real`` raises
+NotImplementedError where a PIL/ffmpeg call would slot in.
+
+At 100TB: payloads must NOT travel through shuffles — all feature extraction
+runs ``mapInPandas`` straight off the scan (one Arrow pass), and only the
+small feature vectors continue downstream. ``maxRecordsPerBatch`` bounds
+executor memory against multi-MB payload rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id string, payload binary, mime string, width int, height int, duration_ms int"
+)
+
+FEATURE_SCHEMA = "media_id string, mime string, n_bytes long, feature array<float>"
+
+
+def decode_real(payload: bytes, mime: str) -> np.ndarray:
+    """Real decode hook — wire PIL/soundfile/pyav here when available."""
+    raise NotImplementedError(
+        "media decode requires image/audio libs not present in this container"
+    )
+
+
+def decode_stub(payload: bytes, mime: str, dim: int = 16) -> np.ndarray:
+    """Deterministic fake 'embedding': sha256-seeded floats in [-1, 1]."""
+    h = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    return (raw.astype(np.float64) / 2**31 - 1.0).astype(np.float32)
+
+
+def extract_features(
+    df: DataFrame, dim: int = 16, batch_rows: int = 256, use_stub: bool = True
+) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas (Arrow batches;
+    payloads never shuffle — the output carries only small vectors)."""
+    decode = decode_stub if use_stub else decode_real
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            feats = [
+                decode(bytes(p), m, dim) if use_stub else decode(bytes(p), m)
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "feature": feats,
+                }
+            )
+
+    return df.repartition(max(df.sparkSession.sparkContext.defaultParallelism, 4)).mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: expands (media_id, duration_ms) into one
+    row per sampled timestamp — pure JVM explode; the per-frame decode would
+    ride the same mapInPandas slot as extract_features."""
+    return df.select(
+        "media_id",
+        "mime",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+
+
+def synthetic_media(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    import random
+
+    rng = random.Random(seed)
+    mimes = ["image/png", "image/jpeg", "audio/wav", "video/mp4"]
+    rows = []
+    for i in range(n_rows):
+        payload = bytes(rng.randrange(256) for _ in range(64 + i % 128))
+        m = mimes[i % len(mimes)]
+        rows.append(
+            (f"m{i:05d}", payload, m, 64 + i % 512, 48 + i % 256, 1000 * (1 + i % 30))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

