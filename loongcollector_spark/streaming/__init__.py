@@ -1,0 +1,21 @@
+"""Structured Streaming face of the pipeline (the reference's native mode).
+
+The reference IS a streaming engine: file tailing with checkpointed offsets
+(core/file_server/, core/checkpoint/), size/count/timeout-driven flush
+(core/collection_pipeline/batch/FlushStrategy.h), and stateful token-bucket
+rate limiting (plugins/processor/ratelimit/token_bucket.go:33-61). Our batch
+graft covers the relational semantics; this module covers the streaming
+execution mode with the idiomatic Spark mapping:
+
+| reference | here |
+|---|---|
+| file tail + offset checkpoint | ``readStream`` file source + checkpointLocation |
+| flush timeout | trigger interval (``processingTime``/``availableNow``) |
+| Router fan-out to flushers | ``foreachBatch`` conditional per-sink writes |
+| token-bucket rate limit | ``applyInPandasWithState`` per-key bucket state |
+"""
+
+from loongcollector_spark.streaming.pipeline import run_streaming_pipeline
+from loongcollector_spark.streaming.rate_limit import streaming_rate_limit
+
+__all__ = ["run_streaming_pipeline", "streaming_rate_limit"]

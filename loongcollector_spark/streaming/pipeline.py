@@ -1,0 +1,88 @@
+"""Streaming pipeline runner: readStream → processor chain → foreachBatch fan-out.
+
+One streaming query per pipeline (the reference runs one processor/flusher
+thread-group per pipeline config, core/runner/ProcessorRunner.cpp:89-183).
+The micro-batch is the PipelineEventGroup analogue: within ``foreachBatch``
+the routed batch is persisted once and each sink writes its filtered slice —
+identical dataflow to the batch Router (operators/route.py), with Spark's
+streaming checkpoint standing in for the reference's file-offset checkpoints
+(core/checkpoint/CheckPointManager.h) so a restarted query resumes exactly
+where it stopped, no duplicate and no missing micro-batch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators import route as route_ops
+from loongcollector_spark.pipeline import PipelineSpec, compile_pipeline
+from loongcollector_spark.sinks import SinkSpec, write_sink
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    schema: str,
+    spec: PipelineSpec,
+    output_base: str,
+    checkpoint_dir: str,
+    *,
+    input_format: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    timeout_sec: float | None = 300.0,
+) -> dict[str, Any]:
+    """Run the pipeline as a Structured Streaming query over a file source.
+
+    ``available_now=True`` drains everything present then stops (the batch-
+    equivalent trigger, used by tests); otherwise the query keeps tailing
+    ``input_path`` like the reference's file watcher and must be stopped by
+    the caller.
+    """
+    reader = spark.readStream.format(input_format).schema(schema)
+    if max_files_per_trigger:
+        # bounded process queue analogue (BoundedProcessQueue.h): cap work per trigger
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(input_path)
+
+    sink_names = [r.sink for r in spec.routes]
+    if spec.default_sink and spec.route_mode == "first_match" and not spec.drop_dismatch:
+        sink_names.append(spec.default_sink)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        routed = compile_pipeline(batch_df, spec)
+        routed = routed.persist()
+        try:
+            for sink_name in sink_names:
+                sink_spec = spec.sinks.get(sink_name) or SinkSpec(
+                    name=sink_name,
+                    path=os.path.join(output_base, sink_name),
+                    mode="append",
+                )
+                if spec.route_mode == "fanout":
+                    cond_routes = [r for r in spec.routes if r.sink == sink_name]
+                    cond = cond_routes[0].condition if cond_routes else None
+                    sink_df = routed if cond is None else routed.filter(cond.to_column())
+                else:
+                    sink_df = routed.filter(F.col(route_ops.SINK_COLUMN) == sink_name)
+                write_sink(sink_df, sink_spec)
+        finally:
+            routed.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination(timeout_sec)
+    return {
+        "query_id": str(query.id),
+        "active": query.isActive,
+        "sinks": sink_names,
+    }
