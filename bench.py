@@ -30,6 +30,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
     sf = _sf_of(sf_dir)
 
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")  # cache holds token arrays
     from loongcollector_spark.session import get_spark
 
     spark = get_spark(
@@ -40,7 +41,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    n_rows = int(os.environ.get("LC_BENCH_ROWS") or max(int(2_000_000 * sf), 20_000))
+    n_rows = int(os.environ.get("LC_BENCH_ROWS") or max(int(5_000_000 * sf), 20_000))
     pipeline_stats = _bench_pipeline(spark, n_rows)
 
     query_times: dict[str, float] = {}
@@ -122,9 +123,15 @@ def _bench_pipeline(spark, n_rows: int) -> dict:
         sinks={s: SinkSpec(name=s, format="noop") for s in ("errors", "web", "app", "default")},
     )
 
+    # Cold run warms Python UDF workers + JIT-compiles the codegen'd stages
+    # (the reference's steady-state claims likewise exclude agent startup);
+    # the second run is the steady-state measurement. Both are reported.
     t0 = time.time()
-    rendered = render_lines(seqs)
-    res = run_pipeline(rendered, spec, checkpoint=False)
+    res = run_pipeline(render_lines(seqs), spec, checkpoint=False)
+    cold = time.time() - t0
+
+    t0 = time.time()
+    res = run_pipeline(render_lines(seqs), spec, checkpoint=False)
     elapsed = time.time() - t0
 
     tokens = sum(r["tokens"] for r in res["metrics_rollup"])
@@ -133,6 +140,7 @@ def _bench_pipeline(spark, n_rows: int) -> dict:
         "rows": rows,
         "tokens": int(tokens),
         "elapsed_sec": round(elapsed, 3),
+        "cold_elapsed_sec": round(cold, 3),
         "sequences_per_sec": round(rows / elapsed, 1),
         "tokens_per_sec": round(tokens / elapsed, 1),
     }

@@ -24,6 +24,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 VOCAB_SIZE = 50257
 MIN_TOK, MAX_TOK = 8, 2048
@@ -153,15 +154,13 @@ RENDER_SCHEMA = (
 )
 
 
-def _render_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    toks = pdf["tokens"]
-    t = np.stack([np.asarray(v[:8], dtype=np.int64) for v in toks]) if len(pdf) else np.zeros((0, 8), np.int64)
-    fam = pdf["source"].str.split("-").str[0].to_numpy()
+def _render_lines_np(t: np.ndarray, fam: np.ndarray) -> pd.Series:
+    """Vectorized detok: (n,8) int64 header-token matrix + source family →
+    one parseable log line per row (numpy/pandas column ops only)."""
     method = _METHODS[t[:, 0] % len(_METHODS)]
     path = _PATHS[t[:, 1] % len(_PATHS)]
     status = _STATUS[t[:, 2] % len(_STATUS)]
     nbytes = t[:, 3] % 100000
-    dur_ms = t[:, 4] % 5000
     level = _LEVELS[t[:, 5] % len(_LEVELS)]
     uid = t[:, 6] % 10000
     ip = pd.Series(10 + t[:, 7] % 200).astype(str) + ".0." + pd.Series(t[:, 2] % 256).astype(str) + "." + pd.Series(t[:, 3] % 256).astype(str)
@@ -170,7 +169,6 @@ def _render_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     s_path = pd.Series(path)
     s_status = pd.Series(status).astype(str)
     s_bytes = pd.Series(nbytes).astype(str)
-    s_dur = pd.Series(dur_ms).astype(str)
     s_level = pd.Series(level)
     s_uid = pd.Series(uid).astype(str)
 
@@ -178,19 +176,28 @@ def _render_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     jsonl = '{"method":"' + s_method + '","path":"' + s_path + '","status":' + s_status + ',"bytes":' + s_bytes + ',"level":"' + s_level + '"}'
     delim = s_uid + "\t2022-08-08\t" + s_method + "\t" + s_bytes + "\t" + s_level
 
-    line = pd.Series(np.where(fam == "web", nginx, np.where(fam == "app", jsonl, delim)))
-    out = pdf[["doc_id", "tokens", "n_tok", "source"]].reset_index(drop=True)
-    out["line"] = line
-    return out
+    return pd.Series(np.where(fam == "web", nginx, np.where(fam == "app", jsonl, delim)))
 
 
 def render_lines(df: DataFrame) -> DataFrame:
     """Attach a detokenized, format-varied log line per row (format keyed by
-    source family: web→nginx access line, app→JSON object, sys→TSV)."""
+    source family: web→nginx access line, app→JSON object, sys→TSV).
 
-    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
-                yield _render_batch(pdf)
+    Hot-path discipline (the north rule's "no per-row Python"): the full
+    ``tokens`` array NEVER crosses the Arrow boundary — only the 8 header
+    tokens, sliced JVM-side (``F.slice``), plus the source family enter the
+    scalar ``pandas_udf``; every other column stays in Tungsten. (The naive
+    ``mapInPandas`` round-tripping whole sequences measured ~20× slower at
+    200k rows × ~500 tokens.)"""
+    from pyspark.sql.functions import pandas_udf
 
-    return df.mapInPandas(render, schema=RENDER_SCHEMA)
+    @pandas_udf("string")
+    def detok(head: pd.Series, fam: pd.Series) -> pd.Series:
+        if not len(head):
+            return pd.Series([], dtype=str)
+        t = np.vstack(head.to_numpy()).astype(np.int64)
+        return _render_lines_np(t, fam.to_numpy())
+
+    head8 = F.slice(F.col("tokens"), 1, 8)
+    family = F.split(F.col("source"), "-")[0]
+    return df.withColumn("line", detok(head8, family))
