@@ -185,6 +185,28 @@ def desensitize(
     return df.withColumn(dest, mask_md5(F.col(source_key)))
 
 
+def anchor(
+    df: DataFrame,
+    source_key: str,
+    start: str,
+    stop: str,
+    dest_key: str,
+    expand_json: bool = False,
+    json_keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """processor_anchor (plugins/processor/anchor/anchor.go:43-66): extract
+    the substring between the ``start`` and ``stop`` anchor strings into
+    ``dest_key``; optionally expand the extracted span as JSON members."""
+    import re as _re
+
+    pat = f"{_re.escape(start)}(.*?){_re.escape(stop)}"
+    out = df.withColumn(dest_key, F.regexp_extract(F.col(source_key), pat, 1))
+    if expand_json:
+        for k in json_keys or ():
+            out = out.withColumn(k, F.get_json_object(F.col(dest_key), f"$.{k}"))
+    return out
+
+
 def md5_field(df: DataFrame, source_key: str, md5_key: str) -> DataFrame:
     """processor_md5 (processor_md5.go:26-32)."""
     return df.withColumn(md5_key, F.md5(F.col(source_key)))

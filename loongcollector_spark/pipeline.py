@@ -67,6 +67,7 @@ PROCESSORS: dict[str, Callable[..., DataFrame]] = {
     "dict_map": enrich.dict_map,
     "geo_lookup": enrich.geo_lookup,
     "cloud_meta": enrich.cloud_meta,
+    "anchor": enrich.anchor,
     "appender": enrich.appender,
     "string_replace": enrich.string_replace,
     "desensitize": enrich.desensitize,

@@ -191,6 +191,279 @@ def parse_timestamp_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "grok_firstmatch_extract",
+    """
+    SELECT event_id, event_type AS etype, user_id AS uid,
+           CAST(floor(value) AS BIGINT) AS val
+    FROM events
+    """,
+    doc="processor_grok: plan-time topo-expanded pattern, typed captures "
+        "(%{INT:uid:int}), first-match-wins",
+)
+def grok_firstmatch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.grok import parse_grok
+
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.col("event_type"), F.lit(" uid="), F.col("user_id").cast("string"),
+        F.lit(" val="), F.floor("value").cast("long").cast("string"),
+    )
+    parsed = parse_grok(
+        ev.withColumn("logline", line),
+        "logline",
+        match=[
+            r"%{WORD:etype} uid=%{INT:uid:int} val=%{INT:val:int}",
+            r"%{GREEDYDATA:etype}",  # fallback pattern never needed; exercises the cascade
+        ],
+    )
+    return parsed.select("event_id", "etype", "uid", "val")
+
+
+@register(
+    "multiline_merge_blocks",
+    """
+    WITH lines AS (
+      SELECT user_id, event_id,
+             event_type || '#' || CAST(event_id AS VARCHAR) AS line
+      FROM events),
+    tagged AS (
+      SELECT user_id, event_id, line,
+             SUM(CASE WHEN line LIKE 'error%' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY event_id) AS sess
+      FROM lines)
+    SELECT user_id, MIN(event_id) AS event_id,
+           string_agg(line, chr(10) ORDER BY event_id) AS line
+    FROM tagged WHERE sess > 0 GROUP BY user_id, sess
+    UNION ALL
+    SELECT user_id, event_id, line FROM tagged WHERE sess = 0
+    """,
+    doc="inner multiline merge: start-regex sessionization, unmatched head "
+        "stays single-line (ProcessorSplitMultilineLogStringNative)",
+)
+def multiline_merge_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.multiline import merge_multiline
+
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(
+        "user_id", "event_id",
+        F.concat("event_type", F.lit("#"), F.col("event_id").cast("string")).alias("line"),
+    )
+    return merge_multiline(
+        lines, "line", "user_id", "event_id", start_pattern="^error",
+        unmatched="single_line",
+    )
+
+
+@register(
+    "apsara_parse_fields",
+    """
+    SELECT event_id, ts AS apsara_time, 'INFO' AS level,
+           CAST(user_id AS VARCHAR) AS uid
+    FROM events
+    """,
+    doc="processor_parse_apsara_native: microsecond time prefix, [LEVEL], "
+        "trailing key:value pairs into the map column",
+)
+def apsara_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.parse_apsara import parse_apsara
+
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("["), F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit("]\t[INFO]\tuid:"),
+        F.col("user_id").cast("string"),
+    )
+    parsed = parse_apsara(ev.withColumn("apsara_line", line), "apsara_line")
+    return parsed.select(
+        "event_id",
+        F.col("apsara_time"),
+        F.col("__LEVEL__").alias("level"),
+        F.col("fields")["uid"].alias("uid"),
+    )
+
+
+@register(
+    "anchor_extract_span",
+    """
+    SELECT event_id, regexp_extract(props, '"k": (.*?)\\}', 1) AS k_str
+    FROM events
+    """,
+    doc="processor_anchor: substring between Start/Stop anchors",
+)
+def anchor_extract_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return enrich.anchor(ev, "props", '"k": ', "}", "k_str").select("event_id", "k_str")
+
+
+@register(
+    "pack_json_roundtrip",
+    """
+    SELECT event_id, user_id AS uid_back FROM events
+    """,
+    doc="processor_packjson: pack fields into a JSON object, re-extract",
+)
+def pack_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    packed = enrich.pack_json(ev, ["event_type", "user_id"], "packed")
+    return packed.select(
+        "event_id", F.get_json_object("packed", "$.user_id").cast("long").alias("uid_back")
+    )
+
+
+@register(
+    "split_words_rollup",
+    """
+    SELECT source, COUNT(*) AS words FROM (
+      SELECT source, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+      FROM documents)
+    GROUP BY source
+    """,
+    doc="processor_split_log_string: one event split into N rows (explode)",
+)
+def split_words_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.parse_delimiter import split_to_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = split_to_rows(docs.select("source", "text"), "text", " ", keep_empty=False)
+    return words.groupBy("source").agg(F.count(F.lit(1)).alias("words"))
+
+
+@register(
+    "reformat_time_gotime",
+    """
+    SELECT event_id, strftime(ts, '%d/%m/%Y %H:%M') AS euro_time FROM events
+    """,
+    doc="processor_gotime/strptime: parse with source format, reformat with "
+        "dest format",
+)
+def reformat_time_gotime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.parse_time import reformat_time
+
+    ev = load_table(spark, sf_dir, "events")
+    as_str = ev.withColumn("ts_str", F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+    out = reformat_time(
+        as_str, "ts_str", "%Y-%m-%d %H:%M:%S", "euro_time", "%d/%m/%Y %H:%M"
+    )
+    return out.select("event_id", "euro_time")
+
+
+@register(
+    "dynamic_topic_format",
+    """
+    SELECT 'logs_' || event_type || '_shard' AS __topic__, COUNT(*) AS rows
+    FROM events GROUP BY 1
+    """,
+    doc="flusher_kafka_v2 dynamic topic %{content.field} formatting",
+)
+def dynamic_topic_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.route import dynamic_topic
+
+    ev = load_table(spark, sf_dir, "events")
+    topics = dynamic_topic(ev, "logs_%{event_type}_shard")
+    return topics.groupBy("__topic__").agg(F.count(F.lit(1)).alias("rows"))
+
+
+@register(
+    "geoip_prefix_join",
+    """
+    SELECT e.event_id, g.region
+    FROM (SELECT event_id, '10.' || CAST(user_id % 50 AS VARCHAR) AS ip_prefix
+          FROM events) e
+    LEFT JOIN (SELECT '10.' || CAST(n AS VARCHAR) AS ip_prefix,
+                      'region-' || CAST(n AS VARCHAR) AS region
+               FROM range(10) t(n)) g USING (ip_prefix)
+    """,
+    doc="processor_geoip: broadcast prefix-join against a geo dimension",
+)
+def geoip_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    with_ip = ev.withColumn(
+        "client_ip",
+        F.concat(F.lit("10."), (F.col("user_id") % 50).cast("string"), F.lit(".0.1")),
+    )
+    geo = spark.createDataFrame(
+        [(f"10.{n}", f"region-{n}") for n in range(10)], "ip_prefix string, region string"
+    )
+    return enrich.geo_lookup(with_ip, "client_ip", geo, prefix_len=2).select(
+        "event_id", "region"
+    )
+
+
+@register(
+    "fields_with_condition_switch",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'error' THEN 'critical'
+                WHEN event_type = 'purchase' THEN 'normal' END AS severity
+    FROM events
+    """,
+    doc="processor_fields_with_condition: first-matching-case add-fields",
+)
+def fields_with_condition_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = filters.fields_with_condition(
+        ev,
+        [
+            filters.ConditionCase({"key": "event_type", "equals": "error"},
+                                  add_fields={"severity": "critical"}),
+            filters.ConditionCase({"key": "event_type", "equals": "purchase"},
+                                  add_fields={"severity": "normal"}),
+        ],
+    )
+    return out.select("event_id", "severity")
+
+
+@register(
+    "content_value_group_counts",
+    """
+    SELECT event_type, COUNT(*) AS rows FROM events GROUP BY 1
+    """,
+    doc="aggregator_content_value_group: one group per distinct key tuple",
+)
+def content_value_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return agg_ops.content_value_group(ev, ["event_type"])
+
+
+@register(
+    "tokenized_pipeline_e2e",
+    None,  # deterministic synthetic F1 input; per-row token equality is
+    # asserted in tests/test_pipeline.py against the seeded generator oracle
+    doc="the north-rule flagship: tokenized-sequence table -> detok render "
+        "(Arrow UDF over header tokens) -> 3-format parse -> dict_map -> "
+        "route -> salted per-(source,sink) rows/tokens rollup",
+)
+def tokenized_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.route import route_first_match
+    from loongcollector_spark.sources import generate_sequences, render_lines
+    from loongcollector_spark.operators.parse_json import parse_json
+
+    seqs = render_lines(generate_sequences(spark, 5000, partitions=8))
+    parsed = parse_json(seqs, "line", ["method", "status", "level"])
+    enriched = enrich.dict_map(
+        parsed, "source",
+        {"web-01": "edge", "web-02": "edge", "app-01": "svc", "sys-01": "infra"},
+        "tier", missing="other",
+    )
+    routed = route_first_match(
+        enriched,
+        [
+            Route("errors", Condition(content_key="level", content_regex="ERROR")),
+            Route("web", Condition(content_key="source", content_regex="web-.*")),
+        ],
+    ).withColumnRenamed("__sink__", "sink")
+    return agg_ops.salted_agg(
+        routed,
+        ["source", "sink"],
+        {
+            "rows": ("count", F.lit(1)),
+            "tokens": ("sum", F.col("n_tok").cast("long")),
+        },
+        salt_expr=F.xxhash64(F.col("doc_id")),
+        salt_buckets=8,
+    )
+
+
 # =============================================================================
 # Filters
 # =============================================================================

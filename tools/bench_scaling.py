@@ -78,7 +78,7 @@ def main() -> None:
 
     md = f"""# BENCH — throughput & two-parallelism scaling
 
-End-to-end pipeline (read tokenized sequences → mapInPandas detok render →
+End-to-end pipeline (read tokenized sequences → Arrow pandas_udf detok render →
 regex/JSON/delimiter parse → dict_map enrich → first-match route → shard-hash
 → 4 noop sinks + salted per-(source,sink) rollup), {n_rows:,} sequences,
 identical input parquet for both runs, fresh JVM per run.
