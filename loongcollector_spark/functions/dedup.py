@@ -62,6 +62,9 @@ def ngram_jaccard_pairs(
     """Near-dup pairs with exact n-gram Jaccard >= threshold, computed via an
     inverted shingle index (no cross join). Returns (id_a, id_b, jaccard)
     with id_a < id_b."""
+    # shingling multiplies row volume ~(words)×: spread the input across the
+    # cluster BEFORE the explosion, whatever the scan's file-split count was
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -77,9 +80,11 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    # sizes is one row per doc (ids + one int) — broadcast both lookup joins
+    # so the (potentially huge) candidate-pair set never shuffles for them
     return (
-        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        pairs.join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")), "id_b")
         .withColumn(
             "jaccard",
             (F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))).cast("double"),
@@ -144,6 +149,7 @@ def minhash_lsh_candidates(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     grams = df.select(
         F.col(id_col).alias("id"),
         F.transform(shingles(F.col(text_col), n), lambda g: F.xxhash64(g)).alias("gh"),
@@ -176,24 +182,25 @@ def minhash_lsh_candidates(
         ).alias("bk"),
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
-    cand = (
+    # est_jaccard is computed IN the band join, so the dedup shuffle moves
+    # (id_a, id_b, est) triples — not two 32-long signature arrays per pair
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bh"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            est.cast("double").alias("est_jaccard"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
-        )
-    ) / F.lit(float(num_hashes))
-    return cand.withColumn("est_jaccard", est.cast("double")).select("id_a", "id_b", "est_jaccard")
 
 
 def simhash_from_hashes(hashes_col: str = "gram_hashes"):
@@ -237,6 +244,7 @@ def simhash_near_dups(
     leading ``prefix_bits``), compare within buckets by Hamming distance.
     At scale, run over 64/prefix_bits rotations for full recall; one rotation
     here keeps the test graph simple."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     grams = df.select(
         F.col(id_col).alias("id"),
         F.transform(shingles(F.col(text_col), n), lambda g: F.xxhash64(g)).alias("gram_hashes"),
