@@ -185,6 +185,35 @@ def desensitize(
     return df.withColumn(dest, mask_md5(F.col(source_key)))
 
 
+def otel_span_shape(
+    df: DataFrame,
+    trace_id_key: str,
+    span_id_key: str,
+    name_key: str,
+    start_key: str,
+    end_key: str | None = None,
+    kind: str = "SPAN_KIND_INTERNAL",
+    attr_keys: Sequence[str] = (),
+) -> DataFrame:
+    """processor_otel_trace (plugins/processor/otel/processor_otel_trace.go:53):
+    map k/v log fields into the OTel span shape — pure column projection plus
+    an attributes map assembled from the remaining keys."""
+    attrs = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in attr_keys]),
+        F.array(*[F.col(k).cast("string") for k in attr_keys]),
+    ) if attr_keys else F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>"))
+    out = df.select(
+        F.col(trace_id_key).cast("string").alias("trace_id"),
+        F.col(span_id_key).cast("string").alias("span_id"),
+        F.col(name_key).cast("string").alias("span_name"),
+        F.lit(kind).alias("span_kind"),
+        F.col(start_key).alias("start_time"),
+        (F.col(end_key) if end_key else F.col(start_key)).alias("end_time"),
+        attrs.alias("attributes"),
+    )
+    return out
+
+
 def anchor(
     df: DataFrame,
     source_key: str,

@@ -58,6 +58,7 @@ PROCESSORS: dict[str, Callable[..., DataFrame]] = {
     "filter_expression": filters.filter_expression,
     "filter_rule": filters.filter_rule,
     "filter_include_exclude": filters.filter_include_exclude,
+    "filter_key_regex": filters.filter_key_regex,
     "fields_with_condition": filters.fields_with_condition,
     "rate_limit": filters.rate_limit,
     "drop": filters.drop_keys,
@@ -74,8 +75,10 @@ PROCESSORS: dict[str, Callable[..., DataFrame]] = {
     "md5": enrich.md5_field,
     "base64_encode": enrich.base64_encode,
     "base64_decode": enrich.base64_decode,
+    "encrypt": enrich.encrypt_fields,
     "pack_json": enrich.pack_json,
     "log_to_metric": enrich.log_to_metric,
+    "otel_span_shape": enrich.otel_span_shape,
     "dynamic_topic": route.dynamic_topic,
 }
 

@@ -414,6 +414,33 @@ def fields_with_condition_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "otel_span_projection",
+    """
+    SELECT md5(CAST(event_id AS VARCHAR)) AS trace_id,
+           CAST(user_id AS VARCHAR) AS span_id,
+           event_type AS span_name,
+           'SPAN_KIND_INTERNAL' AS span_kind,
+           ts AS start_time, ts AS end_time,
+           '{"uid":"' || CAST(user_id AS VARCHAR) || '"}' AS attrs_json
+    FROM events
+    """,
+    doc="processor_otel_trace: k/v log -> OTel span shape projection",
+)
+def otel_span_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    shaped = ev.withColumn("trace_id", F.md5(F.col("event_id").cast("string"))).withColumn(
+        "uid", F.col("user_id").cast("string")
+    )
+    out = enrich.otel_span_shape(
+        shaped, "trace_id", "user_id", "event_type", "ts", attr_keys=["uid"]
+    )
+    return out.select(
+        "trace_id", "span_id", "span_name", "span_kind", "start_time", "end_time",
+        F.to_json("attributes").alias("attrs_json"),
+    )
+
+
+@register(
     "content_value_group_counts",
     """
     SELECT event_type, COUNT(*) AS rows FROM events GROUP BY 1

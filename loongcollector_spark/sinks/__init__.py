@@ -33,6 +33,29 @@ class SinkSpec:
 
 def write_sink(df: DataFrame, spec: SinkSpec) -> dict[str, Any]:
     """Deliver one sink; returns driver-side delivery counters."""
+    if spec.format == "iceberg":
+        # Production sink format (north rule): atomic-commit Iceberg tables,
+        # `path` holding the catalog table name. Gated: this sandbox ships no
+        # Iceberg runtime, so fail with a clear remedy instead of a classpath
+        # error. Parquet sinks below share the same layout semantics
+        # (partition columns, maxRecordsPerFile, codec).
+        jvm = df.sparkSession._jvm
+        try:
+            jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        except Exception as e:
+            raise RuntimeError(
+                "iceberg sink requires the iceberg-spark-runtime jar on the "
+                "classpath and a configured spark_catalog; use format='parquet' "
+                "here or submit with --packages org.apache.iceberg:iceberg-"
+                "spark-runtime-4.0_2.13"
+            ) from e
+        writer = df.writeTo(spec.path)
+        if spec.partition_by:
+            from pyspark.sql import functions as _F
+
+            writer = writer.partitionedBy(*[_F.col(c) for c in spec.partition_by])
+        writer.createOrReplace()
+        return {"sink": spec.name, "delivered": True, "table": spec.path}
     if spec.format == "noop":
         df.write.format("noop").mode("overwrite").save()
         return {"sink": spec.name, "delivered": True}
