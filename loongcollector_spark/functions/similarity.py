@@ -127,6 +127,7 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    exclude_id: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: centroids = a seeded sample of row vectors (one cheap
     collect at plan time — the 'train' step); rows are assigned to their
@@ -140,22 +141,30 @@ def ivf_topk(
     centroids = [list(r.v) for r in sample]
     vec = F.col(vec_col).cast("array<double>")
 
-    def nearest_cell(v: Column) -> Column:
-        best_i: Column = F.lit(0)
-        best_d: Column = F.lit(float("inf"))
-        for i, c in enumerate(centroids):
-            d = F.lit(1.0) - cosine(v, _query_col(c))
-            better = d < best_d
-            best_i = F.when(better, F.lit(i)).otherwise(best_i)
-            best_d = F.when(better, d).otherwise(best_d)
-        return best_i
-
-    assigned = df.select(F.col(id_col).alias("id"), vec.alias("v"), nearest_cell(vec).alias("cell"))
+    # Assignment evaluates each centroid similarity exactly ONCE: one dot per
+    # centroid over a precomputed row norm, argmax via array_position — a
+    # when-chain argmin would duplicate every 64-dim cosine subtree ~3x per
+    # centroid and blow up codegen (measured ~10x slower).
+    cnorms = [math.sqrt(sum(x * x for x in c)) + 1e-12 for c in centroids]
+    with_norm = df.select(
+        F.col(id_col).alias("id"), vec.alias("v"), (norm(vec) + F.lit(1e-12)).alias("vn")
+    )
+    sims = F.array(
+        *[
+            (dot(F.col("v"), _query_col(c)) / (F.col("vn") * F.lit(cn))).alias(f"s{i}")
+            for i, (c, cn) in enumerate(zip(centroids, cnorms))
+        ]
+    )
+    assigned = with_norm.withColumn("__sims__", sims).select(
+        "id", "v", (F.array_position(F.col("__sims__"), F.array_max("__sims__")) - 1).cast("int").alias("cell")
+    )
     qsims = [
         (i, sum(a * b for a, b in zip(query, c)) / (math.sqrt(sum(a * a for a in query)) * math.sqrt(sum(b * b for b in c)) + 1e-12))
         for i, c in enumerate(centroids)
     ]
     probe_cells = [i for i, _ in sorted(qsims, key=lambda t: -t[1])[:nprobe]]
     cand = assigned.filter(F.col("cell").isin(probe_cells))
+    if exclude_id is not None:
+        cand = cand.filter(F.col("id") != exclude_id)
     out = cand.select("id", cosine(F.col("v"), _query_col(query)).alias("similarity"))
     return out.orderBy(F.col("similarity").desc(), F.col("id")).limit(k)

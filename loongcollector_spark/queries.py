@@ -941,6 +941,21 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_cells",
+    None,  # centroid sample is a plan-time collect; rows-only (recall in tests)
+    doc="ANN IVF variant: plan-time centroid cells, nprobe-cell scan + exact "
+        "re-score",
+)
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = similarity.ivf_topk(
+        emb, "embedding", "vec_id", qvec, k=10, n_cells=8, nprobe=4, exclude_id=0
+    )
+    return out.withColumn("similarity", F.round("similarity", 4))
+
+
+@register(
     "embedding_norms",
     """
     SELECT vec_id, round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
