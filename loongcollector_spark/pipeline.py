@@ -178,7 +178,9 @@ def run_pipeline(
         else:
             results[sink_name] = write_sink(sink_df, sink_spec)
 
-    # headline rollup: per (source, sink) rows/bytes/tokens, salted
+    # headline rollup: per (source, sink) rows/bytes/tokens, salted — exported
+    # as data, like the reference's self-monitoring metric records
+    # (pluginmanager/metric_export.go:40-62)
     if spec.metrics_tokens_col and spec.route_mode == "first_match":
         rollup = agg_ops.sink_metrics(
             routed,
@@ -186,6 +188,11 @@ def run_pipeline(
             tokens_col=spec.metrics_tokens_col,
         )
         results["metrics_rollup"] = [r.asDict() for r in rollup.collect()]
+        if output_base is not None:
+            spark = routed.sparkSession
+            spark.createDataFrame(results["metrics_rollup"]).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{output_base}/_metrics")
 
     results["elapsed_sec"] = time.time() - t0
     results["stage_counters"] = metrics.export()

@@ -880,6 +880,46 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_quality_panel",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS lws
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+               / greatest(len(text), 1) AS punct_r,
+             CAST(list_aggregate(list_transform(ws, w -> len(w)), 'sum') AS DOUBLE)
+               / greatest(len(ws), 1) AS mean_wlen,
+             len(ws) AS n_tok,
+             CAST(len(list_filter(lws, x -> x IN ('the','a','an','and','or','of','to','in',
+                  'is','it','that','on','for','with','as','at','by','this'))) AS DOUBLE)
+               / greatest(len(lws), 1) AS sw
+      FROM base)
+    SELECT doc_id,
+           round(punct_r, 4) AS punct_r,
+           round(mean_wlen, 4) AS mean_wlen,
+           round(((CASE WHEN n_tok BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN sw > 0.05 AND sw < 0.6 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN punct_r < 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
+    FROM m
+    """,
+    doc="quality scoring panel: punct ratio, mean word length, composite "
+        "Gopher/C4-style score",
+)
+def text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(tx.punct_ratio(F.col("text")), 4).alias("punct_r"),
+        F.round(tx.mean_word_length(F.col("text")), 4).alias("mean_wlen"),
+        F.round(tx.quality_score(F.col("text")), 4).alias("quality"),
+    )
+
+
+@register(
     "lang_id_heuristic",
     None,  # argmax-over-marker-sets cascade; rows-only (unit tests cover logic)
     doc="language-ID: marker-word argmax heuristic vs the labeled lang column",
