@@ -125,17 +125,39 @@ def _bench_pipeline(spark, n_rows: int) -> dict:
 
     # Cold run warms Python UDF workers + JIT-compiles the codegen'd stages
     # (the reference's steady-state claims likewise exclude agent startup);
-    # the second run is the steady-state measurement. Both are reported.
+    # steady state = best of two warm runs (the sandbox host is noisy-neighbor
+    # contended, so a single sample can be 2-3x off).
     t0 = time.time()
     res = run_pipeline(render_lines(seqs), spec, checkpoint=False)
     cold = time.time() - t0
 
-    t0 = time.time()
-    res = run_pipeline(render_lines(seqs), spec, checkpoint=False)
-    elapsed = time.time() - t0
+    elapsed = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        res = run_pipeline(render_lines(seqs), spec, checkpoint=False)
+        elapsed = min(elapsed, time.time() - t0)
 
     tokens = sum(r["tokens"] for r in res["metrics_rollup"])
     rows = sum(r["rows"] for r in res["metrics_rollup"])
+
+    # token-native variant: same route/shard/rollup, but fields come straight
+    # from header tokens (no detok render, no regex) — the representation-
+    # aware fast path the north rule's pre-tokenized input makes possible
+    native_spec = PipelineSpec(
+        name="bench_native",
+        processors=[],
+        routes=spec.routes,
+        shard_keys=spec.shard_keys,
+        shard_count=spec.shard_count,
+        sinks=spec.sinks,
+    )
+    run_pipeline(_token_native_parse(seqs), native_spec, checkpoint=False)  # warm
+    native_elapsed = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        run_pipeline(_token_native_parse(seqs), native_spec, checkpoint=False)
+        native_elapsed = min(native_elapsed, time.time() - t0)
+
     return {
         "rows": rows,
         "tokens": int(tokens),
@@ -143,7 +165,25 @@ def _bench_pipeline(spark, n_rows: int) -> dict:
         "cold_elapsed_sec": round(cold, 3),
         "sequences_per_sec": round(rows / elapsed, 1),
         "tokens_per_sec": round(tokens / elapsed, 1),
+        "token_native_elapsed_sec": round(native_elapsed, 3),
+        "token_native_sequences_per_sec": round(rows / native_elapsed, 1),
+        "token_native_tokens_per_sec": round(tokens / native_elapsed, 1),
     }
+
+
+def _token_native_parse(seqs):
+    from loongcollector_spark.operators.token_ops import TokenField, token_field_extract
+    from loongcollector_spark.sources.synthetic import _LEVELS, _METHODS, _STATUS
+
+    return token_field_extract(
+        seqs,
+        "tokens",
+        {
+            "method": TokenField(position=0, vocab=list(_METHODS)),
+            "status": TokenField(position=2, vocab=[str(s) for s in _STATUS]),
+            "level": TokenField(position=5, vocab=list(_LEVELS)),
+        },
+    )
 
 
 if __name__ == "__main__":

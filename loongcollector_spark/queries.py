@@ -491,6 +491,49 @@ def tokenized_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "token_native_parse_rollup",
+    None,  # deterministic synthetic F1 input; field semantics asserted
+    # against the generator oracle in tests/test_token_ops.py
+    doc="north-rule fast path: field extraction DIRECTLY over token arrays "
+        "(element_at/pmod JVM expressions, no string render, no regex) -> "
+        "route -> salted rollup",
+)
+def token_native_parse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.route import route_first_match
+    from loongcollector_spark.operators.token_ops import TokenField, token_field_extract
+    from loongcollector_spark.sources import generate_sequences
+    from loongcollector_spark.sources.synthetic import _LEVELS, _METHODS, _STATUS
+
+    seqs = generate_sequences(spark, 5000, partitions=8)
+    parsed = token_field_extract(
+        seqs,
+        "tokens",
+        {
+            "method": TokenField(position=0, vocab=list(_METHODS)),
+            "status": TokenField(position=2, vocab=[str(s) for s in _STATUS]),
+            "level": TokenField(position=5, vocab=list(_LEVELS)),
+        },
+    )
+    routed = route_first_match(
+        parsed,
+        [
+            Route("errors", Condition(content_key="status", content_regex=r"5\d\d")),
+            Route("warns", Condition(content_key="level", content_regex="WARN|ERROR")),
+        ],
+    ).withColumnRenamed("__sink__", "sink")
+    return agg_ops.salted_agg(
+        routed,
+        ["source", "sink"],
+        {
+            "rows": ("count", F.lit(1)),
+            "tokens": ("sum", F.col("n_tok").cast("long")),
+        },
+        salt_expr=F.xxhash64(F.col("doc_id")),
+        salt_buckets=8,
+    )
+
+
 # =============================================================================
 # Filters
 # =============================================================================

