@@ -94,7 +94,9 @@ def lang_id(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: hash of whitespace/case-normalized text
     (rolling-hash equivalent for exact near-whitespace dedup)."""
-    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    # collapse BEFORE trim: trim() strips only spaces, so a tab-edged string
+    # would otherwise normalize differently from its space-edged twin
+    normalized = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
     return F.md5(normalized)
 
 

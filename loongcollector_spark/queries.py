@@ -979,7 +979,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fingerprint_normalized",
     """
-    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
     FROM documents
     """,
     doc="document fingerprinting: whitespace/case-normalized content hash",

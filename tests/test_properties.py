@@ -1,0 +1,113 @@
+"""Property-based invariants (hypothesis) — the truth-table/round-trip layer
+of the reference's golden-test strategy, generalized beyond fixed fixtures.
+
+Each property batches all generated examples into ONE Spark job (Spark's
+per-job overhead would make per-example jobs minutes-slow), so hypothesis
+shrinks over the batch contents, not the job count."""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+from pyspark.sql import functions as F
+
+from loongcollector_spark.functions import text as tx
+from loongcollector_spark.operators import aggregate as agg_ops
+from loongcollector_spark.operators.parse_kv import parse_key_value
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# identifiers/values safe for k=v;k=v framing (no separators, no quotes)
+_key = st.text(alphabet="abcdefghij_", min_size=1, max_size=8)
+_val = st.text(alphabet="ABCxyz0123456789.-", min_size=1, max_size=12)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.dictionaries(_key, _val, min_size=1, max_size=5), min_size=1, max_size=8))
+def test_kv_roundtrip_recovers_all_pairs(spark, dicts):
+    """pack dict -> 'k=v;k=v' line -> parse_key_value == original dict."""
+    all_keys = sorted({k for d in dicts for k in d})
+    rows = [(i, ";".join(f"{k}={v}" for k, v in d.items())) for i, d in enumerate(dicts)]
+    df = spark.createDataFrame(rows, "__row__ int, kvline string")
+    parsed = parse_key_value(df, "kvline", ";", "=", keys=all_keys).collect()
+    for r in parsed:
+        d = dicts[r["__row__"]]
+        for k in all_keys:
+            assert r[k] == d.get(k), (k, d, r.asDict())
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(2, 8),
+)
+def test_salted_agg_equals_plain_groupby(spark, rows, buckets):
+    """Two-phase salted aggregation is value-identical to a plain groupBy for
+    count/sum/min/max/avg, for ANY data and salt bucket count."""
+    df = spark.createDataFrame([(k, v, i) for i, (k, v) in enumerate(rows)], "k string, v long, i long")
+    salted = agg_ops.salted_agg(
+        df,
+        ["k"],
+        {
+            "n": ("count", F.lit(1)),
+            "s": ("sum", F.col("v")),
+            "mn": ("min", F.col("v")),
+            "mx": ("max", F.col("v")),
+            "av": ("avg", F.col("v")),
+        },
+        salt_expr=F.xxhash64(F.col("i").cast("string")),
+        salt_buckets=buckets,
+    )
+    plain = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+        F.min("v").alias("mn"), F.max("v").alias("mx"), F.avg("v").alias("av"),
+    )
+    got = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"], round(r["av"], 9)) for r in salted.collect()}
+    want = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"], round(r["av"], 9)) for r in plain.collect()}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(alphabet="ab cd\t\n xyz", min_size=0, max_size=40), min_size=1, max_size=20))
+def test_fingerprint_whitespace_case_invariant(spark, texts):
+    """fingerprint(text) is invariant under case changes and whitespace
+    runs/edges — the normalization contract."""
+    rows = []
+    for i, t in enumerate(texts):
+        noisy = "  " + t.upper().replace(" ", "   ") + " \t"
+        rows.append((i, t, noisy))
+    df = spark.createDataFrame(rows, "i int, t string, noisy string")
+    out = df.select(
+        tx.fingerprint(F.col("t")).alias("f1"), tx.fingerprint(F.col("noisy")).alias("f2")
+    ).collect()
+    for r in out:
+        assert r["f1"] == r["f2"]
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.lists(st.integers(0, 50), min_size=0, max_size=30), min_size=1, max_size=30),
+    st.lists(st.integers(0, 50), min_size=1, max_size=4),
+)
+def test_token_subseq_find_matches_python_reference(spark, rows, pat):
+    from loongcollector_spark.operators.token_ops import token_subseq_find
+
+    def ref(arr):
+        m = len(pat)
+        for i in range(len(arr) - m + 1):
+            if arr[i : i + m] == pat:
+                return i
+        return -1
+
+    df = spark.createDataFrame([(i, r) for i, r in enumerate(rows)], "i int, tokens array<int>")
+    got = {r["i"]: r["match_pos"] for r in token_subseq_find(df, "tokens", pat).collect()}
+    for i, arr in enumerate(rows):
+        assert got[i] == ref(arr), (arr, pat)
