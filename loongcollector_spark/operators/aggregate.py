@@ -89,15 +89,24 @@ def metadata_group(
     max_events: int | None = None,
     drop_oversize: bool = False,
 ) -> DataFrame:
-    """aggregator_metadata_group (…go:39-232): group by metadata keys with
-    GroupMaxEventLength cap. Batch analogue: ranked window cap per group."""
+    """aggregator_metadata_group (…go:39-232): group by metadata keys with a
+    GroupMaxEventLength cap. The reference SPLITS an over-full group into
+    successive emitted groups (Add/Flush cycle); batch analogue: a
+    ``__group_seq__`` column numbering each cap-sized slice per key — the
+    writer emits one group per (keys, seq). ``drop_oversize=True`` instead
+    discards rows beyond the first slice (DropOversizeEvent)."""
     out = df
     if max_events:
         from pyspark.sql import Window
 
         w = Window.partitionBy(*metadata_keys).orderBy(F.lit(1))
         out = out.withColumn("__grp_rn__", F.row_number().over(w))
-        out = out.filter(F.col("__grp_rn__") <= max_events) if drop_oversize else out
+        if drop_oversize:
+            out = out.filter(F.col("__grp_rn__") <= max_events)
+        else:
+            out = out.withColumn(
+                "__group_seq__", ((F.col("__grp_rn__") - 1) / max_events).cast("int")
+            )
         out = out.drop("__grp_rn__")
     return out
 

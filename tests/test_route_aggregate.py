@@ -197,3 +197,20 @@ def test_checkpointed_write_resume(spark, tmp_path):
     assert len(manifests) == 4 and sum(m["rows"] for m in manifests) == 200
     runs = {m["run_id"] for m in manifests}
     assert runs == {"r1", "r2"}
+
+
+def test_metadata_group_split_sequences(spark):
+    """Over-full groups split into cap-sized slices (reference Add/Flush
+    cycle), not dropped, when drop_oversize is False."""
+    from pyspark.sql import functions as F
+
+    from loongcollector_spark.operators import aggregate as agg
+
+    df = spark.createDataFrame([("g", i) for i in range(7)], "g string, i int")
+    out = agg.metadata_group(df, ["g"], max_events=3, drop_oversize=False)
+    seqs = [r["__group_seq__"] for r in out.collect()]
+    assert out.count() == 7
+    assert sorted(set(seqs)) == [0, 1, 2]
+    from collections import Counter
+
+    assert sorted(Counter(seqs).values(), reverse=True) == [3, 3, 1]

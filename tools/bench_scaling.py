@@ -62,6 +62,9 @@ def main() -> None:
     tok_low = low["pipeline"]["tokens_per_sec"]
     tok_high = high["pipeline"]["tokens_per_sec"]
     eff = tp_high / (4 * tp_low)
+    nat_low = low["pipeline"].get("token_native_sequences_per_sec")
+    nat_high = high["pipeline"].get("token_native_sequences_per_sec")
+    nat_eff = nat_high / (4 * nat_low) if nat_low and nat_high else None
 
     report = {
         "metric": "scaling_efficiency_Nx4N",
@@ -73,6 +76,8 @@ def main() -> None:
         "high": {"cpus": n_high, "seq_per_sec": tp_high, "tok_per_sec": tok_high,
                  "elapsed_sec": high["pipeline"]["elapsed_sec"]},
         "pass": eff >= 0.8,
+        "token_native": {"low_seq_per_sec": nat_low, "high_seq_per_sec": nat_high,
+                          "efficiency": round(nat_eff, 3) if nat_eff else None},
     }
     print(json.dumps(report))
 
@@ -90,6 +95,12 @@ identical input parquet for both runs, fresh JVM per run.
 
 **Scaling efficiency (throughput(4N) / (4 × throughput(N))) = {eff:.3f}**
 (north-rule threshold ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
+
+Token-native variant (fields from header tokens via `element_at`/`pmod`, no
+detok render, no regex — `operators/token_ops.py`):
+local[{n_low}] {nat_low or float('nan'):,.0f} seq/s → local[{n_high}]
+{nat_high or float('nan'):,.0f} seq/s, efficiency
+{(nat_eff if nat_eff else float('nan')):.3f}.
 
 Reference baseline for context: LoongCollector claims 100 MB/s/core simple
 collection (docs/cn/benchmark/performance-compare-with-filebeat.md:5); our
