@@ -142,6 +142,7 @@ def run_pipeline(
     metrics: MetricsRegistry | None = None,
     checkpoint: bool = False,
     run_id: str = "run",
+    parallel_sinks: bool = True,
 ) -> dict[str, Any]:
     """Execute the pipeline: write every sink + the metrics rollup table.
     Returns {sink: counters, "metrics": rollup rows, "elapsed_sec": ...}."""
@@ -162,21 +163,39 @@ def run_pipeline(
                 F.col(route.SINK_COLUMN) == spec.default_sink
             )
 
-    for sink_name, sink_df in per_sink.items():
+    def deliver(sink_name: str, sink_df: DataFrame) -> Any:
         sink_spec = spec.sinks.get(sink_name)
         if sink_spec is None and output_base is not None:
             sink_spec = SinkSpec(name=sink_name, path=f"{output_base}/{sink_name}")
         if sink_spec is None:
             sink_spec = SinkSpec(name=sink_name, format="noop")
         if checkpoint and sink_spec.format == "parquet" and sink_spec.path:
-            results[sink_name] = lineage.checkpointed_write(
-                sink_df,
-                sink_spec.path,
-                run_id=run_id,
-                tokens_col=spec.metrics_tokens_col,
+            return lineage.checkpointed_write(
+                sink_df, sink_spec.path, run_id=run_id, tokens_col=spec.metrics_tokens_col
             )
-        else:
-            results[sink_name] = write_sink(sink_df, sink_spec)
+        return write_sink(sink_df, sink_spec)
+
+    # checkpointed writes toggle session-level conf (partitionOverwriteMode)
+    # inside a context manager — not safe across concurrent driver threads
+    parallel_ok = parallel_sinks and not checkpoint and len(per_sink) > 1
+    if parallel_ok and spec.route_mode != "fanout":
+        routed.count()  # materialize the cache once before concurrent scans
+    if parallel_ok:
+        # The reference flushes every sink from its own runner thread
+        # (FlusherRunner); Spark's scheduler likewise accepts concurrent jobs
+        # from driver threads — each sink scans the cached routed parent, so
+        # the per-sink jobs overlap instead of running back-to-back.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(per_sink), 8)) as pool:
+            futures = {
+                name: pool.submit(deliver, name, sdf) for name, sdf in per_sink.items()
+            }
+            for name, fut in futures.items():
+                results[name] = fut.result()
+    else:
+        for sink_name, sink_df in per_sink.items():
+            results[sink_name] = deliver(sink_name, sink_df)
 
     # headline rollup: per (source, sink) rows/bytes/tokens, salted — exported
     # as data, like the reference's self-monitoring metric records

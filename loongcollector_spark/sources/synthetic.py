@@ -125,6 +125,48 @@ def generate_sequences(
     return base.mapInPandas(gen, schema=_SCHEMA)
 
 
+def generate_sequences_head(
+    spark: SparkSession,
+    n_rows: int,
+    head: int = 8,
+    seed: int = DEFAULT_SEED,
+    partitions: int | None = None,
+) -> DataFrame:
+    """F1 table with ``tokens`` truncated to the first ``head`` entries.
+    token[j] = splitmix64(row_key + j + 1) % V depends only on (row, j), so
+    the header tokens are IDENTICAL to ``generate_sequences``'s — this is the
+    cheap generator for parse-oriented benchmarks where the tail payload
+    isn't exercised. ``n_tok`` still reports the full length."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    base = spark.range(0, n_rows, numPartitions=parts)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            if not len(ids):
+                continue
+            keys = _row_key(ids, seed)
+            with np.errstate(over="ignore"):
+                head_m = np.stack(
+                    [
+                        (_splitmix64(keys + np.uint64(j + 1)) % np.uint64(VOCAB_SIZE)).astype(np.int32)
+                        for j in range(head)
+                    ],
+                    axis=1,
+                )
+            src = np.asarray(SOURCES)[_source_idx(ids, seed)]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(src) + "-" + pd.Series(ids).astype(str).str.zfill(12),
+                    "tokens": list(head_m),
+                    "n_tok": _n_tok(ids, seed),
+                    "source": src,
+                }
+            )
+
+    return base.mapInPandas(gen, schema=_SCHEMA)
+
+
 def doc_index(doc_id: str) -> int:
     """Recover the row index from a doc_id (``{source}-{i:012d}``)."""
     return int(doc_id.rsplit("-", 1)[1])

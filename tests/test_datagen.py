@@ -56,3 +56,23 @@ def test_render_formats(spark):
     assert '"-" "curl/7.74.0" "-"' in web
     assert app.startswith("{") and '"method":' in app
     assert sys.count("\t") == 4
+
+
+def test_head_generator_matches_full_generator_head(spark):
+    """generate_sequences_head is byte-identical to generate_sequences on
+    doc_id/source/n_tok and the first `head` tokens (the probe-input contract)."""
+    from pyspark.sql import functions as F
+
+    from loongcollector_spark.sources.synthetic import (
+        generate_sequences,
+        generate_sequences_head,
+    )
+
+    full = (
+        generate_sequences(spark, 300, partitions=4)
+        .select("doc_id", F.slice("tokens", 1, 8).alias("tokens"), "n_tok", "source")
+    )
+    head = generate_sequences_head(spark, 300, head=8, partitions=4)
+    a = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"]) for r in full.collect()}
+    b = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"]) for r in head.collect()}
+    assert a == b
