@@ -276,7 +276,8 @@ def apsara_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_apsara(ev.withColumn("apsara_line", line), "apsara_line")
     return parsed.select(
         "event_id",
-        F.col("apsara_time"),
+        # parsed wall-clock time; ntz cast keeps the value session-tz-stable
+        F.col("apsara_time").cast("timestamp_ntz").alias("apsara_time"),
         F.col("__LEVEL__").alias("level"),
         F.col("fields")["uid"].alias("uid"),
     )
