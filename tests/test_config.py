@@ -45,3 +45,32 @@ def test_load_spec_json(tmp_path):
 def test_route_without_condition_always_matches():
     spec = spec_from_dict({"name": "x", "routes": [{"sink": "all"}]})
     assert spec.routes[0].condition is None
+
+
+def test_example_nginx_pipeline_runs(spark, tmp_path):
+    """The shipped nginx example (parity with the reference's
+    example_config/data_pipelines/nginx-regex.yaml) loads and executes
+    end-to-end on rendered sequences; web-family rows parse and route."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from loongcollector_spark.pipeline import run_pipeline
+    from loongcollector_spark.sinks import SinkSpec
+    from loongcollector_spark.sources import generate_sequences, render_lines
+
+    doc = _json.loads(open("examples/nginx_pipeline.json").read())
+    spec = spec_from_dict(doc)
+    spec.sinks.clear()
+    for s in ("errors", "access", "unparsed"):
+        spec.sinks[s] = SinkSpec(name=s, path=str(tmp_path / s))
+
+    seqs = render_lines(generate_sequences(spark, 2000, partitions=4))
+    res = run_pipeline(seqs, spec)
+    web = seqs.filter(F.col("source").startswith("web")).count()
+    got_access = spark.read.parquet(str(tmp_path / "access"))
+    got_err_rows = spark.read.parquet(str(tmp_path / "errors")).count()
+    assert got_access.count() + got_err_rows == web
+    assert "status_class" in got_access.columns
+    assert got_access.filter(F.col("__pipeline__") == "nginx-regex").count() == got_access.count()
+    assert res["unparsed"]["delivered"]
