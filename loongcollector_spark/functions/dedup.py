@@ -69,7 +69,9 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    inv = sh.select("id", F.explode("sh").alias("g"))
+    # the inverted index feeds both sides of the pair join (and the df-cut
+    # when enabled): persist it so shingling runs once, not 2-3 times
+    inv = sh.select("id", F.explode("sh").alias("g")).persist()
     if max_shingle_df:
         df_counts = inv.groupBy("g").count().filter(F.col("count") <= max_shingle_df)
         inv = inv.join(df_counts.select("g"), "g")
@@ -154,9 +156,13 @@ def minhash_lsh_candidates(
         F.col(id_col).alias("id"),
         F.transform(shingles(F.col(text_col), n), lambda g: F.xxhash64(g)).alias("gh"),
     )
+    # The banded self-join references this relation on BOTH sides; without a
+    # persist the whole shingle+UDF chain executes twice. The signature table
+    # is tiny (id + k longs per doc) — at cluster scale this is the relation
+    # you'd checkpoint to a table before the candidate join anyway.
     sig = grams.select(
         "id", _minhash_signature_udf(num_hashes, seed)("gh").alias("sig")
-    ).filter(F.col("sig").isNotNull() & (F.size("sig") > 0))
+    ).filter(F.col("sig").isNotNull() & (F.size("sig") > 0)).persist()
 
     banded = sig.select(
         "id",
@@ -249,7 +255,8 @@ def simhash_near_dups(
         F.col(id_col).alias("id"),
         F.transform(shingles(F.col(text_col), n), lambda g: F.xxhash64(g)).alias("gram_hashes"),
     )
-    sig = grams.select("id", simhash_from_hashes("gram_hashes").alias("sig"))
+    # persisted for the same two-sided self-join reason as the MinHash path
+    sig = grams.select("id", simhash_from_hashes("gram_hashes").alias("sig")).persist()
     bucketed = sig.withColumn(
         "bucket", F.shiftrightunsigned("sig", 64 - prefix_bits)
     )
