@@ -34,6 +34,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="attach detokenized log lines before the processor chain "
                          "(synthetic-input pipelines)")
     ap.add_argument("--input-format", default="parquet")
+    ap.add_argument("--streaming", action="store_true",
+                    help="run as a Structured Streaming query (file source, "
+                         "foreachBatch fan-out); requires --schema")
+    ap.add_argument("--schema", default=None,
+                    help="input schema DDL for --streaming (file stream sources "
+                         "cannot infer)")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="streaming checkpointLocation (offset resume)")
+    ap.add_argument("--continuous", action="store_true",
+                    help="with --streaming: keep tailing instead of drain-and-stop")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -46,6 +56,25 @@ def main(argv: list[str] | None = None) -> int:
     spark = SparkSession.builder.appName("loongcollector-pipeline").getOrCreate()
 
     spec = load_spec(args.config)
+
+    if args.streaming:
+        if not args.schema or not args.checkpoint_dir:
+            ap.error("--streaming requires --schema and --checkpoint-dir")
+        from loongcollector_spark.streaming import run_streaming_pipeline
+
+        res = run_streaming_pipeline(
+            spark,
+            args.input,
+            args.schema,
+            spec,
+            args.output,
+            args.checkpoint_dir,
+            input_format=args.input_format,
+            available_now=not args.continuous,
+        )
+        print(json.dumps(res, default=str))
+        return 0
+
     df = spark.read.format(args.input_format).load(args.input)
     if args.render_lines:
         from loongcollector_spark.sources import render_lines

@@ -119,6 +119,41 @@ class _dynamic_overwrite:
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
 
 
+def verify_sink(
+    spark: SparkSession,
+    base: str,
+    tokens_col: str | None = "n_tok",
+    id_col: str = "doc_id",
+) -> dict[str, Any]:
+    """Audit a committed sink: recompute per-bucket rows/tokens/digest from
+    the DATA FILES and compare with the lineage manifests — the consumer side
+    of the reference's checkpoint audit trail (a digest mismatch means rows
+    were lost, duplicated, or altered between route and commit)."""
+    manifests = {m["__bucket__"]: m for m in read_manifests(base)}
+    df = spark.read.parquet(os.path.join(base, "data"))
+    recomputed = {int(r[BUCKET]): r.asDict() for r in bucket_stats(df, tokens_col, id_col).collect()}
+
+    mismatches = []
+    for b, m in sorted(manifests.items()):
+        got = recomputed.get(b)
+        if got is None:
+            mismatches.append({"bucket": b, "problem": "manifest without data"})
+            continue
+        for key in ("rows", "digest") + (("tokens",) if tokens_col else ()):
+            if int(got[key]) != int(m[key]):
+                mismatches.append(
+                    {"bucket": b, "problem": key, "manifest": m[key], "data": int(got[key])}
+                )
+    for b in sorted(set(recomputed) - set(manifests)):
+        mismatches.append({"bucket": b, "problem": "data without manifest"})
+    return {
+        "buckets": len(manifests),
+        "rows": int(sum(int(m["rows"]) for m in manifests.values())),
+        "ok": not mismatches,
+        "mismatches": mismatches,
+    }
+
+
 def read_manifests(base: str) -> list[dict[str, Any]]:
     mdir = os.path.join(base, MANIFEST_DIR)
     out = []

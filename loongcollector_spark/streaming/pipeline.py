@@ -61,8 +61,13 @@ def run_streaming_pipeline(
                 sink_spec = spec.sinks.get(sink_name) or SinkSpec(
                     name=sink_name,
                     path=os.path.join(output_base, sink_name),
-                    mode="append",
                 )
+                if sink_spec.mode != "append":
+                    # flushers append; a per-micro-batch overwrite would keep
+                    # only the last trigger's rows
+                    import dataclasses
+
+                    sink_spec = dataclasses.replace(sink_spec, mode="append")
                 if spec.route_mode == "fanout":
                     cond_routes = [r for r in spec.routes if r.sink == sink_name]
                     cond = cond_routes[0].condition if cond_routes else None

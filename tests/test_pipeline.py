@@ -146,3 +146,30 @@ def test_resume_skips_committed(spark, pipeline_result):
         for s in ("errors", "web", "app", "default")
     )
     assert total == 3000
+
+
+def test_lineage_verify_sink_detects_tamper(spark, tmp_path):
+    """verify_sink: clean audit passes; deleting one bucket's data is
+    detected as a manifest/data mismatch (the RangeCheckpoint audit trail)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from loongcollector_spark import lineage
+    from loongcollector_spark.operators.aggregate import shard_hash
+    from loongcollector_spark.sources import generate_sequences
+
+    base = str(tmp_path / "sink")
+    df = shard_hash(generate_sequences(spark, 1200, partitions=4),
+                    ["source", "doc_id"], 8, repartition=False)
+    lineage.checkpointed_write(df, base, run_id="audit")
+    rep = lineage.verify_sink(spark, base)
+    assert rep["ok"] and rep["rows"] == 1200 and rep["buckets"] == 8
+
+    victim = sorted(
+        p for p in (tmp_path / "sink" / "data").iterdir() if p.name.startswith("__bucket__=")
+    )[0]
+    shutil.rmtree(victim)
+    rep2 = lineage.verify_sink(spark, base)
+    assert not rep2["ok"]
+    assert any(m["problem"] == "manifest without data" for m in rep2["mismatches"])
