@@ -453,10 +453,17 @@ def content_value_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_ops.content_value_group(ev, ["event_type"])
 
 
+def _tokenized_e2e_oracle() -> str:
+    from loongcollector_spark.sources.sql_oracle import tokenized_pipeline_oracle
+
+    return tokenized_pipeline_oracle(5000)
+
+
 @register(
     "tokenized_pipeline_e2e",
-    None,  # deterministic synthetic F1 input; per-row token equality is
-    # asserted in tests/test_pipeline.py against the seeded generator oracle
+    _tokenized_e2e_oracle(),  # DuckDB regenerates the F1 table from seed in
+    # pure SQL — see sources/sql_oracle.py; tests/test_pipeline.py adds the
+    # per-row token-array equality check on the written sinks
     doc="the north-rule flagship: tokenized-sequence table -> detok render "
         "(Arrow UDF over header tokens) -> 3-format parse -> dict_map -> "
         "route -> salted per-(source,sink) rows/tokens rollup",
@@ -492,10 +499,17 @@ def tokenized_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_native_oracle() -> str:
+    from loongcollector_spark.sources.sql_oracle import token_native_rollup_oracle
+
+    return token_native_rollup_oracle(5000)
+
+
 @register(
     "token_native_parse_rollup",
-    None,  # deterministic synthetic F1 input; field semantics asserted
-    # against the generator oracle in tests/test_token_ops.py
+    _token_native_oracle(),  # DuckDB regenerates the F1 table from seed in
+    # pure SQL (splitmix64 via HUGEINT arithmetic) — per-row token equality
+    # is verified bit-exactly by the oracle itself (sources/sql_oracle.py)
     doc="north-rule fast path: field extraction DIRECTLY over token arrays "
         "(element_at/pmod JVM expressions, no string render, no regex) -> "
         "route -> salted rollup",
