@@ -21,7 +21,8 @@ SEED = 42
 
 def test_sql_f1_matches_numpy_generator():
     sql = f"WITH {f1_cte(N, SEED, (0, 2, 5))} SELECT * FROM f1 ORDER BY i"
-    rows = duckdb.connect().sql(sql).fetchall()
+    con = duckdb.connect()
+    rows = con.sql(sql).fetchall()
     assert len(rows) == N
 
     ids = np.arange(N, dtype=np.int64)
