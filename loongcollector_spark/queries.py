@@ -977,9 +977,40 @@ def text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_id_oracle() -> str:
+    # mirror lang_id()'s sequential strict-greater argmax: the FIRST language
+    # (sorted order) reaching the max hit count wins; zero hits -> 'und'
+    langs = sorted(tx.LANG_MARKERS)
+    hit_cols = ",\n             ".join(
+        "len(list_filter(ws, x -> x IN ("
+        + ", ".join(f"'{m}'" for m in tx.LANG_MARKERS[lang])
+        + f"))) AS h_{lang}"
+        for lang in langs
+    )
+    greatest = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    cases = "\n                ".join(
+        f"WHEN h_{lang} = g THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH w AS (
+      SELECT lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+      FROM documents),
+    h AS (SELECT lang,
+             {hit_cols}
+          FROM w),
+    p AS (SELECT lang, {greatest} AS g, * FROM h)
+    SELECT lang,
+           CASE WHEN g = 0 THEN 'und'
+                {cases}
+           END AS predicted,
+           COUNT(*) AS rows
+    FROM p GROUP BY 1, 2
+    """
+
+
 @register(
     "lang_id_heuristic",
-    None,  # argmax-over-marker-sets cascade; rows-only (unit tests cover logic)
+    _lang_id_oracle(),
     doc="language-ID: marker-word argmax heuristic vs the labeled lang column",
 )
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
