@@ -1055,9 +1055,40 @@ def ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("similarity", F.round("similarity", 4))
 
 
+def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, n_probes: int = 8, seed: int = 42) -> str:
+    # The hyperplanes are PLAN-TIME constants (seeded): embed the exact same
+    # double literals in the oracle, and DuckDB replays bucket assignment,
+    # multi-probe selection, and the exact re-score end-to-end.
+    planes = similarity._hyperplanes(dim, n_planes, seed)
+    dots = ",\n           ".join(
+        "list_inner_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(float(v)) for v in p)
+        + f"]) AS d{i}"
+        for i, p in enumerate(planes)
+    )
+    bucket = " + ".join(f"(CASE WHEN d{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(n_planes))
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    d AS (SELECT vec_id, embedding,
+           {dots}
+          FROM embeddings),
+    b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM d),
+    qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0),
+    probes AS (
+      SELECT CAST(range AS INT) AS pb FROM range({1 << n_planes}), qb
+      ORDER BY bit_count(CAST(xor(range, CAST(qbucket AS BIGINT)) AS BIGINT)), range
+      LIMIT {n_probes})
+    SELECT vec_id AS id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 4) AS similarity
+    FROM b, qb WHERE bucket IN (SELECT pb FROM probes) AND vec_id <> 0
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) DESC, vec_id
+    LIMIT 10
+    """
+
+
 @register(
     "ann_lsh_bucketed",
-    None,  # plan-time random hyperplanes; rows-only (recall asserted in tests)
+    _ann_lsh_oracle(),
     doc="ANN scale path: random-hyperplane LSH buckets + multi-probe re-scoring",
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
