@@ -132,9 +132,14 @@ def ivf_topk(
     """IVF-style ANN: centroids = a seeded sample of row vectors (one cheap
     collect at plan time — the 'train' step); rows are assigned to their
     nearest centroid with a pure expression; the query scans nprobe cells."""
+    # deterministic 'train' sample, keyed on the id with a multiplicative
+    # hash — integer arithmetic an external oracle can replay exactly
     sample = (
         df.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+        .orderBy(
+            F.pmod(F.col(id_col).cast("long") * F.lit(2654435761), F.lit(2147483647)),
+            F.col(id_col),
+        )
         .limit(n_cells)
         .collect()
     )

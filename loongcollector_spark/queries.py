@@ -1100,9 +1100,52 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("similarity", F.round("similarity", 4))
 
 
+def _ann_ivf_oracle(n_cells: int = 8, nprobe: int = 4) -> str:
+    # Replays the whole IVF path in SQL: the centroid 'train' sample is keyed
+    # on a multiplicative integer hash of vec_id (exactly what ivf_topk
+    # collects), assignment/probe-ranking replicate the engine's float
+    # formulas (incl. epsilon placement), re-score is exact cosine.
+    return f"""
+    WITH cent AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS c,
+             row_number() OVER (ORDER BY (vec_id * 2654435761) % 2147483647, vec_id) - 1 AS cidx
+      FROM embeddings
+      ORDER BY (vec_id * 2654435761) % 2147483647, vec_id LIMIT {n_cells}),
+    cn AS (SELECT cidx, c,
+             sqrt(list_aggregate(list_transform(c, x -> x * x), 'sum')) AS cnorm
+           FROM cent),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS vnorm
+          FROM embeddings),
+    assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT v.vec_id, v.v,
+               cn.cidx AS cell,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_inner_product(v.v, cn.c)
+                          / ((v.vnorm + 1e-12) * (cn.cnorm + 1e-12)) DESC,
+                          cn.cidx) AS rn
+        FROM v, cn) WHERE rn = 1),
+    q AS (SELECT v AS qv, vnorm AS qnorm FROM v WHERE vec_id = 0),
+    probe AS (
+      SELECT cidx FROM cn, q
+      ORDER BY list_inner_product(q.qv, cn.c)
+               / (sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum')) * cn.cnorm + 1e-12)
+               DESC, cidx
+      LIMIT {nprobe})
+    SELECT a.vec_id AS id,
+           round(list_cosine_similarity(a.v, (SELECT qv FROM q)), 4) AS similarity
+    FROM assign a
+    WHERE a.cell IN (SELECT cidx FROM probe) AND a.vec_id <> 0
+    ORDER BY list_cosine_similarity(a.v, (SELECT qv FROM q)) DESC, a.vec_id
+    LIMIT 10
+    """
+
+
 @register(
     "ann_ivf_cells",
-    None,  # centroid sample is a plan-time collect; rows-only (recall in tests)
+    _ann_ivf_oracle(),
     doc="ANN IVF variant: plan-time centroid cells, nprobe-cell scan + exact "
         "re-score",
 )
