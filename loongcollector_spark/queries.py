@@ -138,6 +138,36 @@ def parse_json_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "expand_json_depth2",
+    """
+    SELECT event_id,
+           CAST(user_id AS VARCHAR) AS inner_id,
+           event_type AS outer_type
+    FROM events
+    """,
+    doc="processor_json recursive expansion: depth-2 flatten with connector-"
+        "joined keys (meta_id -> meta" "_id path)",
+)
+def expand_json_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.parse_json import expand_json
+
+    ev = load_table(spark, sf_dir, "events")
+    nested = ev.withColumn(
+        "payload",
+        F.concat(
+            F.lit('{"meta": {"id": "'), F.col("user_id").cast("string"),
+            F.lit('"}, "type": "'), F.col("event_type"), F.lit('"}'),
+        ),
+    )
+    out = expand_json(nested, "payload", expand_depth=2, connector="_")
+    return out.select(
+        "event_id",
+        F.col("expanded")[F.lit("meta_id")].alias("inner_id"),
+        F.col("expanded")[F.lit("type")].alias("outer_type"),
+    )
+
+
+@register(
     "parse_delimiter_firstword",
     """
     SELECT split_part(text, ' ', 1) AS first_word, COUNT(*) AS rows
