@@ -1,0 +1,104 @@
+"""Stateful streaming multiline merge — blocks that straddle micro-batches.
+
+The reference's multiline processor keeps the current accumulating entry as
+state between reads (ProcessorMergeMultilineLogNative.h:26-51; a block is
+only emitted when the NEXT start line arrives or a flush timeout fires).
+Batch mode handles this with window sessionization (operators/multiline.py);
+in streaming, a block's head may arrive in one micro-batch and its tail in
+the next, so the pending block must live in GroupState keyed by file.
+
+Semantics (BY_REGEX, start-pattern mode):
+- lines are processed per file in offset order within each micro-batch;
+- a line matching ``start_pattern`` closes and emits the pending block and
+  opens a new one; other lines append to the pending block;
+- lines before any start line (e.g. the head of a resumed file) are emitted
+  as single-line blocks (UNMATCH_SINGLE_LINE);
+- on group-state timeout (no new lines for ``flush_timeout_ms``), the
+  pending block is flushed — the Batcher timeout-flush analogue.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "head_offset long, lines array<string>"
+OUT_SCHEMA_SUFFIX = "file string, offset long, block string"
+
+
+def streaming_merge_multiline(
+    df: DataFrame,
+    line_col: str,
+    file_col: str,
+    offset_col: str,
+    start_pattern: str,
+    flush_timeout_ms: int = 60_000,
+) -> DataFrame:
+    """Merge a streaming line feed into multiline blocks with cross-batch
+    state. Output schema: (file, offset of block head, block text)."""
+    import re
+
+    compiled = re.compile(start_pattern)
+
+    def merge(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        file_id = key[0]
+        if state.hasTimedOut:
+            if state.exists:
+                head, lines = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {"file": [file_id], "offset": [head], "block": ["\n".join(lines)]}
+                )
+            return
+
+        if state.exists:
+            head, lines = state.get
+            pending: Tuple[int, list] | None = (head, list(lines))
+        else:
+            pending = None
+
+        out_files: list = []
+        out_offsets: list = []
+        out_blocks: list = []
+
+        def emit(p: Tuple[int, list]) -> None:
+            out_files.append(file_id)
+            out_offsets.append(p[0])
+            out_blocks.append("\n".join(p[1]))
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values(offset_col)
+            for off, line in zip(pdf[offset_col], pdf[line_col]):
+                if compiled.search(line):
+                    if pending is not None:
+                        emit(pending)
+                    pending = (int(off), [line])
+                elif pending is None:
+                    # head-of-stream continuation line: single-line emit
+                    emit((int(off), [line]))
+                else:
+                    pending[1].append(line)
+
+        if pending is not None:
+            state.update((int(pending[0]), [str(l) for l in pending[1]]))
+            state.setTimeoutDuration(flush_timeout_ms)
+        elif state.exists:
+            state.remove()
+
+        if out_files:
+            yield pd.DataFrame(
+                {"file": out_files, "offset": out_offsets, "block": out_blocks}
+            )
+
+    return df.groupBy(file_col).applyInPandasWithState(
+        merge,
+        outputStructType=OUT_SCHEMA_SUFFIX,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -54,6 +54,8 @@ def run_streaming_pipeline(
         sink_names.append(spec.default_sink)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import dataclasses
+
         routed = compile_pipeline(batch_df, spec)
         routed = routed.persist()
         try:
@@ -62,12 +64,20 @@ def run_streaming_pipeline(
                     name=sink_name,
                     path=os.path.join(output_base, sink_name),
                 )
-                if sink_spec.mode != "append":
-                    # flushers append; a per-micro-batch overwrite would keep
-                    # only the last trigger's rows
-                    import dataclasses
-
-                    sink_spec = dataclasses.replace(sink_spec, mode="append")
+                if sink_spec.path and sink_spec.format in ("parquet", "json", "csv"):
+                    # EXACTLY-ONCE on micro-batch replay: each trigger writes
+                    # its own batch=<id> directory with overwrite — a replayed
+                    # batch id rewrites the same directory instead of
+                    # appending duplicates (foreachBatch may re-deliver the
+                    # last uncommitted batch after a crash; plain `append`
+                    # would double those rows — the reference's analogue is
+                    # the RangeCheckpoint commit-after-send replay path,
+                    # FlusherSLS.cpp:588-591)
+                    sink_spec = dataclasses.replace(
+                        sink_spec,
+                        path=os.path.join(sink_spec.path, f"batch={batch_id}"),
+                        mode="overwrite",
+                    )
                 if spec.route_mode == "fanout":
                     cond_routes = [r for r in spec.routes if r.sink == sink_name]
                     cond = cond_routes[0].condition if cond_routes else None
