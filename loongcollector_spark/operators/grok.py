@@ -136,17 +136,28 @@ def parse_grok(
     src = F.col(source_key)
     match_cols = [src.isNotNull() & src.rlike(regex) for regex, _ in compiled]
 
-    out = df
+    # first-match-wins is per ROW across the whole Match list: the winning
+    # pattern supplies ALL captures; later patterns never run for that row
+    # even for aliases the winner lacks (processor_grok.go:105-133 breaks
+    # out of the loop on the first successful match)
+    win: Column = F.lit(-1)
+    for i in range(len(compiled) - 1, -1, -1):
+        win = F.when(match_cols[i], F.lit(i)).otherwise(win)
+
+    out = df.withColumn("__grok_win__", win)
     for alias, typ in all_keys:
         expr: Column = F.lit(None).cast("string")
-        # build the cascade in reverse so earlier patterns win
-        for (regex, caps), cond in zip(reversed(compiled), reversed(match_cols)):
-            aliases = [a for a, _ in caps]
-            if alias in aliases:
-                expr = F.when(cond, F.regexp_extract(src, regex, _group_index(regex, alias))).otherwise(expr)
+        for i in range(len(compiled) - 1, -1, -1):
+            regex, caps = compiled[i]
+            if alias in [a for a, _ in caps]:
+                expr = F.when(
+                    F.col("__grok_win__") == i,
+                    F.regexp_extract(src, regex, _group_index(regex, alias)),
+                ).otherwise(expr)
         if typ != "string":
             expr = expr.cast(typ)
         out = out.withColumn(alias, expr)
+    out = out.drop("__grok_win__")
 
     any_match = match_cols[0]
     for c in match_cols[1:]:

@@ -15,7 +15,8 @@ execution mode with the idiomatic Spark mapping:
 | token-bucket rate limit | ``applyInPandasWithState`` per-key bucket state |
 """
 
+from loongcollector_spark.streaming.multiline import streaming_merge_multiline
 from loongcollector_spark.streaming.pipeline import run_streaming_pipeline
 from loongcollector_spark.streaming.rate_limit import streaming_rate_limit
 
-__all__ = ["run_streaming_pipeline", "streaming_rate_limit"]
+__all__ = ["run_streaming_pipeline", "streaming_rate_limit", "streaming_merge_multiline"]
