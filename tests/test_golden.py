@@ -30,6 +30,10 @@ def test_golden(spark, case_path):
     params = dict(case["params"])
     if "options" in params and isinstance(params["options"], Mapping):
         params["options"] = ParserOptions(**params["options"])
+    if "cases" in params:  # fields_with_condition switch-cases
+        from loongcollector_spark.operators.filters import ConditionCase
+
+        params["cases"] = [ConditionCase(**c) for c in params["cases"]]
 
     df = spark.createDataFrame(
         [tuple(r) for r in case["input"]["rows"]], case["input"]["schema"]
