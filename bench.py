@@ -46,12 +46,16 @@ def main() -> None:
 
     query_times: dict[str, float] = {}
     if os.environ.get("LC_BENCH_SKIP_QUERIES") != "1":
+        from loongcollector_spark.functions import dedup
         from loongcollector_spark.queries import QUERIES
 
         for name, q in QUERIES.items():
             t0 = time.time()
             q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             query_times[name] = round(time.time() - t0, 3)
+            # dedup plans persist self-join inputs; free them so later
+            # queries' caches don't fight for executor memory
+            dedup.release_persisted()
 
     out = {
         "metric": "pipeline_sequences_per_sec",

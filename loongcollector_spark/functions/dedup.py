@@ -18,6 +18,8 @@ Scale design:
 
 from __future__ import annotations
 
+from typing import Callable
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -25,6 +27,35 @@ from pyspark.sql import functions as F
 
 # Mersenne prime 2^61-1 for the universal-hash permutations
 _MERSENNE = (1 << 61) - 1
+
+# Relations persisted by dedup plans (both sides of the self-joins reference
+# them). Spark cannot unpersist lazily-correct at plan build time, so callers
+# materialize the returned DataFrame and then call release_persisted() —
+# otherwise repeated calls accumulate cached blocks until eviction pressure.
+_PERSISTED: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    p = df.persist()
+    _PERSISTED.append(p)
+    return p
+
+
+def release_persisted() -> None:
+    """Unpersist every intermediate cached by dedup plan builders. Call after
+    the returned DataFrame has been materialized (collect/write)."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+
+
+def md5_hash60(col: Column) -> Column:
+    """60-bit positive gram hash from md5 — slower than xxhash64 but exactly
+    reproducible in DuckDB (``('0x'||substr(md5(g),1,15))::BIGINT``), used by
+    the oracle-paired query variants. Production default stays xxhash64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def shingles(col: Column, n: int = 3) -> Column:
@@ -57,11 +88,18 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 256,
 ) -> DataFrame:
-    """Near-dup pairs with exact n-gram Jaccard >= threshold, computed via an
+    """Near-dup pairs with n-gram Jaccard >= threshold, computed via an
     inverted shingle index (no cross join). Returns (id_a, id_b, jaccard)
-    with id_a < id_b."""
+    with id_a < id_b.
+
+    ``max_shingle_df`` (document-frequency cut, DEFAULT 256) drops shingles
+    appearing in more than that many docs from the candidate index: one
+    boilerplate phrase shared by df docs otherwise yields O(df²) candidate
+    pairs — a scale-killer at corpus size. The cut makes ``common`` (and thus
+    jaccard) a lower bound for pairs whose overlap includes hot shingles;
+    pass ``None`` only on corpora known to be boilerplate-free."""
     # shingling multiplies row volume ~(words)×: spread the input across the
     # cluster BEFORE the explosion, whatever the scan's file-split count was
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
@@ -71,7 +109,7 @@ def ngram_jaccard_pairs(
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     # the inverted index feeds both sides of the pair join (and the df-cut
     # when enabled): persist it so shingling runs once, not 2-3 times
-    inv = sh.select("id", F.explode("sh").alias("g")).persist()
+    inv = _track_persist(sh.select("id", F.explode("sh").alias("g")))
     if max_shingle_df:
         df_counts = inv.groupBy("g").count().filter(F.col("count") <= max_shingle_df)
         inv = inv.join(df_counts.select("g"), "g")
@@ -99,18 +137,27 @@ def ngram_jaccard_pairs(
 _P31 = (1 << 31) - 1  # Mersenne prime 2^31-1: products of 31-bit values fit u64
 
 
+def minhash_coeffs(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """The (a, b) universal-hash coefficients for the k permutations —
+    exposed so oracle SQL can inline the exact same constants."""
+    import random
+
+    rng = random.Random(seed)
+    a = [rng.randrange(1, _P31) for _ in range(num_hashes)]
+    b = [rng.randrange(0, _P31) for _ in range(num_hashes)]
+    return a, b
+
+
 def _minhash_signature_udf(num_hashes: int, seed: int = 42):
     """Vectorized MinHash: one Arrow UDF turning the per-row gram-hash array
     into the k-permutation signature. The whole batch is ONE numpy outer
     product + reduceat — no per-row Python, no k-wide JVM expression tree
     (the expression form blew up whole-stage codegen at k=32)."""
-    import random
-
     from pyspark.sql.functions import pandas_udf
 
-    rng = random.Random(seed)
-    a = np.array([rng.randrange(1, _P31) for _ in range(num_hashes)], dtype=np.uint64)
-    b = np.array([rng.randrange(0, _P31) for _ in range(num_hashes)], dtype=np.uint64)
+    a_l, b_l = minhash_coeffs(num_hashes, seed)
+    a = np.array(a_l, dtype=np.uint64)
+    b = np.array(b_l, dtype=np.uint64)
 
     @pandas_udf("array<long>")
     def sig(hs: pd.Series) -> pd.Series:
@@ -144,25 +191,30 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    gram_hash: Callable[[Column], Column] = F.xxhash64,
 ) -> DataFrame:
     """MinHash + LSH banding: candidate pairs that share at least one band.
     Returns (id_a, id_b, est_jaccard) where est_jaccard = fraction of equal
-    signature positions (the MinHash estimate)."""
+    signature positions (the MinHash estimate). ``gram_hash`` maps a shingle
+    to a non-negative-ish long (default xxhash64 — fastest; pass
+    ``md5_hash60`` for cross-engine-reproducible signatures)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     grams = df.select(
         F.col(id_col).alias("id"),
-        F.transform(shingles(F.col(text_col), n), lambda g: F.xxhash64(g)).alias("gh"),
+        F.transform(shingles(F.col(text_col), n), lambda g: gram_hash(g)).alias("gh"),
     )
     # The banded self-join references this relation on BOTH sides; without a
     # persist the whole shingle+UDF chain executes twice. The signature table
     # is tiny (id + k longs per doc) — at cluster scale this is the relation
     # you'd checkpoint to a table before the candidate join anyway.
-    sig = grams.select(
-        "id", _minhash_signature_udf(num_hashes, seed)("gh").alias("sig")
-    ).filter(F.col("sig").isNotNull() & (F.size("sig") > 0)).persist()
+    sig = _track_persist(
+        grams.select(
+            "id", _minhash_signature_udf(num_hashes, seed)("gh").alias("sig")
+        ).filter(F.col("sig").isNotNull() & (F.size("sig") > 0))
+    )
 
     banded = sig.select(
         "id",
@@ -245,6 +297,7 @@ def simhash_near_dups(
     n: int = 2,
     max_hamming: int = 3,
     prefix_bits: int = 16,
+    gram_hash: Callable[[Column], Column] = F.xxhash64,
 ) -> DataFrame:
     """SimHash near-dup pairs: bucket on signature prefix (LSH over the
     leading ``prefix_bits``), compare within buckets by Hamming distance.
@@ -253,10 +306,12 @@ def simhash_near_dups(
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     grams = df.select(
         F.col(id_col).alias("id"),
-        F.transform(shingles(F.col(text_col), n), lambda g: F.xxhash64(g)).alias("gram_hashes"),
+        F.transform(shingles(F.col(text_col), n), lambda g: gram_hash(g)).alias("gram_hashes"),
     )
     # persisted for the same two-sided self-join reason as the MinHash path
-    sig = grams.select("id", simhash_from_hashes("gram_hashes").alias("sig")).persist()
+    sig = _track_persist(
+        grams.select("id", simhash_from_hashes("gram_hashes").alias("sig"))
+    )
     bucketed = sig.withColumn(
         "bucket", F.shiftrightunsigned("sig", 64 - prefix_bits)
     )

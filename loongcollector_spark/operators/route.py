@@ -75,12 +75,38 @@ def route_fanout(
     MEMORY_AND_DISK or write the routed parent once and fan out from it)."""
     parent = df.cache() if cache else df
     out: dict[str, DataFrame] = {}
+    # multiple routes may target the same sink — the Router delivers a row to
+    # a flusher when ANY of its conditions match, so OR them (a dict overwrite
+    # here would silently drop rows matching only the later condition)
+    for sink, sink_routes in _routes_by_sink(routes).items():
+        cond = _any_condition(sink_routes)
+        sink_df = parent if cond is None else parent.filter(cond)
+        drop_tags = {
+            r.condition.tag_key
+            for r in sink_routes
+            if r.condition and r.condition.discard_tag and r.condition.tag_key
+        }
+        for tag in sorted(drop_tags):
+            sink_df = sink_df.drop(tag)
+        out[sink] = sink_df
+    return out
+
+
+def _routes_by_sink(routes: Sequence[Route]) -> dict[str, list[Route]]:
+    by_sink: dict[str, list[Route]] = {}
     for r in routes:
-        cond = r.condition.to_column() if r.condition else F.lit(True)
-        sink_df = parent.filter(cond)
-        if r.condition and r.condition.discard_tag and r.condition.tag_key:
-            sink_df = sink_df.drop(r.condition.tag_key)
-        out[r.sink] = sink_df
+        by_sink.setdefault(r.sink, []).append(r)
+    return by_sink
+
+
+def _any_condition(sink_routes: Sequence[Route]) -> Column | None:
+    """OR of all route conditions for one sink; None = unconditional."""
+    if any(r.condition is None for r in sink_routes):
+        return None
+    cols = [r.condition.to_column() for r in sink_routes]  # type: ignore[union-attr]
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
     return out
 
 

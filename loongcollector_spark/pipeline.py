@@ -207,7 +207,10 @@ def run_pipeline(
             tokens_col=spec.metrics_tokens_col,
         )
         results["metrics_rollup"] = [r.asDict() for r in rollup.collect()]
-        if output_base is not None:
+        if output_base is not None and results["metrics_rollup"]:
+            # empty-input pipelines produce an empty rollup; createDataFrame
+            # on [] cannot infer a schema and would fail the whole run AFTER
+            # every sink already delivered
             spark = routed.sparkSession
             spark.createDataFrame(results["metrics_rollup"]).coalesce(1).write.mode(
                 "overwrite"

@@ -884,7 +884,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, list_distinct(list_transform(range(1, len(l) - 1),
                                    i -> array_to_string(l[i:i+2], ' '))) AS grams
       FROM toks WHERE len(l) >= 3),
-    inv AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    inv_all AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    keep AS (SELECT g FROM inv_all GROUP BY g HAVING COUNT(*) <= 256),
+    inv AS (SELECT inv_all.doc_id, inv_all.g FROM inv_all JOIN keep USING (g)),
     sizes AS (SELECT doc_id, len(grams) AS n_sh FROM sh),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
@@ -895,32 +897,126 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
     WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.2
     """,
-    doc="near-dup via exact word-3gram Jaccard over an inverted shingle index",
+    doc="near-dup via word-3gram Jaccard over an inverted shingle index with a "
+        "doc-frequency cut (shingles in >256 docs are boilerplate: dropping "
+        "them bounds the per-shingle candidate blowup at corpus scale)",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.2, max_shingle_df=256
+    )
     return pairs.withColumn("jaccard", F.round("jaccard", 4))
+
+
+# DuckDB gram-hash identical to dedup.md5_hash60 (60-bit positive long)
+_MD5H60 = "('0x' || substr(md5({g}), 1, 15))::BIGINT"
+
+
+def _shingle_ctes(n: int) -> str:
+    """DuckDB CTEs replicating dedup.shingles(): distinct word n-grams."""
+    return f"""
+    toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS l
+      FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(l) - {n - 2}),
+                                   i -> array_to_string(l[i:i+{n - 1}], ' '))) AS grams
+      FROM toks WHERE len(l) >= {n})"""
+
+
+def _minhash_oracle_sql(n: int = 3, num_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
+    """Full DuckDB replay of minhash_lsh_candidates with the md5 gram hash:
+    the (a*x+b) mod 2^31-1 permutations are plain integer arithmetic (the
+    exact coefficients come from dedup.minhash_coeffs), bands are list
+    slices, and the band bucket key is the slice rendered as a string (Spark
+    joins on xxhash64 of that string — same equivalence classes)."""
+    a, b = dedup.minhash_coeffs(num_hashes, seed)
+    rpb = num_hashes // bands
+    A = "[" + ",".join(map(str, a)) + "]"
+    B = "[" + ",".join(map(str, b)) + "]"
+    gh = _MD5H60.format(g="g")
+    return f"""
+    WITH {_shingle_ctes(n)},
+    gh AS (
+      SELECT doc_id, list_transform(grams, g -> {gh} % 2147483647) AS h
+      FROM sh WHERE len(grams) > 0),
+    sig AS (
+      SELECT doc_id, list_transform(range({num_hashes}), k ->
+        list_min(list_transform(h, x -> ({A}[k+1] * x + {B}[k+1]) % 2147483647))) AS sig
+      FROM gh),
+    banded AS (
+      SELECT doc_id, sig, band,
+             array_to_string(sig[band*{rpb}+1 : band*{rpb}+{rpb}], ',') AS bh
+      FROM sig CROSS JOIN (SELECT unnest(range({bands})) AS band) bands_t),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           len(list_filter(range({num_hashes}), k -> sa.sig[k+1] = sb.sig[k+1]))
+             / {num_hashes}.0 AS est_jaccard
+    FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+    """
 
 
 @register(
     "dedup_minhash_lsh",
-    None,  # MinHash permutations are not reasonably SQL-expressible; rows-only
-    doc="MinHash+LSH banding candidates (est_jaccard = signature agreement)",
+    _minhash_oracle_sql(),
+    doc="MinHash+LSH banding candidates (est_jaccard = signature agreement); "
+        "md5-based gram hash for cross-engine replay, xxhash64 default "
+        "unit-tested as the production path",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_candidates(docs, "text", "doc_id", n=3, num_hashes=32, bands=8)
+    return dedup.minhash_lsh_candidates(
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=8,
+        gram_hash=dedup.md5_hash60,
+    )
+
+
+def _simhash_oracle_sql(n: int = 2, max_hamming: int = 8, prefix_bits: int = 16) -> str:
+    """DuckDB replay of simhash_near_dups: per-bit majority vote over the
+    gram hashes (md5 60-bit variant), prefix-bucket join, bit_count(xor)
+    Hamming. Docs with <n words fold to sig 0 exactly like the Spark UDF."""
+    gh = _MD5H60.format(g="g")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS l
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(l) >= {n}
+                  THEN list_distinct(list_transform(range(1, len(l) - {n - 2}),
+                                     i -> array_to_string(l[i:i+{n - 1}], ' ')))
+                  ELSE [] END AS grams
+      FROM toks),
+    gh AS (SELECT doc_id, list_transform(grams, g -> {gh}) AS h FROM sh),
+    sig AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(64), j ->
+               CASE WHEN 2 * len(list_filter(h, x -> (x >> j) & 1 = 1)) > len(h)
+                    THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS sig
+      FROM gh),
+    bucketed AS (SELECT doc_id, sig, sig >> {64 - prefix_bits} AS bucket FROM sig)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sig, b.sig))::INT AS hamming
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
 
 
 @register(
     "dedup_simhash",
-    None,  # 64-bit bitwise signature fold; rows-only
-    doc="SimHash near-dup pairs within prefix-LSH buckets",
+    _simhash_oracle_sql(),
+    doc="SimHash near-dup pairs within prefix-LSH buckets (md5 gram hash for "
+        "cross-engine replay; xxhash64 default unit-tested)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(docs, "text", "doc_id", n=2, max_hamming=8)
+    return dedup.simhash_near_dups(
+        docs, "text", "doc_id", n=2, max_hamming=8, gram_hash=dedup.md5_hash60
+    )
 
 
 @register(
@@ -1270,15 +1366,59 @@ def orders_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =============================================================================
 
 
+def _multimodal_oracle_sql(n_rows: int = 64, seed: int = 42, dim: int = 16) -> str:
+    """Literal oracle table: the media generator is seeded and the decode
+    stub is pure (sha256 of the payload), so the expected features are
+    recomputed here independently, driver-side, and inlined as VALUES.
+    Floats are emitted at full double precision (decimal repr round-trips
+    exactly) and the Spark side widens float->double losslessly."""
+    import hashlib
+    import random
+
+    import numpy as np
+
+    rng = random.Random(seed)
+    mimes = ["image/png", "image/jpeg", "audio/wav", "video/mp4"]
+    rows = []
+    for i in range(n_rows):
+        payload = bytes(rng.randrange(256) for _ in range(64 + i % 128))
+        h = hashlib.sha256(payload).digest()
+        raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+        feat = (raw.astype(np.float64) / 2**31 - 1.0).astype(np.float32)
+        # fixed-format string signature: DuckDB's decimal->DOUBLE parse is
+        # off-by-one-ULP for some literals, so float arrays can't be compared
+        # as floats across engines — %.6f of the exact widened double can
+        sig = ",".join(f"{float(x):.6f}" for x in feat)
+        rows.append(
+            f"('m{i:05d}', '{mimes[i % len(mimes)]}', {64 + i % 128}::BIGINT, '{sig}')"
+        )
+    return (
+        "SELECT * FROM (VALUES\n"
+        + ",\n".join(rows)
+        + "\n) AS t(media_id, mime, n_bytes, feature_sig)"
+    )
+
+
 @register(
     "multimodal_features",
-    None,  # binary payloads + stubbed decode; rows-only
+    _multimodal_oracle_sql(),
     doc="multimodal columns: binary payload -> mapInPandas feature extraction "
-        "(decode stubbed; Spark plumbing real)",
+        "(decode stubbed deterministically; oracle = independently recomputed "
+        "literal table)",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loongcollector_spark.functions.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, n_rows=64)
     feats = extract_features(media, dim=16)
-    return feats.select("media_id", "mime", "n_bytes", F.size("feature").alias("dim"))
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        F.array_join(
+            F.transform(
+                F.col("feature"), lambda x: F.format_string("%.6f", x.cast("double"))
+            ),
+            ",",
+        ).alias("feature_sig"),
+    )

@@ -54,7 +54,13 @@ def write_sink(df: DataFrame, spec: SinkSpec) -> dict[str, Any]:
             from pyspark.sql import functions as _F
 
             writer = writer.partitionedBy(*[_F.col(c) for c in spec.partition_by])
-        writer.createOrReplace()
+        # honor spec.mode: append must NOT truncate the table (a streaming
+        # foreachBatch delivering per-micro-batch appends would otherwise keep
+        # only the last batch's rows)
+        if spec.mode == "append":
+            writer.append()
+        else:
+            writer.createOrReplace()
         return {"sink": spec.name, "delivered": True, "table": spec.path}
     if spec.format == "noop":
         df.write.format("noop").mode("overwrite").save()

@@ -71,7 +71,13 @@ def streaming_merge_multiline(
             out_offsets.append(p[0])
             out_blocks.append("\n".join(p[1]))
 
-        for pdf in pdfs:
+        # applyInPandasWithState splits a group into multiple Arrow chunks
+        # beyond arrow.maxRecordsPerBatch, and cross-chunk order after the
+        # shuffle is arbitrary — materialize the whole group and sort ONCE so
+        # >10k-line files still merge in offset order.
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(offset_col)
             for off, line in zip(pdf[offset_col], pdf[line_col]):
                 if compiled.search(line):

@@ -49,8 +49,13 @@ def run_streaming_pipeline(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.load(input_path)
 
-    sink_names = [r.sink for r in spec.routes]
-    if spec.default_sink and spec.route_mode == "first_match" and not spec.drop_dismatch:
+    sink_names = list(dict.fromkeys(r.sink for r in spec.routes))
+    if (
+        spec.default_sink
+        and spec.route_mode == "first_match"
+        and not spec.drop_dismatch
+        and spec.default_sink not in sink_names
+    ):
         sink_names.append(spec.default_sink)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -64,7 +69,13 @@ def run_streaming_pipeline(
                     name=sink_name,
                     path=os.path.join(output_base, sink_name),
                 )
-                if sink_spec.path and sink_spec.format in ("parquet", "json", "csv"):
+                if sink_spec.format == "iceberg":
+                    # per-micro-batch delivery must accumulate: force append
+                    # (write_sink honors mode; createOrReplace would keep only
+                    # the last batch). Replay-idempotence for iceberg comes
+                    # from its own snapshot commits, not batch directories.
+                    sink_spec = dataclasses.replace(sink_spec, mode="append")
+                elif sink_spec.path and sink_spec.format in ("parquet", "json", "csv"):
                     # EXACTLY-ONCE on micro-batch replay: each trigger writes
                     # its own batch=<id> directory with overwrite — a replayed
                     # batch id rewrites the same directory instead of
@@ -79,9 +90,11 @@ def run_streaming_pipeline(
                         mode="overwrite",
                     )
                 if spec.route_mode == "fanout":
+                    # every route targeting this sink delivers (Router ORs
+                    # conditions per flusher — see route_ops._any_condition)
                     cond_routes = [r for r in spec.routes if r.sink == sink_name]
-                    cond = cond_routes[0].condition if cond_routes else None
-                    sink_df = routed if cond is None else routed.filter(cond.to_column())
+                    cond = route_ops._any_condition(cond_routes) if cond_routes else None
+                    sink_df = routed if cond is None else routed.filter(cond)
                 else:
                     sink_df = routed.filter(F.col(route_ops.SINK_COLUMN) == sink_name)
                 write_sink(sink_df, sink_spec)

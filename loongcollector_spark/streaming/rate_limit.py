@@ -51,7 +51,12 @@ def streaming_rate_limit(
             tokens_left, last_refill = state.get
         else:
             tokens_left, last_refill = burst, float("-inf")
-        for pdf in pdfs:
+        # the engine may split one group into several Arrow chunks with
+        # arbitrary cross-chunk order; the bucket drain is order-dependent,
+        # so materialize the whole group and sort by event time ONCE
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(ts_col)
             ts = pdf[ts_col].to_numpy(dtype="float64")
             keep = []

@@ -56,6 +56,9 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            from loongcollector_spark.functions import dedup as _dedup
+
+            _dedup.release_persisted()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
