@@ -251,6 +251,53 @@ def grok_firstmatch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grok_apache_combined",
+    """
+    SELECT event_id,
+           '10.' || (user_id % 200) || '.' || (event_id % 250) || '.7' AS clientip,
+           'u' || user_id AS auth,
+           CASE WHEN event_type = 'error' THEN 'POST' ELSE 'GET' END AS verb,
+           '/api/' || event_type || '/' || (event_id % 100) AS request,
+           CAST(CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS BIGINT) AS response,
+           CAST(floor(abs(value) * 100) AS BIGINT) AS bytes,
+           '"agent-' || (event_id % 7) || '"' AS agent
+    FROM events
+    """,
+    doc="processor_grok with the bundled COMBINEDAPACHELOG pattern (12 "
+        "captures -> auto-selects the single-pass Arrow engine); lines are "
+        "synthesized from event columns so the oracle is the exact "
+        "round-trip of the source fields",
+)
+def grok_apache_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.grok import parse_grok
+
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("10."), (F.col("user_id") % 200).cast("string"), F.lit("."),
+        (F.col("event_id") % 250).cast("string"), F.lit(".7 - u"),
+        F.col("user_id").cast("string"),
+        F.lit(' [17/May/2015:08:05:32 +0000] "'),
+        F.when(F.col("event_type") == "error", "POST").otherwise("GET"),
+        F.lit(" /api/"), F.col("event_type"), F.lit("/"),
+        (F.col("event_id") % 100).cast("string"),
+        F.lit(' HTTP/1.1" '),
+        F.when(F.col("event_type") == "error", 500).otherwise(200).cast("string"),
+        F.lit(" "), F.floor(F.abs("value") * 100).cast("long").cast("string"),
+        F.lit(' "https://ref.example.com/x" "agent-'),
+        (F.col("event_id") % 7).cast("string"), F.lit('"'),
+    )
+    parsed = parse_grok(
+        ev.withColumn("logline", line), "logline", match=["%{COMBINEDAPACHELOG}"]
+    )
+    return parsed.select(
+        "event_id", "clientip", "auth", "verb", "request",
+        F.col("response").cast("long").alias("response"),
+        F.col("bytes").cast("long").alias("bytes"),
+        "agent",
+    )
+
+
+@register(
     "multiline_merge_blocks",
     """
     WITH lines AS (

@@ -214,3 +214,35 @@ def test_grok_nested_pattern_group_indexing(spark):
                     match=["%{IPORHOST:host} %{WORD:w}"])
     r = df.first()
     assert r.host == "10.1.2.3" and r.w == "hello"
+
+
+def test_grok_engines_equivalent(spark):
+    # jvm and arrow engines must agree row-for-row, including the "" vs null
+    # distinction (matched row + non-participating group -> "")
+    lines = [
+        '93.180.71.3 - frank [17/May/2015:08:05:32 +0000] "GET /x HTTP/1.1" 304 1200 "-" "curl/7.1"',
+        '10.2.3.4 - - [17/May/2015:08:05:33 +0000] "HEAD /y.html HTTP/1.0" 200 - "r" "a"',
+        "garbage line with no structure",
+        None,
+    ]
+    df = spark.createDataFrame([(i, l) for i, l in enumerate(lines)], "id long, content string")
+    from loongcollector_spark.operators.grok import parse_grok
+
+    a = parse_grok(df, "content", match=["%{COMBINEDAPACHELOG}"], engine="jvm")
+    b = parse_grok(df, "content", match=["%{COMBINEDAPACHELOG}"], engine="arrow")
+    ra = sorted([tuple(r) for r in a.collect()])
+    rb = sorted([tuple(r) for r in b.collect()])
+    assert a.columns == b.columns
+    assert ra == rb
+
+
+def test_grok_library_breadth():
+    # every bundled name compiles standalone in both regex dialects
+    import re as _re
+
+    from loongcollector_spark.operators.grok import BUILTIN_PATTERNS, compile_grok, _to_python
+
+    assert len(BUILTIN_PATTERNS) >= 100
+    for name in BUILTIN_PATTERNS:
+        regex, _ = compile_grok("%{" + name + "}")
+        _re.compile(_to_python(regex))
