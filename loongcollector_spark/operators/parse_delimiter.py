@@ -29,6 +29,49 @@ OVERFLOW_DISCARD = "discard"
 OVERFLOW_EXTEND = "extend"
 
 
+def _with_csv_fields(
+    df: DataFrame,
+    out_col: str,
+    source_key: str,
+    sep: str,
+    width: int,
+    quote: str,
+    csv_opts: dict,
+) -> DataFrame:
+    """Add ``out_col``: the CSV record of ``source_key`` as an array of
+    exactly the fields present — positions <= the record's field count are
+    strings (empty fields stay \"\" — univocity maps them to null,
+    indistinguishable from absent trailing columns, so the count is
+    recomputed from the raw line with quoted regions blanked), positions
+    beyond are null. An empty source is one empty field (Go csv io.EOF).
+
+    Staged through real columns so the expensive ``from_csv`` is evaluated
+    ONCE per row: inlining it into the per-element transform lambda costs
+    width² parses per row (CollapseProject keeps a non-cheap multi-referenced
+    projection as its own stage)."""
+    src = F.col(source_key)
+    csv_schema = ", ".join(f"_c{i} string" for i in range(width))
+    struct_col, raw_col = f"{out_col}_struct__", f"{out_col}_raw__"
+    df = df.withColumn(struct_col, F.from_csv(src, csv_schema, csv_opts))
+    df = df.withColumn(
+        raw_col, F.array(*[F.col(struct_col)[f"_c{i}"] for i in range(width)])
+    )
+    q = re.escape(quote)
+    stripped = F.regexp_replace(src, f"{q}(?:[^{q}]|{q}{q})*{q}", "")
+    n_fields = F.when(src == "", F.lit(1)).otherwise(
+        F.size(F.split(stripped, re.escape(sep)))
+    )
+    idxs = F.sequence(F.lit(1), F.lit(width))
+    eff = F.transform(
+        idxs,
+        lambda i: F.when(
+            i <= n_fields,
+            F.coalesce(F.try_element_at(F.col(raw_col), i), F.lit("")),
+        ),
+    )
+    return df.withColumn(out_col, eff).drop(struct_col, raw_col)
+
+
 def parse_delimiter(
     df: DataFrame,
     source_key: str,
@@ -47,11 +90,9 @@ def parse_delimiter(
     if quote:
         # RFC-CSV path: from_csv with all-string schema sized n + extend slots
         width = n + (max_extend_columns if overflow == OVERFLOW_EXTEND else 1)
-        csv_schema = ", ".join(f"_c{i} string" for i in range(width))
         csv_opts = {"sep": separator, "quote": quote, "mode": "PERMISSIVE"}
-        parsed = F.from_csv(F.col(source_key), csv_schema, csv_opts)
-        arr = F.array(*[parsed[f"_c{i}"] for i in range(width)])
-        out = df.withColumn(tmp, F.filter(arr, lambda x: x.isNotNull()))
+        out = _with_csv_fields(df, tmp, source_key, separator, width, quote, csv_opts)
+        out = out.withColumn(tmp, F.filter(F.col(tmp), lambda x: x.isNotNull()))
     else:
         out = df.withColumn(
             tmp, F.split(F.col(source_key), re.escape(separator))
@@ -80,6 +121,107 @@ def parse_delimiter(
 
     out = apply_parser_options(out, source_key, success, extracted, options)
     return out.drop(tmp)
+
+
+DECODE_PRESERVE_KEY = "_decode_preserve_"
+
+
+def _csv_encode_cell(sep: str):
+    """Go encoding/csv Writer quoting rule (fieldNeedsQuotes): quote a field
+    containing the separator / quote / CR / LF, or starting with whitespace;
+    embedded quotes double."""
+
+    def enc(cell: F.Column) -> F.Column:
+        needs = (
+            cell.contains(sep)
+            | cell.contains('"')
+            | cell.contains("\n")
+            | cell.contains("\r")
+            | cell.rlike(r"^\s")
+        )
+        quoted = F.concat(F.lit('"'), F.regexp_replace(cell, '"', '""'), F.lit('"'))
+        return F.when(needs, quoted).otherwise(cell)
+
+    return enc
+
+
+def parse_csv(
+    df: DataFrame,
+    source_key: str,
+    keys: Sequence[str],
+    sep: str = ",",
+    trim_leading_space: bool = False,
+    preserve_others: bool = False,
+    expand_others: bool = False,
+    expand_key_prefix: str | None = None,
+    keep_source: bool = False,
+    max_expand_columns: int = 8,
+) -> DataFrame:
+    """``processor_csv`` (plugins/processor/csv/processor_csv.go:30-116): RFC
+    CSV decode of SourceKey into SplitKeys with the Go processor's options —
+
+    - ``trim_leading_space``: TrimLeadingSpace (csv.Reader.TrimLeadingSpace)
+    - ``preserve_others``: overflow fields re-encoded (Go csv.Writer quoting
+      rules) into ``_decode_preserve_`` (lines 98-107)
+    - ``expand_others`` (+ required ``expand_key_prefix``): overflow fields
+      become ``{prefix}1..N`` instead (lines 93-97)
+    - ``keep_source``: retain SourceKey after successful decode (line 135)
+
+    Spark-first: ``from_csv`` runs the RFC-4180 FSM JVM-side (escape='"' for
+    Go-compatible doubled-quote semantics); overflow re-encode is a pure
+    column expression. Fixed-width plan: at most ``max_expand_columns``
+    overflow fields are decoded (plan-time schema width; the reference is
+    unbounded — size the cap to the widest expected record). An empty source
+    decodes to one empty field (the io.EOF branch, line 84)."""
+    if expand_others and preserve_others and not expand_key_prefix:
+        raise ValueError("expand_key_prefix is required when expand_others=True")
+    src = F.col(source_key)
+    n = len(keys)
+    if n == 0:
+        # no SplitKeys: optionally stash the raw record (lines 61-66)
+        out = df.withColumn(DECODE_PRESERVE_KEY, src) if preserve_others else df
+        return out if keep_source else out.drop(source_key)
+
+    width = n + (max_expand_columns if preserve_others else 0)
+    csv_opts = {
+        "sep": sep,
+        "quote": '"',
+        "escape": '"',
+        "mode": "PERMISSIVE",
+        "ignoreLeadingWhiteSpace": "true" if trim_leading_space else "false",
+        "ignoreTrailingWhiteSpace": "false",
+    }
+    tmp = "__csv__"
+    out = _with_csv_fields(df, tmp, source_key, sep, width, '"', csv_opts)
+    n_present = F.size(F.filter(F.col(tmp), lambda x: x.isNotNull()))
+    for i, k in enumerate(keys):
+        out = out.withColumn(k, F.try_element_at(F.col(tmp), F.lit(i + 1)))
+    if preserve_others:
+        if expand_others:
+            for j in range(max_expand_columns):
+                out = out.withColumn(
+                    f"{expand_key_prefix}{j + 1}",
+                    F.try_element_at(F.col(tmp), F.lit(n + j + 1)),
+                )
+        else:
+            remainder = F.filter(
+                F.slice(F.col(tmp), n + 1, max_expand_columns),
+                lambda x: x.isNotNull(),
+            )
+            out = out.withColumn(
+                DECODE_PRESERVE_KEY,
+                F.when(
+                    n_present > n,
+                    F.array_join(F.transform(remainder, _csv_encode_cell(sep)), sep),
+                ),
+            )
+    out = out.drop(tmp)
+    if not keep_source:
+        # source is kept only on decode failure; the univocity FSM decodes
+        # leniently (it does not raise the Go bare-quote errors), so a
+        # non-null source always counts as decoded
+        out = out.drop(source_key)
+    return out
 
 
 def split_string(

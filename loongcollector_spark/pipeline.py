@@ -33,7 +33,12 @@ from loongcollector_spark.operators import enrich, filters, multiline, route
 from loongcollector_spark.operators.grok import parse_grok
 from loongcollector_spark.operators.parse_apsara import parse_apsara
 from loongcollector_spark.operators.parse_common import ParserOptions
-from loongcollector_spark.operators.parse_delimiter import parse_delimiter, split_string, split_to_rows
+from loongcollector_spark.operators.parse_delimiter import (
+    parse_csv,
+    parse_delimiter,
+    split_string,
+    split_to_rows,
+)
 from loongcollector_spark.operators.parse_json import expand_json, parse_json
 from loongcollector_spark.operators.parse_kv import parse_key_value
 from loongcollector_spark.operators.parse_regex import parse_regex
@@ -47,6 +52,7 @@ PROCESSORS: dict[str, Callable[..., DataFrame]] = {
     "parse_json": parse_json,
     "expand_json": expand_json,
     "parse_delimiter": parse_delimiter,
+    "parse_csv": parse_csv,
     "parse_key_value": parse_key_value,
     "parse_apsara": parse_apsara,
     "parse_timestamp": parse_timestamp,

@@ -185,6 +185,48 @@ def parse_delimiter_firstword(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "parse_csv_expand_others",
+    """
+    SELECT event_id,
+           event_type AS etype,
+           CAST(user_id AS VARCHAR) AS uid,
+           props AS props_back,
+           CAST(CAST(floor(abs(value) * 100) AS BIGINT) AS VARCHAR) AS ex_1,
+           CAST(event_id % 97 AS VARCHAR) AS ex_2,
+           CAST(NULL AS VARCHAR) AS ex_3,
+           CAST(NULL AS VARCHAR) AS ex_4
+    FROM events
+    """,
+    doc="processor_csv: RFC-quoted decode with TrimLeadingSpace/ExpandOthers/"
+        "ExpandKeyPrefix (processor_csv.go:35-38); line synthesized from event "
+        "columns so the oracle is the exact field round-trip",
+)
+def parse_csv_expand_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.parse_delimiter import parse_csv
+
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.col("event_type"), F.lit(","),
+        F.col("user_id").cast("string"), F.lit(',"'),
+        F.regexp_replace(F.col("props"), '"', '""'), F.lit('",'),
+        F.floor(F.abs("value") * 100).cast("long").cast("string"), F.lit(","),
+        (F.col("event_id") % 97).cast("string"),
+    )
+    out = parse_csv(
+        ev.withColumn("csvline", line),
+        "csvline",
+        keys=["etype", "uid", "props_back"],
+        preserve_others=True,
+        expand_others=True,
+        expand_key_prefix="ex_",
+        max_expand_columns=4,
+    )
+    return out.select(
+        "event_id", "etype", "uid", "props_back", "ex_1", "ex_2", "ex_3", "ex_4"
+    )
+
+
+@register(
     "parse_kv_roundtrip",
     """
     SELECT event_id,

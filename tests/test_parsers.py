@@ -246,3 +246,17 @@ def test_grok_library_breadth():
     for name in BUILTIN_PATTERNS:
         regex, _ = compile_grok("%{" + name + "}")
         _re.compile(_to_python(regex))
+
+
+def test_parse_delimiter_quoted_empty_fields(spark):
+    # empty CSV fields must hold position (univocity maps them to null, which
+    # previously got filtered out and shifted every later field left)
+    from loongcollector_spark.operators.parse_delimiter import parse_delimiter
+
+    df = spark.createDataFrame([("a,,c",), ('x,"",z',)], "content string")
+    out = parse_delimiter(
+        df, "content", ",", ["k1", "k2", "k3"], quote='"',
+        options=ParserOptions(keep_source_on_success=True),
+    )
+    rows = sorted([(r.k1, r.k2, r.k3) for r in out.collect()])
+    assert rows == [("a", "", "c"), ("x", "", "z")]
