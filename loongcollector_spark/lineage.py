@@ -33,12 +33,88 @@ def _manifest_path(base: str, bucket: int) -> str:
     return os.path.join(base, MANIFEST_DIR, f"bucket-{bucket:05d}.json")
 
 
-def committed_buckets(base: str) -> set[int]:
-    mdir = os.path.join(base, MANIFEST_DIR)
-    if not os.path.isdir(mdir):
-        return set()
+class _LocalManifestIO:
+    """Manifest I/O on the driver's local filesystem (schemeless paths)."""
+
+    def __init__(self, base: str):
+        self.mdir = os.path.join(base, MANIFEST_DIR)
+
+    def list_names(self) -> list[str]:
+        if not os.path.isdir(self.mdir):
+            return []
+        return sorted(os.listdir(self.mdir))
+
+    def read(self, name: str) -> dict:
+        with open(os.path.join(self.mdir, name)) as fh:
+            return json.load(fh)
+
+    def write_atomic(self, name: str, payload: dict) -> None:
+        os.makedirs(self.mdir, exist_ok=True)
+        final = os.path.join(self.mdir, name)
+        tmp = final + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, final)  # atomic commit marker
+
+
+class _HadoopManifestIO:
+    """Manifest I/O through the Hadoop FileSystem API — the sink's
+    filesystem (HDFS / S3A / file:), NOT the driver's local disk. On a real
+    cluster the driver's local FS is not where the data lands; local-path
+    manifests would make checkpoint-resume silently rewrite everything.
+    Commit = write tmp + rename (atomic on HDFS; on S3A rename is
+    copy+delete — still safe here because a half-renamed manifest is simply
+    an uncommitted bucket that gets rewritten)."""
+
+    def __init__(self, spark: SparkSession, base: str):
+        self.jvm = spark._jvm
+        self.conf = spark._jsc.hadoopConfiguration()
+        self.mdir = self.jvm.org.apache.hadoop.fs.Path(base + "/" + MANIFEST_DIR)
+        self.fs = self.mdir.getFileSystem(self.conf)
+
+    def _p(self, name: str):
+        return self.jvm.org.apache.hadoop.fs.Path(self.mdir, name)
+
+    def list_names(self) -> list[str]:
+        if not self.fs.exists(self.mdir):
+            return []
+        return sorted(
+            st.getPath().getName() for st in self.fs.listStatus(self.mdir)
+        )
+
+    def read(self, name: str) -> dict:
+        stream = self.fs.open(self._p(name))
+        try:
+            text = self.jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return json.loads(text)
+
+    def write_atomic(self, name: str, payload: dict) -> None:
+        self.fs.mkdirs(self.mdir)
+        final, tmp = self._p(name), self._p(name + ".tmp")
+        out = self.fs.create(tmp, True)
+        try:
+            out.write(bytearray(json.dumps(payload).encode("utf-8")))
+        finally:
+            out.close()
+        if self.fs.exists(final):
+            self.fs.delete(final, False)
+        self.fs.rename(tmp, final)
+
+
+def _manifest_io(base: str, spark: SparkSession | None):
+    if "://" in base or base.startswith("file:/"):
+        if spark is None:
+            raise ValueError(f"a SparkSession is required for URI path {base!r}")
+        return _HadoopManifestIO(spark, base)
+    return _LocalManifestIO(base)
+
+
+def committed_buckets(base: str, spark: SparkSession | None = None) -> set[int]:
+    io = _manifest_io(base, spark)
     out = set()
-    for f in os.listdir(mdir):
+    for f in io.list_names():
         if f.startswith("bucket-") and f.endswith(".json"):
             out.add(int(f[len("bucket-") : -len(".json")]))
     return out
@@ -71,7 +147,7 @@ def checkpointed_write(
     skipping buckets already committed by a previous run. Returns counters.
     """
     spark = df.sparkSession
-    done = committed_buckets(base)
+    done = committed_buckets(base, spark)
     pending_df = df.filter(~F.col(BUCKET).isin(sorted(done))) if done else df
 
     stats_rows = bucket_stats(pending_df, tokens_col, id_col).collect()
@@ -87,15 +163,12 @@ def checkpointed_write(
             .save(os.path.join(base, "data"))
         )
 
-    os.makedirs(os.path.join(base, MANIFEST_DIR), exist_ok=True)
+    io = _manifest_io(base, spark)
     rows = 0
     for b, stats in sorted(pending.items()):
         stats = {k: (int(v) if v is not None else None) for k, v in stats.items()}
         stats["run_id"] = run_id
-        tmp = _manifest_path(base, b) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(stats, fh)
-        os.replace(tmp, _manifest_path(base, b))  # atomic commit marker
+        io.write_atomic(f"bucket-{b:05d}.json", stats)
         rows += stats.get("rows", 0)
     return {
         "written_buckets": len(pending),
@@ -129,7 +202,7 @@ def verify_sink(
     the DATA FILES and compare with the lineage manifests — the consumer side
     of the reference's checkpoint audit trail (a digest mismatch means rows
     were lost, duplicated, or altered between route and commit)."""
-    manifests = {m["__bucket__"]: m for m in read_manifests(base)}
+    manifests = {m["__bucket__"]: m for m in read_manifests(base, spark)}
     df = spark.read.parquet(os.path.join(base, "data"))
     recomputed = {int(r[BUCKET]): r.asDict() for r in bucket_stats(df, tokens_col, id_col).collect()}
 
@@ -154,12 +227,6 @@ def verify_sink(
     }
 
 
-def read_manifests(base: str) -> list[dict[str, Any]]:
-    mdir = os.path.join(base, MANIFEST_DIR)
-    out = []
-    if os.path.isdir(mdir):
-        for f in sorted(os.listdir(mdir)):
-            if f.endswith(".json"):
-                with open(os.path.join(mdir, f)) as fh:
-                    out.append(json.load(fh))
-    return out
+def read_manifests(base: str, spark: SparkSession | None = None) -> list[dict[str, Any]]:
+    io = _manifest_io(base, spark)
+    return [io.read(f) for f in io.list_names() if f.endswith(".json")]

@@ -111,6 +111,69 @@ def metadata_group(
     return out
 
 
+def metadata_group_hashed(
+    df: DataFrame,
+    metadata_keys: Sequence[str],
+    max_events: int,
+    id_expr: Column,
+    drop_oversize: bool = False,
+) -> DataFrame:
+    """Hot-key-safe metadata_group: the exact form's row_number window puts a
+    hot key's whole partition through one task. Instead, slice each key into
+    ``ceil(cnt/max_events)`` hash-buckets of ~max_events rows:
+    ``__group_seq__ = pmod(xxhash64(id), n_groups)`` — order-insensitive,
+    deterministic on retry, and the fact table only pays a broadcast-joined
+    count, never a key-partitioned sort. Slices are ~max_events (hash
+    variance), not exact — the DropOversize twin keeps slice 0 only."""
+    cnts = df.groupBy(*[F.col(k) for k in metadata_keys]).agg(
+        F.count(F.lit(1)).alias("__mg_cnt__")
+    )
+    out = df.join(F.broadcast(cnts), list(metadata_keys), "left")
+    n_groups = F.greatest(
+        F.ceil(F.col("__mg_cnt__") / max_events).cast("long"), F.lit(1)
+    )
+    seq = F.pmod(F.xxhash64(id_expr), n_groups).cast("int")
+    if drop_oversize:
+        out = out.withColumn("__group_seq__", seq).filter(F.col("__group_seq__") == 0)
+    else:
+        out = out.withColumn("__group_seq__", seq)
+    return out.drop("__mg_cnt__")
+
+
+def context_group(
+    df: DataFrame,
+    source_col: str,
+    order_col: str,
+    max_log_count: int = 1024,
+) -> DataFrame:
+    """aggregator_context (plugins/aggregator/context/aggregator_context.go:
+    38-60,100-180): per-source LogGroup pools where each source carries its
+    OWN pack-id sequence — pack id = source-derived prefix + '-' + hex seq
+    (util.NewPackIDPrefix / NewLogTagForPackID), groups capped at
+    MaxLogCount logs, logs within a group in arrival order.
+
+    Spark mapping: one window shuffle keyed by source (the reference
+    serializes per source under a lock — same contract), rows ordered by
+    ``order_col`` (the file offset / arrival order), seq = ordinal div
+    max_log_count + 1, monotone and gapless PER SOURCE across the whole
+    batch. The prefix is md5(source) instead of the reference's
+    fnv(host+now) — deterministic across retries, which a distributed replay
+    needs (the reference's is process-unique instead).
+
+    Scale note: one source = one task here. A source hot enough to overflow
+    a task should be sharded upstream (shard_hash) — the reference has the
+    same serialization point."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(F.col(order_col))
+    rn = F.row_number().over(w)
+    seq = (F.floor((rn - 1) / max_log_count) + 1).cast("long")
+    prefix = F.upper(F.substring(F.md5(F.col(source_col).cast("string")), 1, 16))
+    return df.withColumn("__pack_seq__", seq).withColumn(
+        PACK_ID, F.concat(prefix, F.lit("-"), F.upper(F.hex(seq)))
+    )
+
+
 # --- salted two-phase aggregation (skew control) -----------------------------
 
 _ALGEBRAIC = {"count", "sum", "min", "max"}

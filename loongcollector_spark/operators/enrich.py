@@ -110,6 +110,91 @@ def geo_lookup(
     return out.join(broadcast(geo_df), on="ip_prefix", how="left").drop("ip_prefix")
 
 
+def ip_to_long(col: Column) -> Column:
+    """Dotted-quad IPv4 -> unsigned 32-bit value as a long (null for
+    non-IPv4 input, mirroring net.ParseIP == nil -> skip)."""
+    o = F.split(col, r"\.")
+    val = (
+        o[0].cast("long") * 16777216
+        + o[1].cast("long") * 65536
+        + o[2].cast("long") * 256
+        + o[3].cast("long")
+    )
+    ok = col.rlike(r"^(\d{1,3}\.){3}\d{1,3}$") & F.forall(
+        o, lambda x: x.cast("int") <= 255
+    )
+    return F.when(ok, val)
+
+
+def geo_cidr_lookup(
+    df: DataFrame,
+    ip_key: str,
+    cidr_df: DataFrame,
+    cidr_col: str = "cidr",
+    longest_prefix: bool = False,
+) -> DataFrame:
+    """processor_geoip with real CIDR semantics (processor_geoip.go:120-134:
+    the MaxMind db.City(ip) longest-prefix lookup): left-join fact IPs
+    against a broadcast interval table of networks.
+
+    ``cidr_df`` carries ``cidr`` ("a.b.c.d/k") plus attribute columns
+    (reference naming: ``{SourceKey}_country_``, ``{SourceKey}_city_``, ...).
+
+    Scale design: each network expands to its /8 first-octet bucket(s), the
+    fact row's bucket is one arithmetic expression, and the join is an
+    EQUI-join on bucket with the interval test as a residual predicate —
+    broadcast hash join, no shuffle of the fact table, no BNLJ. GeoIP network
+    dumps are non-overlapping, so a row matches at most one network; pass
+    ``longest_prefix=True`` for overlapping custom tables (adds one window
+    over a synthetic row id to pick the most specific match)."""
+    k = F.split(F.col(cidr_col), "/")[1].cast("int")
+    base = ip_to_long(F.split(F.col(cidr_col), "/")[0])
+    mask = F.pow(F.lit(2.0), 32 - k).cast("long")
+    start = (F.floor(base / mask) * mask).cast("long")
+    end = (start + mask - 1).cast("long")
+    nets = (
+        cidr_df.withColumn("__geo_start__", start)
+        .withColumn("__geo_end__", end)
+        .withColumn("__geo_prefix__", k)
+        .withColumn(
+            "__geo_bucket__",
+            F.explode(
+                F.sequence(
+                    (F.col("__geo_start__") / 16777216).cast("int"),
+                    (F.col("__geo_end__") / 16777216).cast("int"),
+                )
+            ),
+        )
+        .drop(cidr_col)
+    )
+    fact = df.withColumn("__geo_ip__", ip_to_long(F.col(ip_key))).withColumn(
+        "__geo_bucket__", (F.col("__geo_ip__") / 16777216).cast("int")
+    )
+    cond = (
+        (fact["__geo_bucket__"] == nets["__geo_bucket__"])
+        & (F.col("__geo_ip__") >= F.col("__geo_start__"))
+        & (F.col("__geo_ip__") <= F.col("__geo_end__"))
+    )
+    if longest_prefix:
+        from pyspark.sql import Window
+
+        fact = fact.withColumn("__geo_uid__", F.monotonically_increasing_id())
+        joined = fact.join(broadcast(nets), cond, "left").drop(nets["__geo_bucket__"])
+        w = Window.partitionBy("__geo_uid__").orderBy(
+            F.col("__geo_prefix__").desc_nulls_last()
+        )
+        joined = (
+            joined.withColumn("__geo_rn__", F.row_number().over(w))
+            .filter(F.col("__geo_rn__") == 1)
+            .drop("__geo_rn__", "__geo_uid__")
+        )
+    else:
+        joined = fact.join(broadcast(nets), cond, "left").drop(nets["__geo_bucket__"])
+    return joined.drop(
+        "__geo_ip__", "__geo_bucket__", "__geo_start__", "__geo_end__", "__geo_prefix__"
+    )
+
+
 def cloud_meta(df: DataFrame, metadata: Mapping[str, str]) -> DataFrame:
     """processor_cloud_meta: constant metadata injection (region/zone/...)."""
     return add_fields(df, metadata, ignore_if_exist=False)
@@ -212,6 +297,205 @@ def otel_span_shape(
         attrs.alias("attributes"),
     )
     return out
+
+
+# --- OTLP metric payload -> SLS metric rows ---------------------------------
+
+_OTLP_ATTRS = (
+    "array<struct<key:string,value:struct<stringValue:string,intValue:string,"
+    "doubleValue:double,boolValue:boolean>>>"
+)
+_OTLP_DP = (
+    f"array<struct<attributes:{_OTLP_ATTRS},timeUnixNano:string,"
+    "asDouble:double,asInt:string>>"
+)
+_OTLP_HDP = (
+    f"array<struct<attributes:{_OTLP_ATTRS},timeUnixNano:string,sum:double,"
+    "count:string,min:double,max:double,explicitBounds:array<double>,"
+    "bucketCounts:array<string>>>"
+)
+_OTLP_SDP = (
+    f"array<struct<attributes:{_OTLP_ATTRS},timeUnixNano:string,sum:double,"
+    "count:string,quantileValues:array<struct<quantile:double,value:double>>>>"
+)
+_OTLP_METRICS_SCHEMA = (
+    "struct<resourceMetrics:array<struct<"
+    f"resource:struct<attributes:{_OTLP_ATTRS}>,"
+    "scopeMetrics:array<struct<metrics:array<struct<"
+    f"name:string,gauge:struct<dataPoints:{_OTLP_DP}>,"
+    f"sum:struct<dataPoints:{_OTLP_DP},isMonotonic:boolean>,"
+    f"histogram:struct<dataPoints:{_OTLP_HDP}>,"
+    f"summary:struct<dataPoints:{_OTLP_SDP}>"
+    ">>>>>>>"  # metric struct, metrics array, scopeMetrics struct+array, resourceMetrics struct+array, outer struct
+)
+_REC_T = "array<struct<name:string,labels:array<string>,t:long,v:double>>"
+
+
+def _otlp_num_str(c: Column) -> Column:
+    """Go strconv 'g'/'f' -1 rendering for the common cases: integral doubles
+    print without the trailing .0 (0.5 -> '0.5', 10.0 -> '10')."""
+    return F.when(
+        c == c.cast("long").cast("double"), c.cast("long").cast("string")
+    ).otherwise(c.cast("string"))
+
+
+def _otlp_attr_kv(attrs: Column) -> Column:
+    """OTLP KeyValue list -> array of 'k=v' label strings (anyValueToString
+    semantics, otlp_metric_parser.go:26-46, for the scalar kinds)."""
+    return F.transform(
+        attrs,
+        lambda a: F.concat(
+            a["key"],
+            F.lit("="),
+            F.coalesce(
+                a["value"]["stringValue"],
+                a["value"]["intValue"],
+                _otlp_num_str(a["value"]["doubleValue"]),
+                a["value"]["boolValue"].cast("string"),
+                F.lit(""),
+            ),
+        ),
+    )
+
+
+def otel_metric_shape(df: DataFrame, source_key: str) -> DataFrame:
+    """processor_otel_metric, 'json' format (processor_otel_metric.go:75-90 →
+    ConvertOtlpMetricV1 / otlp_metric_parser.go): one OTLP metrics payload
+    expands to one SLS metric row per data point — gauge/sum scalar points,
+    histogram sum/min/max (when non-zero) + count + CUMULATIVE 'le' buckets
+    (otlpDataToSLSProto.go histogram path), summary sum + count + quantile
+    rows. Output: __name__, __labels__ (sorted k=v joined by '#$#', the
+    log_to_metric shape), __time_nano__, __value__.
+
+    Spark-first: ONE from_json + a flatten/explode chain of pure column
+    expressions — no Python in the row path; the protobuf Format would ride
+    a mapInPandas decode slot instead (gated: no otlp wheel in container)."""
+    empty = F.array().cast(_REC_T)
+
+    parsed = F.from_json(F.col(source_key), _OTLP_METRICS_SCHEMA)
+    rm = df.withColumn("__rm__", F.explode(parsed["resourceMetrics"]))
+    rm = rm.withColumn("__res_labels__", _otlp_attr_kv(F.col("__rm__.resource.attributes")))
+    m = rm.withColumn("__sm__", F.explode("__rm__.scopeMetrics")).withColumn(
+        "__m__", F.explode("__sm__.metrics")
+    )
+
+    base = F.col("__res_labels__")
+    name = F.col("__m__.name")
+
+    def rec(nm: Column, labels: Column, t: Column, v: Column) -> Column:
+        return F.struct(
+            nm.alias("name"), labels.alias("labels"), t.alias("t"), v.alias("v")
+        )
+
+    def scalar_recs(dps: Column, extra: Column | None) -> Column:
+        def one(dp: Column) -> Column:
+            labels = F.concat(base, _otlp_attr_kv(dp["attributes"]))
+            if extra is not None:
+                labels = F.concat(labels, F.array(extra))
+            return rec(
+                name,
+                labels,
+                dp["timeUnixNano"].cast("long"),
+                F.coalesce(dp["asDouble"], dp["asInt"].cast("double")),
+            )
+
+        return F.coalesce(F.transform(dps, one), empty)
+
+    gauge = scalar_recs(F.col("__m__.gauge.dataPoints"), None)
+    mono = F.concat(
+        F.lit("otlp.metric.ismonotonic="),
+        F.coalesce(F.col("__m__.sum.isMonotonic"), F.lit(False)).cast("string"),
+    )
+    summ = scalar_recs(F.col("__m__.sum.dataPoints"), mono)
+
+    def hist_recs(dp: Column) -> Column:
+        labels = F.concat(base, _otlp_attr_kv(dp["attributes"]))
+        t = dp["timeUnixNano"].cast("long")
+        cond_rec = lambda c, suffix, v: F.when(  # noqa: E731
+            c.isNotNull() & (c != 0),
+            F.array(rec(F.concat(name, F.lit(suffix)), labels, t, v)),
+        ).otherwise(empty)
+        bounds = F.concat(
+            F.transform(dp["explicitBounds"], _otlp_num_str),
+            F.array(F.lit("+Inf")),
+        )
+        bc = dp["bucketCounts"]
+        n_buckets = F.least(F.size(bounds), F.size(bc))
+        buckets = F.when(
+            n_buckets > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_buckets),
+                lambda j: rec(
+                    F.concat(name, F.lit("_bucket")),
+                    F.concat(
+                        labels,
+                        F.array(F.concat(F.lit("le="), F.element_at(bounds, j))),
+                    ),
+                    t,
+                    F.aggregate(
+                        F.slice(bc, 1, j),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double"),
+                    ),
+                ),
+            ),
+        ).otherwise(empty)
+        return F.concat(
+            cond_rec(dp["sum"], "_sum", dp["sum"]),
+            cond_rec(dp["min"], "_min", dp["min"]),
+            cond_rec(dp["max"], "_max", dp["max"]),
+            F.array(
+                rec(F.concat(name, F.lit("_count")), labels, t, dp["count"].cast("double"))
+            ),
+            buckets,
+        )
+
+    hist = F.coalesce(
+        F.flatten(F.transform(F.col("__m__.histogram.dataPoints"), hist_recs)), empty
+    )
+
+    def summary_recs(dp: Column) -> Column:
+        labels = F.concat(base, _otlp_attr_kv(dp["attributes"]))
+        t = dp["timeUnixNano"].cast("long")
+        quantiles = F.coalesce(
+            F.transform(
+                dp["quantileValues"],
+                lambda q: rec(
+                    name,
+                    F.concat(
+                        labels,
+                        F.array(F.concat(F.lit("quantile="), _otlp_num_str(q["quantile"]))),
+                    ),
+                    t,
+                    q["value"],
+                ),
+            ),
+            empty,
+        )
+        return F.concat(
+            F.array(
+                rec(F.concat(name, F.lit("_sum")), labels, t, dp["sum"]),
+                rec(F.concat(name, F.lit("_count")), labels, t, dp["count"].cast("double")),
+            ),
+            quantiles,
+        )
+
+    summary = F.coalesce(
+        F.flatten(F.transform(F.col("__m__.summary.dataPoints"), summary_recs)), empty
+    )
+
+    out = m.withColumn(
+        "__rec__", F.explode(F.concat(gauge, summ, hist, summary))
+    )
+    return out.select(
+        *[c for c in df.columns if c != source_key],
+        F.col("__rec__.name").alias("__name__"),
+        F.array_join(F.sort_array(F.col("__rec__.labels")), METRIC_LABEL_SEP).alias(
+            "__labels__"
+        ),
+        F.col("__rec__.t").alias("__time_nano__"),
+        F.col("__rec__.v").alias("__value__"),
+    )
 
 
 def anchor(

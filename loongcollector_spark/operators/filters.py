@@ -133,8 +133,12 @@ def rate_limit(
 ) -> DataFrame:
     """Keep at most ``limit`` rows per distinct value-combination of
     ``fields`` (batch analogue of the token bucket; deterministic via
-    order_by). One shuffle on the key fields — unavoidable for exact per-key
-    limits; at skewed scale prefer sampled variants or the streaming twin."""
+    order_by). Scale note: the row_number+filter shape triggers Catalyst's
+    WindowGroupLimit pushdown — each MAP task keeps only ``limit`` rows per
+    key before the shuffle (a Partial WindowGroupLimit below the Exchange,
+    asserted in tests), so a Zipf-hot key moves at most limit×partitions
+    rows, not its whole volume. ``rate_limit_sampled`` below avoids even
+    that shuffle when no ordering is required."""
     order_cols = [F.col(c) for c in (order_by or fields)]
     w = Window.partitionBy(*[F.col(f) for f in fields]).orderBy(*order_cols)
     return (
@@ -142,6 +146,38 @@ def rate_limit(
         .filter(F.col("__rl_rn__") <= limit)
         .drop("__rl_rn__")
     )
+
+
+def rate_limit_sampled(
+    df: DataFrame,
+    fields: Sequence[str],
+    limit: int,
+    id_expr: Column,
+) -> DataFrame:
+    """Hot-key-safe rate limit. The exact window form
+    (``rate_limit``) routes each key's every row through ONE task to assign
+    ordinals — with a Zipfian key the head key serializes the stage. Here:
+
+    1. exact per-key counts (one tiny aggregate — Spark's partial
+       aggregation spreads the hot key across map tasks),
+    2. counts broadcast back, so the keep-decision is MAP-SIDE: keys within
+       ``limit`` pass untouched; an over-limit key keeps the deterministic
+       hash-slice ``pmod(xxhash64(id), ceil(cnt/limit)) == 0`` — ~limit rows,
+       order-insensitive, identical on retry.
+
+    The fact table never shuffles. Trade-off vs the reference's token bucket
+    (token_bucket.go:33-61): kept count is ~limit (hash variance), not
+    exactly limit — the price of not ordering the key's rows. ``id_expr``
+    must be a deterministic per-row expression (e.g. a doc/event id)."""
+    cnts = df.groupBy(*[F.col(f) for f in fields]).agg(
+        F.count(F.lit(1)).alias("__rl_cnt__")
+    )
+    joined = df.join(F.broadcast(cnts), list(fields), "left")
+    n_slices = F.ceil(F.col("__rl_cnt__") / limit).cast("long")
+    keep = (F.col("__rl_cnt__") <= limit) | (
+        F.pmod(F.xxhash64(id_expr), n_slices) == 0
+    )
+    return joined.filter(keep).drop("__rl_cnt__")
 
 
 # --- fields_with_condition (switch-case) ------------------------------------

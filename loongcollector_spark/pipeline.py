@@ -85,6 +85,8 @@ PROCESSORS: dict[str, Callable[..., DataFrame]] = {
     "pack_json": enrich.pack_json,
     "log_to_metric": enrich.log_to_metric,
     "otel_span_shape": enrich.otel_span_shape,
+    "otel_metric_shape": enrich.otel_metric_shape,
+    "geo_cidr_lookup": enrich.geo_cidr_lookup,
     "dynamic_topic": route.dynamic_topic,
 }
 

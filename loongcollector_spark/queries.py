@@ -484,6 +484,69 @@ def dynamic_topic_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "geoip_cidr_join",
+    """
+    SELECT event_id,
+           CASE event_id % 5
+             WHEN 0 THEN '10.' || (user_id % 256) || '.' || (event_id % 256) || '.1'
+             WHEN 1 THEN '192.168.' || (user_id % 256) || '.' || (event_id % 250)
+             WHEN 2 THEN '172.' || (64 + user_id % 64) || '.3.' || (event_id % 200)
+             WHEN 3 THEN '203.0.113.' || (user_id % 250)
+             ELSE '8.8.' || (user_id % 250) || '.' || (event_id % 250)
+           END AS client_ip,
+           CASE event_id % 5
+             WHEN 0 THEN 'CN-A' WHEN 1 THEN 'CN-B' WHEN 2 THEN 'CN-C'
+             WHEN 3 THEN 'CN-D' ELSE NULL
+           END AS geo_country
+    FROM events
+    """,
+    doc="processor_geoip CIDR semantics (MaxMind longest-prefix interval "
+        "lookup, processor_geoip.go:134): broadcast interval table bucketed "
+        "by /8 so the range test rides an equi-join; exercises a /10 and /15 "
+        "that the octet-prefix join cannot express",
+)
+def geoip_cidr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ip = (
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(F.lit("10."), (F.col("user_id") % 256).cast("string"),
+                     F.lit("."), (F.col("event_id") % 256).cast("string"), F.lit(".1")),
+        )
+        .when(
+            F.col("event_id") % 5 == 1,
+            F.concat(F.lit("192.168."), (F.col("user_id") % 256).cast("string"),
+                     F.lit("."), (F.col("event_id") % 250).cast("string")),
+        )
+        .when(
+            F.col("event_id") % 5 == 2,
+            F.concat(F.lit("172."), (64 + F.col("user_id") % 64).cast("string"),
+                     F.lit(".3."), (F.col("event_id") % 200).cast("string")),
+        )
+        .when(
+            F.col("event_id") % 5 == 3,
+            F.concat(F.lit("203.0.113."), (F.col("user_id") % 250).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("8.8."), (F.col("user_id") % 250).cast("string"),
+                     F.lit("."), (F.col("event_id") % 250).cast("string"))
+        )
+    )
+    nets = spark.createDataFrame(
+        [
+            ("10.0.0.0/8", "CN-A"),
+            ("192.168.0.0/16", "CN-B"),
+            ("172.64.0.0/10", "CN-C"),
+            ("203.0.113.0/24", "CN-D"),
+            ("198.18.0.0/15", "CN-E"),
+        ],
+        "cidr string, geo_country string",
+    )
+    out = enrich.geo_cidr_lookup(ev.withColumn("client_ip", ip), "client_ip", nets)
+    return out.select("event_id", "client_ip", "geo_country")
+
+
+@register(
     "geoip_prefix_join",
     """
     SELECT e.event_id, g.region
@@ -558,6 +621,43 @@ def otel_span_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trace_id", "span_id", "span_name", "span_kind", "start_time", "end_time",
         F.to_json("attributes").alias("attrs_json"),
     )
+
+
+@register(
+    "otel_metric_projection",
+    """
+    SELECT event_id,
+           'req_total' AS "__name__",
+           'host=h' || (user_id % 20) || '#$#otlp.metric.ismonotonic=true#$#type=' || event_type
+             AS "__labels__",
+           event_id * 1000 AS "__time_nano__",
+           CAST(CAST(floor(abs(value) * 100) AS BIGINT) AS DOUBLE) AS "__value__"
+    FROM events
+    """,
+    doc="processor_otel_metric (json format): OTLP sum payload -> one SLS "
+        "metric row per data point, monotonic label appended "
+        "(processor_otel_metric.go + otlp_metric_parser.go sum2Logs)",
+)
+def otel_metric_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"resourceMetrics":[{"resource":{"attributes":[{"key":"host",'
+              '"value":{"stringValue":"h'),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit('"}}]},"scopeMetrics":[{"metrics":[{"name":"req_total","sum":'
+              '{"isMonotonic":true,"dataPoints":[{"attributes":[{"key":"type",'
+              '"value":{"stringValue":"'),
+        F.col("event_type"),
+        F.lit('"}}],"timeUnixNano":"'),
+        (F.col("event_id") * 1000).cast("string"),
+        F.lit('","asDouble":'),
+        F.floor(F.abs("value") * 100).cast("long").cast("string"),
+        F.lit("}]}}]}]}]}"),
+    )
+    out = enrich.otel_metric_shape(
+        ev.withColumn("otlp_body", payload).select("event_id", "otlp_body"), "otlp_body"
+    )
+    return out.select("event_id", "__name__", "__labels__", "__time_nano__", "__value__")
 
 
 @register(

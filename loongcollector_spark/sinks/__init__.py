@@ -17,22 +17,101 @@ from dataclasses import dataclass, field
 from typing import Any, Mapping
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 @dataclass(frozen=True)
 class SinkSpec:
     name: str
-    format: str = "parquet"  # parquet | json | csv | noop | console | memory
+    format: str = "parquet"  # parquet | json | csv | text | noop | console | memory
     path: str | None = None
     mode: str = "overwrite"
     partition_by: tuple[str, ...] = ()
     max_records_per_file: int = 0  # Batcher MaxCnt analogue; 0 = unlimited
     compression: str | None = None  # codec (lz4/zstd/snappy/gzip for parquet)
     options: Mapping[str, str] = field(default_factory=dict)
+    # protocol converter encoding (pkg/protocol/converter/converter.go:29-41):
+    # none | custom_single | custom_single_flatten | jsonline | influxdb | raw
+    encoding: str = "none"
+    tag_columns: tuple[str, ...] = ()
+    time_column: str | None = None
+    raw_column: str | None = None  # for encoding='raw'
+
+
+def _kv_map(cols: list[str]):
+    return F.map_from_arrays(
+        F.array(*[F.lit(c) for c in cols]),
+        F.array(*[F.col(c).cast("string") for c in cols]),
+    )
+
+
+def serialize_rows(df: DataFrame, spec: SinkSpec) -> DataFrame:
+    """Protocol converter serializers (pkg/protocol/converter/): each row
+    becomes one serialized string in column ``value`` — pure column
+    expressions (to_json / concat), no Python in the row path.
+
+    - custom_single (custom_single_log.go:32-62): {"time": t, "contents":
+      {...}, "tags": {...}} per row, JSON.
+    - custom_single_flatten / jsonline (converter_single_log_flatten.go:23-59,
+      jsonline.go:16-41): contents+tags flattened into one object + "time";
+      jsonline is the same object — newline joining is the text writer.
+    - influxdb (influxdb_metric.go): metric line protocol
+      ``name[,tags] value=<v> <ts>`` from __name__/__labels__/__value__/
+      __time_nano__ shaped rows (log_to_metric / otel_metric output).
+    - raw (converter_raw.go): the designated content column verbatim.
+    """
+    enc = spec.encoding
+    tag_cols = [c for c in spec.tag_columns if c in df.columns]
+    content_cols = [
+        c
+        for c in df.columns
+        if c not in tag_cols and c != spec.time_column and not c.startswith("__")
+    ]
+    t = (F.col(spec.time_column) if spec.time_column else F.lit(0)).alias("time")
+    if enc == "custom_single":
+        obj = F.to_json(
+            F.struct(t, _kv_map(content_cols).alias("contents"), _kv_map(tag_cols).alias("tags"))
+        )
+    elif enc in ("custom_single_flatten", "jsonline"):
+        obj = F.to_json(
+            F.struct(
+                *[F.col(c) for c in content_cols],
+                *[F.col(c) for c in tag_cols],
+                t,
+            )
+        )
+    elif enc == "influxdb":
+        labels = F.col("__labels__")
+        from loongcollector_spark.operators.enrich import METRIC_LABEL_SEP
+
+        obj = F.concat(
+            F.col("__name__"),
+            F.when(
+                labels.isNotNull() & (labels != ""),
+                F.concat(F.lit(","), F.replace(labels, F.lit(METRIC_LABEL_SEP), F.lit(","))),
+            ).otherwise(F.lit("")),
+            F.lit(" value="),
+            F.col("__value__").cast("string"),
+            F.lit(" "),
+            F.col("__time_nano__").cast("string"),
+        )
+    elif enc == "raw":
+        obj = F.col(spec.raw_column or content_cols[0]).cast("string")
+    else:
+        raise ValueError(f"unknown sink encoding {enc!r}")
+    return df.select(obj.alias("value"))
 
 
 def write_sink(df: DataFrame, spec: SinkSpec) -> dict[str, Any]:
     """Deliver one sink; returns driver-side delivery counters."""
+    if spec.encoding != "none":
+        # converter encodings serialize to one string per row; delivery is
+        # newline-separated text (the jsonline/flusher stream shape)
+        df = serialize_rows(df, spec)
+        if spec.format not in ("noop", "console", "memory"):
+            import dataclasses
+
+            spec = dataclasses.replace(spec, format="text", encoding="none")
     if spec.format == "iceberg":
         # Production sink format (north rule): atomic-commit Iceberg tables,
         # `path` holding the catalog table name. Gated: this sandbox ships no

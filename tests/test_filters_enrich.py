@@ -157,3 +157,62 @@ def test_log_to_metric(spark):
 def test_log_to_metric_invalid_name_dropped(spark):
     df = spark.createDataFrame([(1, "bad name!", "1", "h")], "id int, mname string, mval string, host string")
     assert enrich.log_to_metric(df, ["host"], "mname", "mval").count() == 0
+
+
+def test_geo_cidr_longest_prefix(spark):
+    # overlapping networks: the /16 inside the /8 must win for its range
+    from loongcollector_spark.operators.enrich import geo_cidr_lookup
+
+    nets = spark.createDataFrame(
+        [("10.0.0.0/8", "broad"), ("10.1.0.0/16", "narrow")],
+        "cidr string, tag string",
+    )
+    df = spark.createDataFrame(
+        [("10.1.2.3",), ("10.200.0.1",), ("11.0.0.1",), ("bogus",)], "ip string"
+    )
+    out = geo_cidr_lookup(df, "ip", nets, longest_prefix=True)
+    got = {r.ip: r.tag for r in out.collect()}
+    assert got == {"10.1.2.3": "narrow", "10.200.0.1": "broad",
+                   "11.0.0.1": None, "bogus": None}
+
+
+def test_geo_cidr_plan_is_broadcast(spark):
+    from loongcollector_spark.operators.enrich import geo_cidr_lookup
+
+    nets = spark.createDataFrame([("10.0.0.0/8", "x")], "cidr string, tag string")
+    df = spark.createDataFrame([("10.1.2.3",)], "ip string")
+    plan = geo_cidr_lookup(df, "ip", nets)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # equi-join on bucket, not BNLJ
+
+
+def test_otel_metric_shape_histogram_and_summary(spark):
+    from loongcollector_spark.operators.enrich import otel_metric_shape
+
+    payload = (
+        '{"resourceMetrics":[{"resource":{"attributes":[{"key":"host","value":{"stringValue":"h1"}}]},'
+        '"scopeMetrics":[{"metrics":['
+        '{"name":"lat","histogram":{"dataPoints":[{"attributes":[],"timeUnixNano":"1000","sum":6.5,'
+        '"count":"4","explicitBounds":[0.5,1.0],"bucketCounts":["1","2","1"]}]}},'
+        '{"name":"q","summary":{"dataPoints":[{"attributes":[],"timeUnixNano":"2000","sum":9.0,"count":"3",'
+        '"quantileValues":[{"quantile":0.5,"value":2.0},{"quantile":0.99,"value":4.0}]}]}},'
+        '{"name":"up","gauge":{"dataPoints":[{"attributes":[{"key":"iface","value":{"stringValue":"eth0"}}],'
+        '"timeUnixNano":"3000","asInt":"7"}]}}'
+        "]}]}]}"
+    )
+    df = spark.createDataFrame([(payload,)], "body string")
+    rows = {(r["__name__"], r["__labels__"]): (r["__time_nano__"], r["__value__"])
+            for r in otel_metric_shape(df, "body").collect()}
+    # histogram: sum + count + cumulative le buckets (1, 1+2, 1+2+1)
+    assert rows[("lat_sum", "host=h1")] == (1000, 6.5)
+    assert rows[("lat_count", "host=h1")] == (1000, 4.0)
+    assert rows[("lat_bucket", "host=h1#$#le=0.5")] == (1000, 1.0)
+    assert rows[("lat_bucket", "host=h1#$#le=1")] == (1000, 3.0)
+    assert rows[("lat_bucket", "host=h1#$#le=+Inf")] == (1000, 4.0)
+    # summary: sum + count + quantile rows
+    assert rows[("q_sum", "host=h1")] == (2000, 9.0)
+    assert rows[("q_count", "host=h1")] == (2000, 3.0)
+    assert rows[("q", "host=h1#$#quantile=0.5")] == (2000, 2.0)
+    assert rows[("q", "host=h1#$#quantile=0.99")] == (2000, 4.0)
+    # gauge asInt + data-point attribute label
+    assert rows[("up", "host=h1#$#iface=eth0")] == (3000, 7.0)
+    assert len(rows) == 10

@@ -173,3 +173,73 @@ def test_lineage_verify_sink_detects_tamper(spark, tmp_path):
     rep2 = lineage.verify_sink(spark, base)
     assert not rep2["ok"]
     assert any(m["problem"] == "manifest without data" for m in rep2["mismatches"])
+
+
+def test_sink_converter_encodings(spark, tmp_path):
+    import json
+
+    from loongcollector_spark.sinks import SinkSpec, serialize_rows, write_sink
+
+    df = spark.createDataFrame(
+        [("hello", "web", 7, 100)], "msg string, svc string, n int, ts long"
+    )
+    # custom_single: {"time": t, "contents": {...}, "tags": {...}}
+    s1 = serialize_rows(df, SinkSpec("s", encoding="custom_single",
+                                     tag_columns=("svc",), time_column="ts")).first()[0]
+    obj = json.loads(s1)
+    assert obj == {"time": 100, "contents": {"msg": "hello", "n": "7"}, "tags": {"svc": "web"}}
+    # flatten/jsonline: one flat object + time
+    s2 = serialize_rows(df, SinkSpec("s", encoding="jsonline",
+                                     tag_columns=("svc",), time_column="ts")).first()[0]
+    assert json.loads(s2) == {"msg": "hello", "n": 7, "svc": "web", "time": 100}
+    # raw
+    s3 = serialize_rows(df, SinkSpec("s", encoding="raw", raw_column="msg")).first()[0]
+    assert s3 == "hello"
+    # influxdb line protocol from metric-shaped rows
+    mdf = spark.createDataFrame(
+        [("req_total", "host=h1#$#type=click", 5.0, 1000)],
+        "__name__ string, __labels__ string, __value__ double, __time_nano__ long",
+    )
+    s4 = serialize_rows(mdf, SinkSpec("s", encoding="influxdb")).first()[0]
+    assert s4 == "req_total,host=h1,type=click value=5.0 1000"
+    # end-to-end: encoded sink writes newline-separated text
+    out = str(tmp_path / "enc_sink")
+    write_sink(df, SinkSpec("s", format="text", path=out, encoding="jsonline",
+                            tag_columns=("svc",), time_column="ts"))
+    import glob
+
+    lines = []
+    for f in glob.glob(out + "/part-*"):
+        lines += open(f).read().splitlines()
+    assert [json.loads(l) for l in lines] == [{"msg": "hello", "n": 7, "svc": "web", "time": 100}]
+
+
+def test_lineage_resume_on_file_uri(spark, tmp_path):
+    """Checkpoint-resume against a file: URI exercises the Hadoop-FS
+    manifest path (the cluster form: manifests live on the SINK's
+    filesystem, not the driver's local disk)."""
+    from loongcollector_spark import lineage
+    from loongcollector_spark.operators.aggregate import shard_hash
+    from loongcollector_spark.sources import generate_sequences
+
+    base = "file://" + str(tmp_path / "uri_sink")
+    df = shard_hash(generate_sequences(spark, 800, partitions=4),
+                    ["source", "doc_id"], 8, repartition=False)
+    first = lineage.checkpointed_write(df, base, run_id="u1")
+    assert first["written_buckets"] == 8 and first["rows"] == 800
+    # manifests are really on the target fs
+    assert len(lineage.committed_buckets(base, spark)) == 8
+    # resume: everything committed -> no-op
+    again = lineage.checkpointed_write(df, base, run_id="u2")
+    assert again["written_buckets"] == 0 and again["skipped_buckets"] == 8
+    # drop one manifest -> exactly that bucket rewritten
+    import os as _os
+
+    victims = sorted(
+        f for f in _os.listdir(tmp_path / "uri_sink" / "_lineage") if f.endswith(".json")
+    )
+    _os.remove(tmp_path / "uri_sink" / "_lineage" / victims[3])
+    third = lineage.checkpointed_write(df, base, run_id="u3")
+    assert third["written_buckets"] == 1 and third["skipped_buckets"] == 7
+    rep = lineage.verify_sink(spark, base)
+    assert rep["ok"] and rep["rows"] == 800

@@ -214,3 +214,74 @@ def test_metadata_group_split_sequences(spark):
     from collections import Counter
 
     assert sorted(Counter(seqs).values(), reverse=True) == [3, 3, 1]
+
+
+def test_context_group_per_source_pack_sequences(spark):
+    # aggregator_context.go Add/Flush contract: every source owns a gapless
+    # 1..N pack sequence; packs are filled in arrival (offset) order
+    from loongcollector_spark.operators.aggregate import context_group
+
+    rows = [(s, i) for s in ("fileA", "fileB") for i in range(25)]
+    df = spark.createDataFrame(rows, "source string, offset long")
+    out = context_group(df, "source", "offset", max_log_count=10).collect()
+
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r.source, []).append((r.offset, r["__pack_seq__"], r["__pack_id__"]))
+    for src, recs in by_source.items():
+        recs.sort()
+        seqs = [s for _, s, _ in recs]
+        # offset order maps to pack order: 10+10+5
+        assert seqs == [1] * 10 + [2] * 10 + [3] * 5
+        prefixes = {p.split("-")[0] for _, _, p in recs}
+        assert len(prefixes) == 1  # one prefix per source
+        assert {p.split("-")[1] for _, _, p in recs} == {"1", "2", "3"}
+    # distinct sources get distinct prefixes
+    assert len({recs[0][2].split("-")[0] for recs in by_source.values()}) == 2
+
+
+def test_rate_limit_sampled_hot_key(spark):
+    from loongcollector_spark.operators.filters import rate_limit_sampled
+
+    rows = [("hot", i) for i in range(10000)] + [("cold", i) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, id long")
+    out = rate_limit_sampled(df, ["k"], 100, F.col("id"))
+    got = {r[0]: r[1] for r in out.groupBy("k").count().collect()}
+    assert got["cold"] == 50  # under-limit keys untouched
+    assert 50 <= got["hot"] <= 200  # ~limit via hash slice
+    # deterministic across runs
+    a = sorted(r.id for r in out.filter(F.col("k") == "hot").collect())
+    b = sorted(r.id for r in rate_limit_sampled(df, ["k"], 100, F.col("id"))
+               .filter(F.col("k") == "hot").collect())
+    assert a == b
+    # the fact table must NOT shuffle: only broadcast exchange on its path
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_metadata_group_hashed_bounded_slices(spark):
+    from loongcollector_spark.operators.aggregate import metadata_group_hashed
+
+    rows = [("a", i) for i in range(1000)] + [("b", i) for i in range(30)]
+    df = spark.createDataFrame(rows, "k string, id long")
+    out = metadata_group_hashed(df, ["k"], 100, F.col("id"))
+    sizes = {(r.k, r["__group_seq__"]): r["count"]
+             for r in out.groupBy("k", "__group_seq__").count().collect()}
+    a_sizes = [v for (k, _), v in sizes.items() if k == "a"]
+    assert len(a_sizes) == 10 and sum(a_sizes) == 1000
+    assert max(a_sizes) <= 200  # ~100 per slice, hash variance bounded
+    assert sizes[("b", 0)] == 30  # small key: single slice
+    dropped = metadata_group_hashed(df, ["k"], 100, F.col("id"), drop_oversize=True)
+    assert dropped.filter(F.col("k") == "b").count() == 30
+
+
+def test_rate_limit_window_group_limit_pushdown(spark):
+    # the exact form relies on WindowGroupLimit: a Partial pass below the
+    # Exchange caps each map task at `limit` rows per key, so hot keys do
+    # not ship their full volume through one reducer
+    from loongcollector_spark.operators.filters import rate_limit
+
+    df = spark.range(1000).withColumn("k", (F.col("id") % 3).cast("string"))
+    plan = rate_limit(df, ["k"], 10, order_by=["id"])._jdf.queryExecution().executedPlan().toString()
+    partial_idx = plan.find("WindowGroupLimit")
+    assert partial_idx != -1 and "Partial" in plan
