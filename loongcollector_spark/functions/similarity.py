@@ -118,6 +118,48 @@ def lsh_bucketed_topk(
     return out.orderBy(F.col("similarity").desc(), F.col("id")).limit(k)
 
 
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, bucketed — the dedup-family
+    member over vectors. Random-hyperplane LSH assigns each vector ONE
+    bucket (plan-time plane constants → pure column expression); candidate
+    pairs come from a bucket equi-self-join (never all-pairs), then the
+    exact cosine filter keeps pairs >= threshold. Recall trades with
+    ``n_planes`` (more planes = smaller buckets = faster + lower recall);
+    at corpus scale run a few seeded rotations and union, like the SimHash
+    path. The bucketed relation is persisted (both join sides) — call
+    dedup.release_persisted() after materializing."""
+    from loongcollector_spark.functions.dedup import _track_persist
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    vec = F.col(vec_col).cast("array<double>")
+    b = _track_persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            vec.alias("v"),
+            lsh_bucket(vec, planes).alias("bucket"),
+        )
+    )
+    return (
+        b.alias("a")
+        .join(b.alias("b"), "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,

@@ -777,21 +777,22 @@ def token_native_parse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_expression_tree",
     """
     SELECT event_type, COUNT(*) AS rows FROM events
-    WHERE regexp_matches(event_type, 'error|purchase') AND NOT (value < 50)
+    WHERE regexp_matches(event_type, 'error|purchase')
+      AND NOT regexp_matches(CAST(value AS VARCHAR), '^([0-4]?\\d)(\\.\\d+)?$')
     GROUP BY 1
     """,
-    doc="processor_filter_regex_native expression tree (AND/OR/NOT of rlike leaves)",
+    doc="processor_filter_regex_native expression tree (AND/OR/NOT of rlike "
+        "leaves over string-rendered contents, as the reference's filter "
+        "operates on string log contents) — the oracle verifies the SAME "
+        "condition_tree the operator compiles",
 )
 def filter_expression_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    expr = {"and": [{"key": "event_type", "regex": "error|purchase"},
-                    {"not": {"key": "value", "regex": r"^([0-4]?\d)(\.\d+)?$"}}]}
-    # regex leaf over numeric rendered value mirrors the reference's
-    # string-typed contents; for the oracle we use the numeric form
-    out = ev.filter(
-        F.col("event_type").rlike("error|purchase") & ~(F.col("value") < 50)
+    tree = {"and": [{"key": "event_type", "regex": "error|purchase"},
+                    {"not": {"key": "value_str", "regex": r"^([0-4]?\d)(\.\d+)?$"}}]}
+    out = filters.filter_expression(
+        ev.withColumn("value_str", F.col("value").cast("string")), tree
     )
-    _ = expr  # tree form exercised in unit tests; plan here keeps types numeric
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("rows"))
 
 
@@ -1413,6 +1414,45 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "embedding", "vec_id", qvec, k=10, n_planes=6, n_probes=8, exclude_id=0
     )
     return out.withColumn("similarity", F.round("similarity", 4))
+
+
+def _embedding_near_dup_oracle(
+    dim: int = 64, n_planes: int = 4, threshold: float = 0.4, seed: int = 42
+) -> str:
+    # Same plan-time plane constants as the engine; DuckDB replays bucket
+    # assignment and the in-bucket exact-cosine pair filter.
+    planes = similarity._hyperplanes(dim, n_planes, seed)
+    dots = ",\n           ".join(
+        "list_inner_product(v, ["
+        + ", ".join(repr(float(x)) for x in p)
+        + f"]) AS d{i}"
+        for i, p in enumerate(planes)
+    )
+    bucket = " + ".join(f"(CASE WHEN d{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(n_planes))
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (SELECT vec_id, v, {dots} FROM v),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM d)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    _embedding_near_dup_oracle(),
+    doc="embedding-cosine near-dup pairs: one-bucket hyperplane LSH "
+        "self-join (never all-pairs) + exact cosine threshold; oracle "
+        "replays the plan-time planes in DuckDB",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.embedding_near_dups(
+        emb, "embedding", "vec_id", threshold=0.4, n_planes=4, dim=64
+    )
+    return out.withColumn("cos_sim", F.round("cos_sim", 4))
 
 
 def _ann_ivf_oracle(n_cells: int = 8, nprobe: int = 4) -> str:
