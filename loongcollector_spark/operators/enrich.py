@@ -226,6 +226,63 @@ def string_replace(
     return df.withColumn(dest_key or source_key, out_col)
 
 
+_GO_ESCAPE = None  # compiled lazily
+
+
+def _go_unquote(body: str) -> str:
+    """Go strconv.Unquote escape interpretation (the subset the reference's
+    unquote method exercises): \\xNN, \\uNNNN, \\UNNNNNNNN, octal, and the
+    single-char escapes."""
+    import re as _re
+
+    global _GO_ESCAPE
+    if _GO_ESCAPE is None:
+        _GO_ESCAPE = _re.compile(
+            r"\\(x[0-9A-Fa-f]{2}|u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|[0-7]{3}|[abfnrtv\\'\"])"
+        )
+    single = {"a": "\a", "b": "\b", "f": "\f", "n": "\n", "r": "\r",
+              "t": "\t", "v": "\v", "\\": "\\", "'": "'", '"': '"'}
+
+    def rep(m: "_re.Match") -> str:
+        e = m.group(1)
+        if e[0] in "xuU":
+            return chr(int(e[1:], 16))
+        if e[0] in "01234567":
+            return chr(int(e, 8))
+        return single[e]
+
+    return _GO_ESCAPE.sub(rep, body)
+
+
+def string_unquote(df: DataFrame, source_key: str, dest_key: str | None = None) -> DataFrame:
+    """processor_string_replace Method=unquote
+    (processor_string_replace.go:98-105): a value wrapped in double quotes is
+    unquoted; otherwise the raw value has its quotes protected as \\x22 and
+    its escape sequences interpreted (the reference's strconv.Unquote
+    round-trip). Escape decode is not expressible as column functions, so
+    this is an Arrow-batched pandas UDF (vectorized, no per-row Python on
+    the JVM side)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def unq(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            if len(v) >= 2 and v.startswith('"') and v.endswith('"'):
+                body = v[1:-1]
+            else:
+                body = v.replace('"', "\\x22")
+            try:
+                return _go_unquote(body)
+            except Exception:
+                return v
+
+        return s.map(one)
+
+    return df.withColumn(dest_key or source_key, unq(F.col(source_key)))
+
+
 def desensitize(
     df: DataFrame,
     source_key: str,

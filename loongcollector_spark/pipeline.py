@@ -77,6 +77,7 @@ PROCESSORS: dict[str, Callable[..., DataFrame]] = {
     "anchor": enrich.anchor,
     "appender": enrich.appender,
     "string_replace": enrich.string_replace,
+    "string_unquote": enrich.string_unquote,
     "desensitize": enrich.desensitize,
     "md5": enrich.md5_field,
     "base64_encode": enrich.base64_encode,

@@ -661,6 +661,31 @@ def otel_metric_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "context_pack_sequences",
+    """
+    SELECT doc_id,
+           CAST(seq AS BIGINT) AS pack_seq,
+           upper(substr(md5(source), 1, 16)) || '-' || hex(CAST(seq AS BIGINT)) AS pack_id
+    FROM (
+      SELECT doc_id, source,
+             (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) // 256 + 1 AS seq
+      FROM documents)
+    """,
+    doc="aggregator_context: per-source gapless pack-id sequences "
+        "(aggregator_context.go:38-60 Add/Flush order), packs of "
+        "MaxLogCount=256 in arrival order",
+)
+def context_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = agg_ops.context_group(docs, "source", "doc_id", max_log_count=256)
+    return out.select(
+        "doc_id",
+        F.col("__pack_seq__").alias("pack_seq"),
+        F.col("__pack_id__").alias("pack_id"),
+    )
+
+
+@register(
     "content_value_group_counts",
     """
     SELECT event_type, COUNT(*) AS rows FROM events GROUP BY 1
@@ -1593,6 +1618,37 @@ def orders_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =============================================================================
 # Multimodal plumbing (synthetic input; rows-only)
 # =============================================================================
+
+
+def _frame_plan_oracle_sql(n_rows: int = 64, every_ms: int = 1000) -> str:
+    """The media generator's duration is 1000*(1+i%30) ms; the frame plan
+    explodes every ``every_ms`` — replayed with a range() table function."""
+    mimes = ["image/png", "image/jpeg", "audio/wav", "video/mp4"]
+    rows = ",".join(
+        f"('m{i:05d}', '{mimes[i % len(mimes)]}', {1000 * (1 + i % 30)})"
+        for i in range(n_rows)
+    )
+    return f"""
+    WITH media(media_id, mime, duration_ms) AS (VALUES {rows})
+    SELECT media_id, mime, CAST(unnest(range(0, duration_ms, {every_ms})) AS BIGINT) AS frame_ts_ms
+    FROM media
+    """
+
+
+@register(
+    "multimodal_frame_plan",
+    _frame_plan_oracle_sql(),
+    doc="video frame-sampling plan: (media_id, duration) -> one row per "
+        "sampled timestamp, pure JVM explode (the per-frame decode rides "
+        "the same mapInPandas slot as extract_features)",
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.functions.multimodal import frame_sample_plan, synthetic_media
+
+    media = synthetic_media(spark, n_rows=64)
+    return frame_sample_plan(media, every_ms=1000).withColumn(
+        "frame_ts_ms", F.col("frame_ts_ms").cast("long")
+    )
 
 
 def _multimodal_oracle_sql(n_rows: int = 64, seed: int = 42, dim: int = 16) -> str:

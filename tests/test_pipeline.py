@@ -243,3 +243,30 @@ def test_lineage_resume_on_file_uri(spark, tmp_path):
     assert third["written_buckets"] == 1 and third["skipped_buckets"] == 7
     rep = lineage.verify_sink(spark, base)
     assert rep["ok"] and rep["rows"] == 800
+
+
+def test_read_log_files_tags_and_multiline(spark, tmp_path):
+    """input_file batch analogue: path tag, topic regex, per-file offsets
+    feeding the multiline merger across files."""
+    from loongcollector_spark.operators.multiline import merge_multiline
+    from loongcollector_spark.sources.files import PATH_TAG, read_log_files
+
+    d = tmp_path / "logs" / "app-a"
+    d.mkdir(parents=True)
+    (d / "one.log").write_text("ERROR boom\n  at A\n  at B\nERROR again\n")
+    d2 = tmp_path / "logs" / "app-b"
+    d2.mkdir()
+    (d2 / "two.log").write_text("ERROR other\n  at C\n")
+
+    df = read_log_files(
+        spark, str(tmp_path / "logs"), topic_format=r"/(app-[^/]+)/", line_offset=True
+    )
+    assert set(df.columns) == {"content", PATH_TAG, "__topic__", "__offset__"}
+    assert {r["__topic__"] for r in df.collect()} == {"app-a", "app-b"}
+
+    merged = merge_multiline(
+        df, "content", file_col=PATH_TAG, offset_col="__offset__",
+        start_pattern=r"^ERROR",
+    )
+    blocks = sorted(r.content for r in merged.collect())
+    assert blocks == ["ERROR again", "ERROR boom\n  at A\n  at B", "ERROR other\n  at C"]
