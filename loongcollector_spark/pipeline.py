@@ -43,6 +43,7 @@ from loongcollector_spark.operators.parse_json import expand_json, parse_json
 from loongcollector_spark.operators.parse_kv import parse_key_value
 from loongcollector_spark.operators.parse_regex import parse_regex
 from loongcollector_spark.operators.parse_time import parse_timestamp, reformat_time
+from loongcollector_spark.operators.spl import spl_processor as _spl_processor
 from loongcollector_spark.sinks import SinkSpec, write_sink
 
 # Processor registry — the PluginRegistry analogue. Each entry is
@@ -89,6 +90,7 @@ PROCESSORS: dict[str, Callable[..., DataFrame]] = {
     "otel_metric_shape": enrich.otel_metric_shape,
     "geo_cidr_lookup": enrich.geo_cidr_lookup,
     "dynamic_topic": route.dynamic_topic,
+    "spl": _spl_processor,
 }
 
 

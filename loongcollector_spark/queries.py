@@ -661,6 +661,31 @@ def otel_metric_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "spl_pipeline_extract",
+    """
+    SELECT event_id, event_type,
+           regexp_extract(props, '"k": (\\d+)', 1) AS kval,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) % 10 AS vk
+    FROM events WHERE event_type <> 'click'
+    """,
+    doc="processor_spl subset compiler: '* | parse-regexp ... | where ... | "
+        "extend cast ... | project' compiled at plan time into pure Catalyst "
+        "expressions (core/unittest/spl/SplUnittest.cpp surface)",
+)
+def spl_pipeline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.spl import compile_spl
+
+    ev = load_table(spark, sf_dir, "events")
+    return compile_spl(
+        ev,
+        r"""* | parse-regexp props, '"k": (\d+)' as kval
+              | where event_type != 'click'
+              | extend vk=cast(kval as INTEGER) % 10
+              | project event_id, event_type, kval, vk""",
+    )
+
+
+@register(
     "context_pack_sequences",
     """
     SELECT doc_id,

@@ -1,0 +1,99 @@
+"""SPL subset compiler — cases mirror core/unittest/spl/SplUnittest.cpp."""
+
+from __future__ import annotations
+
+import pytest
+
+from loongcollector_spark.operators.spl import SplError, compile_spl
+
+
+def lines(spark, *vals):
+    return spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, content string")
+
+
+def test_spl_where(spark):
+    # SplUnittest TestWhere: "* | where content='value_3_0'"
+    df = lines(spark, "value_1_0", "value_3_0", "value_3_0")
+    out = compile_spl(df, "* | where content='value_3_0'")
+    assert out.count() == 2
+
+
+def test_spl_extend_json_extract(spark):
+    # TestExtend: json_extract over nested body -> "1"/"2" as JSON text
+    df = lines(spark, '{"body": {"a": 1, "b": 2}}')
+    out = compile_spl(
+        df, "* | extend a=json_extract(content, '$.body.a'), b=json_extract(content, '$.body.b')"
+    )
+    r = out.first()
+    assert r.a == "1" and r.b == "2"
+
+
+def test_spl_parse_json_dynamic_keys(spark):
+    # TestJsonParse: per-row key sets union into columns, absent -> null
+    df = lines(spark, '{"a1":"bbbb","c":"d"}', '{"a1":"ccc","c1":"d1"}')
+    out = compile_spl(df, "* | parse-json content ")
+    rows = {r.id: r for r in out.collect()}
+    assert rows[0].a1 == "bbbb" and rows[0].c == "d" and rows[0].c1 is None
+    assert rows[1].a1 == "ccc" and rows[1].c1 == "d1" and rows[1].c is None
+
+
+def test_spl_parse_regexp(spark):
+    # TestRegexParse: '(\S+)\s+(\w+)' as ip, method
+    df = lines(spark, "10.0.0.1 GET /index", "10.0.0.2 POST /form")
+    out = compile_spl(df, r"* | parse-regexp content, '(\S+)\s+(\w+)' as ip, method")
+    rows = {r.id: r for r in out.collect()}
+    assert rows[0].ip == "10.0.0.1" and rows[0].method == "GET"
+    assert rows[1].ip == "10.0.0.2" and rows[1].method == "POST"
+
+
+def test_spl_parse_csv(spark):
+    # TestCsvParse: parse-csv content as x, y, z
+    df = lines(spark, "a,b,c", '1,"q,uoted",3')
+    out = compile_spl(df, "* | parse-csv content as x, y, z")
+    rows = {r.id: r for r in out.collect()}
+    assert (rows[0].x, rows[0].y, rows[0].z) == ("a", "b", "c")
+    assert (rows[1].x, rows[1].y, rows[1].z) == ("1", "q,uoted", "3")
+
+
+def test_spl_parse_kv_regexp_and_delims(spark):
+    # TestParseKv: -regexp '(\w+)=(\w+)' over k1=v1&k2=v2?k3=v3
+    df = lines(spark, "k1=v1&k2=v2?k3=v3")
+    out = compile_spl(df, r"* | parse-kv -regexp content, '(\w+)=(\w+)'")
+    r = out.first()
+    assert (r.k1, r.k2, r.k3) == ("v1", "v2", "v3")
+    out2 = compile_spl(df, "* | parse-kv -delims='&?' content")
+    r2 = out2.first()
+    assert (r2.k1, r2.k2, r2.k3) == ("v1", "v2", "v3")
+
+
+def test_spl_project_rename_and_chain(spark):
+    # TestTag-ish: parse-json | project-rename "__tag__:taiye2"=a1
+    df = lines(spark, '{"a1":"x"}')
+    out = compile_spl(df, '* | parse-json content | project-rename "__tag__:taiye2"=a1')
+    assert out.first()["__tag__:taiye2"] == "x"
+
+
+def test_spl_date_parse_time_chain(spark):
+    # SplUnittest time chain: date_parse + to_unixtime + cast + project-away
+    df = lines(spark, '{"time":"2024-02-01T10:30:00","k":"v"}')
+    out = compile_spl(
+        df,
+        "* | parse-json content "
+        "| extend ts=date_parse(time, '%Y-%m-%dT%H:%i:%S')"
+        "| extend __time__=cast(to_unixtime(ts) as INTEGER)-28800"
+        "| project-away ts| project-away content",
+    )
+    r = out.first()
+    assert "content" not in out.columns and "ts" not in out.columns
+    import calendar
+
+    expected = calendar.timegm((2024, 2, 1, 10, 30, 0)) - 28800
+    assert r["__time__"] == expected
+
+
+def test_spl_rejects_multi_statement(spark):
+    df = lines(spark, "x")
+    with pytest.raises(SplError):
+        compile_spl(df, "* | where content='a'; * | where content='b'")
+    with pytest.raises(SplError):
+        compile_spl(df, "* | sort content")
