@@ -847,6 +847,62 @@ def filter_expression_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "filter_include_exclude_counts",
+    """
+    SELECT event_type, COUNT(*) AS rows FROM events
+    WHERE regexp_matches(event_type, 'click|view')
+      AND NOT regexp_matches(props, '"k": 1\\d}')
+    GROUP BY 1
+    """,
+    doc="filter_regex include/exclude maps (include: all must match; "
+        "exclude: any match drops), plugins/processor/filter semantics",
+)
+def filter_include_exclude_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = filters.filter_include_exclude(
+        ev,
+        include={"event_type": "click|view"},
+        exclude={"props": r'"k": 1\d}'},
+    )
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("rows"))
+
+
+@register(
+    "multiline_merge_by_flag",
+    """
+    WITH lines AS (
+      SELECT user_id, event_id,
+             event_type || '#' || CAST(event_id AS VARCHAR) AS line,
+             event_id % 3 <> 0 AS partial
+      FROM events),
+    tagged AS (
+      SELECT user_id, event_id, line,
+             COALESCE(SUM(CASE WHEN NOT partial THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS blk
+      FROM lines)
+    SELECT user_id, MIN(event_id) AS event_id,
+           string_agg(line, '' ORDER BY event_id) AS line
+    FROM tagged GROUP BY user_id, blk
+    """,
+    doc="merge_multiline BY_FLAG: container-runtime partial-chunk "
+        "reassembly, block ends at the first non-partial row "
+        "(ProcessorMergeMultilineLogNative.h:26-51)",
+)
+def multiline_merge_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.multiline import merge_by_flag
+
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(
+        "user_id",
+        "event_id",
+        F.concat("event_type", F.lit("#"), F.col("event_id").cast("string")).alias("line"),
+        (F.col("event_id") % 3 != 0).alias("partial"),
+    )
+    return merge_by_flag(lines, "line", "user_id", "event_id", "partial")
+
+
+@register(
     "rate_limit_first_n",
     """
     SELECT user_id, event_id FROM (
