@@ -13,10 +13,17 @@ execution mode with the idiomatic Spark mapping:
 | flush timeout | trigger interval (``processingTime``/``availableNow``) |
 | Router fan-out to flushers | ``foreachBatch`` conditional per-sink writes |
 | token-bucket rate limit | ``applyInPandasWithState`` per-key bucket state |
+| periodic self-monitoring rollup | watermarked tumbling-window aggregation (``streaming_windowed_rollup``) |
 """
 
 from loongcollector_spark.streaming.multiline import streaming_merge_multiline
 from loongcollector_spark.streaming.pipeline import run_streaming_pipeline
 from loongcollector_spark.streaming.rate_limit import streaming_rate_limit
+from loongcollector_spark.streaming.rollup import streaming_windowed_rollup
 
-__all__ = ["run_streaming_pipeline", "streaming_rate_limit", "streaming_merge_multiline"]
+__all__ = [
+    "run_streaming_pipeline",
+    "streaming_rate_limit",
+    "streaming_merge_multiline",
+    "streaming_windowed_rollup",
+]

@@ -169,3 +169,67 @@ def test_streaming_multiline_cross_batch(spark, tmp_path):
     assert got[0] == "START a\ncont1\ncont2"
     assert got[3] == "START b\ntail"
     assert len(got) == 2
+
+
+def test_streaming_windowed_rollup_watermark(spark, tmp_path):
+    """Watermarked tumbling-window rollup: the watermark persists in the
+    checkpoint across restarts, and a row older than it is DROPPED (bounded
+    state); fresh rows keep updating their window."""
+    from datetime import datetime, timedelta
+
+    from loongcollector_spark.streaming.rollup import streaming_windowed_rollup
+
+    src = tmp_path / "roll_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "roll_ckpt")
+    schema = "ts timestamp, source string, n_tok int"
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+
+    def run():
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        rolled = streaming_windowed_rollup(
+            stream, "ts", "source", tokens_col="n_tok",
+            window_duration="1 minute", watermark="2 minutes",
+        )
+        updates = []
+
+        def sink(batch_df, batch_id):
+            updates.extend(batch_df.collect())
+
+        q = (
+            rolled.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (str(r.window_start), r.source): (r.rows, r.tokens) for r in updates
+        }
+
+    # run 1: two windows; final watermark = 10:20 - 2min = 10:18
+    write_batch("b1", [
+        (t0, "web", 5), (t0 + timedelta(seconds=30), "web", 5),
+        (t0 + timedelta(minutes=20), "web", 7),
+    ])
+    got1 = run()
+    assert got1[("2024-01-01 10:00:00", "web")] == (2, 10)
+    assert got1[("2024-01-01 10:20:00", "web")] == (1, 7)
+
+    # run 2 (same checkpoint): a 10:00:40 row is older than the persisted
+    # watermark -> dropped, its window never re-emitted; the fresh row lands
+    write_batch("b2", [
+        (t0 + timedelta(seconds=40), "web", 100),
+        (t0 + timedelta(minutes=21), "web", 7),
+    ])
+    got2 = run()
+    assert ("2024-01-01 10:00:00", "web") not in got2  # late row dropped
+    assert got2[("2024-01-01 10:21:00", "web")] == (1, 7)
