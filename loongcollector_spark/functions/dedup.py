@@ -106,10 +106,12 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    # the inverted index feeds both sides of the pair join (and the df-cut
-    # when enabled): persist it so shingling runs once, not 2-3 times
+    # the inverted index feeds both sides of the pair join, the df-cut, AND
+    # the per-doc sizes: persist it so shingling runs exactly once (deriving
+    # sizes from `sh` instead would re-shingle the corpus once per broadcast)
     inv = _track_persist(sh.select("id", F.explode("sh").alias("g")))
+    # shingles are distinct per doc, so n_sh == exploded row count
+    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df:
         df_counts = inv.groupBy("g").count().filter(F.col("count") <= max_shingle_df)
         inv = inv.join(df_counts.select("g"), "g")
