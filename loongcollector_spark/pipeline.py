@@ -43,6 +43,12 @@ from loongcollector_spark.operators.parse_json import expand_json, parse_json
 from loongcollector_spark.operators.parse_kv import parse_key_value
 from loongcollector_spark.operators.parse_regex import parse_regex
 from loongcollector_spark.operators.parse_time import parse_timestamp, reformat_time
+from loongcollector_spark.operators.parse_container import (
+    parse_container_log as _parse_container_log,
+)
+from loongcollector_spark.operators.parse_prometheus import (
+    parse_prometheus as _parse_prometheus,
+)
 from loongcollector_spark.operators.spl import spl_processor as _spl_processor
 from loongcollector_spark.sinks import SinkSpec, write_sink
 
@@ -54,6 +60,8 @@ PROCESSORS: dict[str, Callable[..., DataFrame]] = {
     "expand_json": expand_json,
     "parse_delimiter": parse_delimiter,
     "parse_csv": parse_csv,
+    "parse_container_log": _parse_container_log,
+    "parse_prometheus": _parse_prometheus,
     "parse_key_value": parse_key_value,
     "parse_apsara": parse_apsara,
     "parse_timestamp": parse_timestamp,

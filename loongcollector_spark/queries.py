@@ -227,6 +227,39 @@ def parse_csv_expand_others(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "parse_container_stdio",
+    """
+    SELECT event_id,
+           't' || event_id AS "_time_",
+           CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS "_source_",
+           event_id % 4 = 1 AS "__is_partial__",
+           'msg ' || event_type AS content
+    FROM events
+    """,
+    doc="processor_parse_container_log_native containerd-text decode "
+        "(ProcessorParseContainerLogNative.cpp:176-258): time/source split, "
+        "P/F chunk tags feeding the BY_FLAG merge flag",
+)
+def parse_container_stdio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.parse_container import parse_container_log
+
+    ev = load_table(spark, sf_dir, "events")
+    # event_id%4: 0 -> F tag, 1 -> P tag, 2/3 -> untagged
+    line = F.concat(
+        F.lit("t"), F.col("event_id").cast("string"),
+        F.when(F.col("event_id") % 2 == 0, " stdout ").otherwise(" stderr "),
+        F.when(F.col("event_id") % 4 == 0, "F ")
+        .when(F.col("event_id") % 4 == 1, "P ")
+        .otherwise(""),
+        F.lit("msg "), F.col("event_type"),
+    )
+    out = parse_container_log(
+        ev.select("event_id", line.alias("raw")), source_key="raw"
+    )
+    return out.select("event_id", "_time_", "_source_", "__is_partial__", "content")
+
+
+@register(
     "parse_kv_roundtrip",
     """
     SELECT event_id,
@@ -708,6 +741,43 @@ def context_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__pack_seq__").alias("pack_seq"),
         F.col("__pack_id__").alias("pack_id"),
     )
+
+
+@register(
+    "prom_parse_relabel",
+    """
+    SELECT event_id,
+           'req_total' AS "__name__",
+           'hostnum=' || (user_id % 20) || '#$#method=' || event_type AS "__labels__",
+           CAST(CAST(floor(abs(value) * 100) AS BIGINT) AS DOUBLE) AS "__value__",
+           event_id * 1000 * 1000000 AS "__time_nano__"
+    FROM events
+    """,
+    doc="ProcessorPromParseMetricNative + ProcessorPromRelabelMetricNative: "
+        "exposition-text lines parsed to metric rows, then relabeled "
+        "(replace host->hostnum, labeldrop host) — all column expressions",
+)
+def prom_parse_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.parse_prometheus import (
+        RelabelConfig, parse_prometheus, prom_relabel,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit('req_total{method="'), F.col("event_type"),
+        F.lit('",host="h'), (F.col("user_id") % 20).cast("string"),
+        F.lit('"} '), F.floor(F.abs("value") * 100).cast("long").cast("string"),
+        F.lit(" "), (F.col("event_id") * 1000).cast("string"),
+    )
+    parsed = parse_prometheus(
+        ev.select("event_id", line.alias("prom_line")), "prom_line"
+    )
+    out = prom_relabel(parsed, [
+        RelabelConfig(action="replace", source_labels=["host"],
+                      regex="h([0-9]+)", target_label="hostnum"),
+        RelabelConfig(action="labeldrop", regex="host"),
+    ])
+    return out.select("event_id", "__name__", "__labels__", "__value__", "__time_nano__")
 
 
 @register(

@@ -260,3 +260,57 @@ def test_parse_delimiter_quoted_empty_fields(spark):
     )
     rows = sorted([(r.k1, r.k2, r.k3) for r in out.collect()])
     assert rows == [("a", "", "c"), ("x", "", "z")]
+
+
+def test_parse_prometheus_lines(spark):
+    # TextParser surface: labels + escapes, +Inf/NaN, explicit timestamp,
+    # comments/blank/garbage dropped, scrape-default timestamp fallback
+    from loongcollector_spark.operators.parse_prometheus import parse_prometheus
+
+    lines = [
+        'http_requests_total{method="post",code="200"} 1027 1395066363000',
+        'node_load1 0.5',
+        'bucket{le="+Inf"} 144320',
+        'weird{msg="a\\"b\\\\c\\nd"} NaN',
+        '# HELP http_requests_total The total number of HTTP requests.',
+        '',
+        'not a metric line !!',
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "content string")
+    out = parse_prometheus(df, "content", default_ts_ms=1700000000000)
+    rows = {r["__name__"]: r for r in out.collect()}
+    assert set(rows) == {"http_requests_total", "node_load1", "bucket", "weird"}
+    r = rows["http_requests_total"]
+    assert r["__labels__"] == "code=200#$#method=post"
+    assert r["__value__"] == 1027.0 and r["__time_nano__"] == 1395066363000 * 1_000_000
+    assert rows["node_load1"]["__time_nano__"] == 1700000000000 * 1_000_000
+    assert rows["bucket"]["labels_map"] == {"le": "+Inf"}
+    import math
+
+    assert math.isnan(rows["weird"]["__value__"])
+    assert rows["weird"]["labels_map"]["msg"] == 'a"b\\c\nd'
+
+
+def test_prom_relabel_actions(spark):
+    from loongcollector_spark.operators.parse_prometheus import (
+        RelabelConfig, parse_prometheus, prom_relabel,
+    )
+
+    lines = [
+        'up{job="api",instance="h1:9100"} 1',
+        'up{job="db",instance="h2:9100"} 0',
+        'scrape_duration{job="api",tmp_x="y"} 3',
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "content string")
+    parsed = parse_prometheus(df, "content")
+    out = prom_relabel(parsed, [
+        RelabelConfig(action="keep", source_labels=["job"], regex="api"),
+        RelabelConfig(action="replace", source_labels=["instance"],
+                      regex="([^:]+):.*", target_label="host"),
+        RelabelConfig(action="labeldrop", regex="tmp_.*"),
+    ])
+    rows = {r["__name__"]: r for r in out.collect()}
+    assert set(rows) == {"up", "scrape_duration"}  # job=db dropped
+    assert rows["up"]["labels_map"]["host"] == "h1"
+    assert "tmp_x" not in rows["scrape_duration"]["labels_map"]
+    assert rows["scrape_duration"]["__labels__"] == "job=api"
