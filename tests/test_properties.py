@@ -111,3 +111,40 @@ def test_token_subseq_find_matches_python_reference(spark, rows, pat):
     got = {r["i"]: r["match_pos"] for r in token_subseq_find(df, "tokens", pat).collect()}
     for i, arr in enumerate(rows):
         assert got[i] == ref(arr), (arr, pat)
+
+
+def _go_csv_encode(fields: list[str], sep: str = ",") -> str:
+    """Independent Go csv.Writer model (fieldNeedsQuotes) for the round-trip
+    property — quoting decided per cell, embedded quotes doubled."""
+    out = []
+    for f in fields:
+        needs = (
+            sep in f or '"' in f or "\n" in f or "\r" in f
+            or (f[:1].isspace() if f else False)
+        )
+        out.append('"' + f.replace('"', '""') + '"' if needs else f)
+    return sep.join(out)
+
+
+_cell = st.text(
+    alphabet="abcXYZ019 ,\"'.-_\t", max_size=12
+).filter(lambda s: "\n" not in s and "\r" not in s)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.lists(_cell, min_size=1, max_size=6), min_size=1, max_size=10))
+def test_csv_encode_parse_roundtrip(spark, rows_fields):
+    """Go-writer-encoded record -> parse_csv recovers every field in
+    position (incl. empty fields, embedded quotes/commas/spaces)."""
+    from loongcollector_spark.operators.parse_delimiter import parse_csv
+
+    width = max(len(f) for f in rows_fields)
+    keys = [f"c{i}" for i in range(width)]
+    rows = [(i, _go_csv_encode(f)) for i, f in enumerate(rows_fields)]
+    df = spark.createDataFrame(rows, "__row__ int, line string")
+    parsed = parse_csv(df, "line", keys, keep_source=True).collect()
+    for r in parsed:
+        fields = rows_fields[r["__row__"]]
+        for i in range(width):
+            expect = fields[i] if i < len(fields) else None
+            assert r[f"c{i}"] == expect, (fields, r.asDict())
