@@ -66,6 +66,24 @@ def main() -> None:
         "pipeline": pipeline_stats,
         "cpus": int(cpus),
     }
+    # two-parallelism scaling evidence (north rule): produced by
+    # tools/bench_scaling.py --scaling; surfaced here so the per-round bench
+    # record carries the efficiency number alongside throughput
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".bench_state", "scaling.json")) as fh:
+            sc = json.load(fh)
+        ratio = sc["n_high"] / sc["n_low"]
+        out["scaling"] = {
+            "n_rows": sc["n"],
+            "low_cpus": sc["n_low"],
+            "high_cpus": sc["n_high"],
+            "low_seq_per_sec": round(sc["n"] / sc["t_low"], 1),
+            "high_seq_per_sec": round(sc["n"] / sc["t_high"], 1),
+            "efficiency": round(sc["t_low"] / (ratio * sc["t_high"]), 3),
+        }
+    except Exception:
+        pass
     spark.stop()
     print(json.dumps(out))
 
