@@ -61,3 +61,19 @@ def test_oracle_spot(spark, duck, name):
     assert sorted(sdf.columns) == sorted(list(ddf.columns))
     assert len(srows) == len(drows)
     assert table_hash(sdf.columns, srows) == table_hash(list(ddf.columns), drows)
+
+
+def test_new_parse_queries_are_shuffle_free(spark):
+    """Container/prometheus/SPL parse queries must compile to pure
+    projection+filter plans: zero exchanges, fused into the scan."""
+    from loongcollector_spark.queries import QUERIES
+
+    for name in ("parse_container_stdio", "prom_parse_relabel", "spl_pipeline_extract"):
+        plan = (
+            QUERIES[name]
+            .spark(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan[:800]}"
