@@ -180,6 +180,14 @@ def rate_limit_sampled(
     return joined.filter(keep).drop("__rl_cnt__")
 
 
+def rate_limit_sampled_by_key(
+    df: DataFrame, fields: Sequence[str], limit: int, id_key: str
+) -> DataFrame:
+    """Config-registry form of rate_limit_sampled: the deterministic row id
+    is named by column."""
+    return rate_limit_sampled(df, fields, limit, F.col(id_key))
+
+
 # --- fields_with_condition (switch-case) ------------------------------------
 
 @dataclass

@@ -76,6 +76,7 @@ PROCESSORS: dict[str, Callable[..., DataFrame]] = {
     "filter_key_regex": filters.filter_key_regex,
     "fields_with_condition": filters.fields_with_condition,
     "rate_limit": filters.rate_limit,
+    "rate_limit_sampled": filters.rate_limit_sampled_by_key,
     "drop": filters.drop_keys,
     "pick_keys": filters.pick_keys,
     "add_fields": enrich.add_fields,
