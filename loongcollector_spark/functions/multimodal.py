@@ -73,6 +73,50 @@ def extract_features(
     )
 
 
+def resize_media(
+    df: DataFrame, target_w: int, target_h: int, batch_rows: int = 256, use_stub: bool = True
+) -> DataFrame:
+    """Image resize plumbing: mapInPandas over binary payloads producing the
+    resized payload + updated dims. The decode/resample step is STUBBED (no
+    image libs in this container): the stub emits a deterministic payload of
+    ``target_w*target_h`` bytes derived from sha256(payload) so downstream
+    schema/partitioning/batch shape are real and testable; ``use_stub=False``
+    raises where the PIL resize would slot in. Payload rows never shuffle —
+    the transform runs straight off the scan."""
+    out_schema = (
+        "media_id string, mime string, width int, height int, payload binary"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = target_w * target_h
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if not use_stub:
+                raise NotImplementedError(
+                    "real resize requires an image library not present here"
+                )
+            payloads = [
+                bytes(
+                    (hashlib.sha256(bytes(p)).digest() * (n // 32 + 1))[:n]
+                )
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": payloads,
+                }
+            )
+
+    return df.repartition(
+        max(df.sparkSession.sparkContext.defaultParallelism, 4)
+    ).mapInPandas(run, schema=out_schema)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expands (media_id, duration_ms) into one
     row per sampled timestamp — pure JVM explode; the per-frame decode would

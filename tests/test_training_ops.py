@@ -186,3 +186,21 @@ def test_frame_sample_plan(spark):
     durations = {r.media_id: r.duration_ms for r in media.collect()}
     for mid, n in counts.items():
         assert n == (durations[mid] - 1) // 1000 + 1
+
+
+def test_resize_media_stub_shapes(spark):
+    """Resize plumbing: deterministic stub payloads sized w*h, dims updated,
+    ids preserved — the Spark-side contract a real codec drops into."""
+    import hashlib
+
+    from loongcollector_spark.functions.multimodal import resize_media, synthetic_media
+
+    media = synthetic_media(spark, n_rows=12)
+    out = resize_media(media, 8, 6).collect()
+    assert len(out) == 12
+    orig = {r.media_id: bytes(r.payload) for r in synthetic_media(spark, n_rows=12).collect()}
+    for r in out:
+        assert (r.width, r.height) == (8, 6)
+        assert len(r.payload) == 48
+        expect = (hashlib.sha256(orig[r.media_id]).digest() * 2)[:48]
+        assert bytes(r.payload) == expect
