@@ -214,12 +214,11 @@ def compile_spl(df: DataFrame, script: str) -> DataFrame:
     """Compile one linear SPL pipeline into a DataFrame (see module doc for
     the supported subset)."""
     script = script.strip()
-    if ";" in _split_top(script, ";")[0] or len(_split_top(script, ";")) > 2 or (
-        len(_split_top(script, ";")) == 2 and _split_top(script, ";")[1].strip()
-    ):
+    statements = [s for s in _split_top(script, ";") if s.strip()]
+    if len(statements) > 1:
         raise SplError("multi-statement SPL scripts are not supported; "
                        "compose compile_spl calls or use the DataFrame API")
-    script = _split_top(script, ";")[0].strip()
+    script = statements[0].strip() if statements else ""
     stages = [s.strip() for s in _split_top(script, "|")]
     if stages and stages[0] in ("*", ""):
         stages = stages[1:]
