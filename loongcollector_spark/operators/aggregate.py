@@ -128,7 +128,19 @@ def metadata_group_hashed(
     cnts = df.groupBy(*[F.col(k) for k in metadata_keys]).agg(
         F.count(F.lit(1)).alias("__mg_cnt__")
     )
-    out = df.join(F.broadcast(cnts), list(metadata_keys), "left")
+    renamed = cnts
+    for k in metadata_keys:
+        renamed = renamed.withColumnRenamed(k, f"__mg_{k}__")
+    # null-safe equi-join (same reason as rate_limit_sampled: null metadata
+    # keys must find their count, else the whole null population collapses
+    # into one uncapped slice)
+    cond = None
+    for k in metadata_keys:
+        c = F.col(k).eqNullSafe(F.col(f"__mg_{k}__"))
+        cond = c if cond is None else (cond & c)
+    out = df.join(F.broadcast(renamed), cond, "left").drop(
+        *[f"__mg_{k}__" for k in metadata_keys]
+    )
     n_groups = F.greatest(
         F.ceil(F.col("__mg_cnt__") / max_events).cast("long"), F.lit(1)
     )

@@ -398,8 +398,10 @@ def _otlp_num_str(c: Column) -> Column:
 
 def _otlp_attr_kv(attrs: Column) -> Column:
     """OTLP KeyValue list -> array of 'k=v' label strings (anyValueToString
-    semantics, otlp_metric_parser.go:26-46, for the scalar kinds)."""
-    return F.transform(
+    semantics, otlp_metric_parser.go:26-46, for the scalar kinds). Proto3
+    JSON omits empty arrays, so a missing attributes field parses as null —
+    coalesced to [] here, else every downstream concat would null out."""
+    kv = F.transform(
         attrs,
         lambda a: F.concat(
             a["key"],
@@ -413,6 +415,7 @@ def _otlp_attr_kv(attrs: Column) -> Column:
             ),
         ),
     )
+    return F.coalesce(kv, F.array().cast("array<string>"))
 
 
 def otel_metric_shape(df: DataFrame, source_key: str) -> DataFrame:

@@ -172,7 +172,18 @@ def rate_limit_sampled(
     cnts = df.groupBy(*[F.col(f) for f in fields]).agg(
         F.count(F.lit(1)).alias("__rl_cnt__")
     )
-    joined = df.join(F.broadcast(cnts), list(fields), "left")
+    renamed = cnts
+    for f in fields:
+        renamed = renamed.withColumnRenamed(f, f"__rl_{f}__")
+    # null-safe equi-join: groupBy groups null keys, and a plain equi-join
+    # would never match them back — silently dropping every null-keyed row
+    cond = None
+    for f in fields:
+        c = F.col(f).eqNullSafe(F.col(f"__rl_{f}__"))
+        cond = c if cond is None else (cond & c)
+    joined = df.join(F.broadcast(renamed), cond, "left").drop(
+        *[f"__rl_{f}__" for f in fields]
+    )
     n_slices = F.ceil(F.col("__rl_cnt__") / limit).cast("long")
     keep = (F.col("__rl_cnt__") <= limit) | (
         F.pmod(F.xxhash64(id_expr), n_slices) == 0

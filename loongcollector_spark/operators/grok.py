@@ -187,6 +187,15 @@ def parse_grok(
     for i in range(len(compiled) - 1, -1, -1):
         win = F.when(match_cols[i], F.lit(i)).otherwise(win)
 
+    # Java group NUMBERS follow group-OPEN order in the final regex, which
+    # differs from capture-creation order when an aliased pattern nests
+    # aliased sub-patterns (the outer group opens first but is named last) —
+    # scan the regex for the positional index of each synthetic name
+    group_pos = [
+        {m.group(1): j for j, m in enumerate(_NAMED_GROUP_RE.finditer(regex), start=1)}
+        for regex, _ in compiled
+    ]
+
     out = df.withColumn("__grok_win__", win)
     for alias, typ in all_keys:
         expr: Column = F.lit(None).cast("string")
@@ -194,7 +203,7 @@ def parse_grok(
             regex, caps = compiled[i]
             last = _last_capture_per_alias(caps)
             if alias in last:
-                gidx = int(last[alias].group[1:])  # gN -> capture index N
+                gidx = group_pos[i][last[alias].group]
                 expr = F.when(
                     F.col("__grok_win__") == i,
                     F.regexp_extract(src, regex, gidx),
@@ -240,9 +249,16 @@ def _parse_grok_arrow(
         for _, caps in compiled
     ]
 
-    in_schema = df.schema
-    out_fields = ", ".join(f"`{a}` string" for a in aliases)
-    schema = f"{in_schema.simpleString()[7:-1]}, {out_fields}, `__grok_win__` int"
+    # build the output StructType programmatically — simpleString() does not
+    # quote field names, so a column like '__tag__:__path__' would produce
+    # unparseable DDL
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(a, StringType()) for a in aliases]
+        + [StructField("__grok_win__", IntegerType())]
+    )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import warnings
@@ -267,12 +283,15 @@ def _parse_grok_arrow(
                 if not hit.any():
                     continue
                 hit_idx = idx[hit]
-                ext = s.iloc[hit_idx].str.extract(creg)
-                for gname, alias in pattern_aliases[i]:
-                    vals = ext[gname]
-                    out[alias][hit_idx] = vals.where(vals.notna(), "").to_numpy(
-                        dtype=object
-                    )
+                if pattern_aliases[i]:
+                    # str.extract raises on zero-capture regexes; a
+                    # capture-less pattern only consumes the rows (match test)
+                    ext = s.iloc[hit_idx].str.extract(creg)
+                    for gname, alias in pattern_aliases[i]:
+                        vals = ext[gname]
+                        out[alias][hit_idx] = vals.where(vals.notna(), "").to_numpy(
+                            dtype=object
+                        )
                 win[hit_idx] = i
                 remaining[hit_idx] = False
             res = pdf.copy()

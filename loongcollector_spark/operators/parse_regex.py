@@ -79,9 +79,15 @@ def _parse_regex_arrow(
 ) -> DataFrame:
     """Single-pass vectorized extraction (Arrow batches, no per-row Python)."""
     anchored = _anchor(pattern) if full_match else pattern
-    out_fields = ", ".join(f"`{k}` string" for k in keys)
-    in_schema = df.schema
-    schema = f"{in_schema.simpleString()[7:-1]}, {out_fields}, `__parse_ok__` boolean"
+    # programmatic StructType: simpleString() does not quote field names,
+    # breaking on columns with DDL-special chars (e.g. '__tag__:__path__')
+    from pyspark.sql.types import BooleanType, StringType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(k, StringType()) for k in keys]
+        + [StructField("__parse_ok__", BooleanType())]
+    )
 
     compiled = re.compile(anchored)
 

@@ -48,9 +48,12 @@ class SplError(ValueError):
 
 def _split_top(s: str, sep: str) -> list[str]:
     """Split on a separator at depth 0: quotes ('...' / "...") and
-    parentheses protected."""
+    parentheses protected. When splitting stages on '|', the SQL
+    string-concat operator '||' is NOT a separator."""
     parts, buf, q, depth = [], [], None, 0
-    for ch in s:
+    i = 0
+    while i < len(s):
+        ch = s[i]
         if q:
             buf.append(ch)
             if ch == q:
@@ -64,13 +67,39 @@ def _split_top(s: str, sep: str) -> list[str]:
         elif ch == ")":
             depth -= 1
             buf.append(ch)
+        elif ch == sep == "|" and i + 1 < len(s) and s[i + 1] == "|" and depth == 0:
+            buf.append("||")
+            i += 1
         elif ch == sep and depth == 0:
             parts.append("".join(buf))
             buf = []
         else:
             buf.append(ch)
+        i += 1
     parts.append("".join(buf))
     return parts
+
+
+def _rsplit_as(s: str) -> tuple[str, str] | None:
+    """Split at the LAST top-level ' as ' (quote/paren aware) — the word
+    'as' inside a quoted regex must not terminate the pattern."""
+    q, depth = None, 0
+    best = None
+    for i, ch in enumerate(s):
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and q is None and s[i : i + 4] in (" as ", " AS "):
+            best = i
+    if best is None:
+        return None
+    return s[:best], s[best + 4 :]
 
 
 _MYSQL_TO_JAVA = {
@@ -153,10 +182,10 @@ def _stage_parse_json(df: DataFrame, rest: str) -> DataFrame:
 
 
 def _stage_parse_regexp(df: DataFrame, rest: str) -> DataFrame:
-    m = re.match(r"(?s)^(.*?)\bas\b(.*)$", rest)
+    m = _rsplit_as(rest)
     if not m:
         raise SplError(f"parse-regexp needs 'as a, b': {rest!r}")
-    left, names = m.group(1), m.group(2)
+    left, names = m
     args = _split_top(left, ",")
     col = _unquote_ident(args[0])
     pat = _unquote_str(args[1])
@@ -168,11 +197,11 @@ def _stage_parse_regexp(df: DataFrame, rest: str) -> DataFrame:
 def _stage_parse_csv(df: DataFrame, rest: str) -> DataFrame:
     from loongcollector_spark.operators.parse_delimiter import parse_csv
 
-    m = re.match(r"(?s)^(.*?)\bas\b(.*)$", rest)
+    m = _rsplit_as(rest)
     if not m:
         raise SplError(f"parse-csv needs 'as a, b': {rest!r}")
-    col = _unquote_ident(m.group(1).rstrip(", \t"))
-    keys = [_unquote_ident(n) for n in _split_top(m.group(2), ",")]
+    col = _unquote_ident(m[0].rstrip(", \t"))
+    keys = [_unquote_ident(n) for n in _split_top(m[1], ",")]
     return parse_csv(df, col, keys, keep_source=True)
 
 

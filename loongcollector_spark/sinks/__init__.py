@@ -96,6 +96,11 @@ def serialize_rows(df: DataFrame, spec: SinkSpec) -> DataFrame:
             F.col("__time_nano__").cast("string"),
         )
     elif enc == "raw":
+        if not spec.raw_column and not content_cols:
+            raise ValueError(
+                "encoding='raw' needs raw_column (no eligible content column: "
+                "all columns are tags, the time column, or internal)"
+            )
         obj = F.col(spec.raw_column or content_cols[0]).cast("string")
     else:
         raise ValueError(f"unknown sink encoding {enc!r}")
@@ -135,9 +140,16 @@ def write_sink(df: DataFrame, spec: SinkSpec) -> dict[str, Any]:
             writer = writer.partitionedBy(*[_F.col(c) for c in spec.partition_by])
         # honor spec.mode: append must NOT truncate the table (a streaming
         # foreachBatch delivering per-micro-batch appends would otherwise keep
-        # only the last batch's rows)
+        # only the last batch's rows); the FIRST append against a fresh table
+        # creates it instead of failing
         if spec.mode == "append":
-            writer.append()
+            try:
+                writer.append()
+            except Exception as e:
+                if "TABLE_OR_VIEW_NOT_FOUND" in str(e) or "NoSuchTable" in str(e):
+                    writer.create()
+                else:
+                    raise
         else:
             writer.createOrReplace()
         return {"sink": spec.name, "delivered": True, "table": spec.path}

@@ -216,3 +216,18 @@ def test_otel_metric_shape_histogram_and_summary(spark):
     # gauge asInt + data-point attribute label
     assert rows[("up", "host=h1#$#iface=eth0")] == (3000, 7.0)
     assert len(rows) == 10
+
+
+def test_otel_metric_omitted_attributes(spark):
+    # proto3 JSON omits empty arrays: missing attributes must yield the
+    # resource labels (or empty labels), never null
+    from loongcollector_spark.operators.enrich import otel_metric_shape
+
+    payload = (
+        '{"resourceMetrics":[{"resource":{},' 
+        '"scopeMetrics":[{"metrics":[{"name":"g","gauge":{"dataPoints":'
+        '[{"timeUnixNano":"5","asDouble":1.5}]}}]}]}]}'
+    )
+    df = spark.createDataFrame([(payload,)], "body string")
+    r = otel_metric_shape(df, "body").first()
+    assert r["__name__"] == "g" and r["__labels__"] == "" and r["__value__"] == 1.5

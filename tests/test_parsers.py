@@ -314,3 +314,47 @@ def test_prom_relabel_actions(spark):
     assert rows["up"]["labels_map"]["host"] == "h1"
     assert "tmp_x" not in rows["scrape_duration"]["labels_map"]
     assert rows["scrape_duration"]["__labels__"] == "job=api"
+
+
+def test_grok_nested_alias_group_index(spark):
+    # finding: nested aliased sub-patterns (URIHOST contains %{...:port})
+    # must map to the RIGHT regex group in the JVM engine — group numbers
+    # follow group-open order, not capture-creation order
+    df = lines_df(spark, "example.com:8080 GET")
+    out = parse_grok(df, "content", match=["%{URIHOST:hostport} %{WORD:verb}"],
+                     engine="jvm")
+    r = out.first()
+    assert r.hostport == "example.com:8080"
+    assert r.port == "8080"
+    assert r.verb == "GET"
+    # arrow engine agrees
+    r2 = parse_grok(df, "content", match=["%{URIHOST:hostport} %{WORD:verb}"],
+                    engine="arrow").first()
+    assert (r2.hostport, r2.port, r2.verb) == (r.hostport, r.port, r.verb)
+
+
+def test_grok_captureless_pattern_arrow(spark):
+    # a capture-less fallback pattern in the Match list must not crash the
+    # arrow engine (str.extract rejects zero-group regexes)
+    df = lines_df(spark, "2024-02-01T10:00:00Z bare timestamp line", "no match here")
+    out = parse_grok(
+        df, "content",
+        match=["%{IPORHOST:h} %{WORD:w} %{NOTSPACE:a} %{NOTSPACE:b} %{NOTSPACE:c} %{NOTSPACE:d}",
+               "%{TIMESTAMP_ISO8601}"],
+        engine="arrow",
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[0].h is None  # matched by the capture-less pattern: no fields
+    assert rows[1].h is None
+
+
+def test_grok_arrow_with_special_column_names(spark):
+    # schema round-trip must survive DDL-special column names like the
+    # file source's '__tag__:__path__'
+    df = spark.createDataFrame(
+        [("10.0.0.1 - u [17/May/2015:08:05:32 +0000] \"GET /x HTTP/1.1\" 200 5 \"-\" \"a\"", "/var/log/x")],
+        ["content", "__tag__:__path__"],
+    )
+    out = parse_grok(df, "content", match=["%{COMBINEDAPACHELOG}"])
+    r = out.first()
+    assert r["__tag__:__path__"] == "/var/log/x" and r["clientip"] == "10.0.0.1"

@@ -285,3 +285,25 @@ def test_rate_limit_window_group_limit_pushdown(spark):
     plan = rate_limit(df, ["k"], 10, order_by=["id"])._jdf.queryExecution().executedPlan().toString()
     partial_idx = plan.find("WindowGroupLimit")
     assert partial_idx != -1 and "Partial" in plan
+
+
+def test_rate_limit_sampled_null_keys_kept(spark):
+    # null-keyed rows must find their count through the null-safe join
+    # (a plain equi-join silently dropped them all)
+    from loongcollector_spark.operators.filters import rate_limit_sampled
+
+    rows = [(None, i) for i in range(40)] + [("k", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, id long")
+    out = rate_limit_sampled(df, ["k"], 100, F.col("id"))
+    got = {r[0]: r[1] for r in out.groupBy("k").count().collect()}
+    assert got[None] == 40 and got["k"] == 10
+
+
+def test_metadata_group_hashed_null_keys_capped(spark):
+    from loongcollector_spark.operators.aggregate import metadata_group_hashed
+
+    rows = [(None, i) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, id long")
+    out = metadata_group_hashed(df, ["k"], 100, F.col("id"))
+    n_slices = out.select("__group_seq__").distinct().count()
+    assert n_slices == 5  # ceil(500/100) hash slices, not one uncapped blob

@@ -97,3 +97,13 @@ def test_spl_rejects_multi_statement(spark):
         compile_spl(df, "* | where content='a'; * | where content='b'")
     with pytest.raises(SplError):
         compile_spl(df, "* | sort content")
+
+
+def test_spl_concat_operator_and_quoted_as(spark):
+    # '||' must not split stages; a quoted regex containing ' as ' must not
+    # terminate the parse-regexp pattern early
+    df = lines(spark, "x as y")
+    out = compile_spl(df, "* | extend joined = content || '!' | parse-regexp content, '(\\w+) as (\\w+)' as left, right")
+    r = out.first()
+    assert r.joined == "x as y!"
+    assert (r.left, r.right) == ("x", "y")
