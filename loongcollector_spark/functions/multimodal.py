@@ -44,11 +44,10 @@ def decode_stub(payload: bytes, mime: str, dim: int = 16) -> np.ndarray:
     return (raw.astype(np.float64) / 2**31 - 1.0).astype(np.float32)
 
 
-def extract_features(
-    df: DataFrame, dim: int = 16, batch_rows: int = 256, use_stub: bool = True
-) -> DataFrame:
+def extract_features(df: DataFrame, dim: int = 16, use_stub: bool = True) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas (Arrow batches;
-    payloads never shuffle — the output carries only small vectors)."""
+    payloads never shuffle — the output carries only small vectors). Batch
+    memory is bounded by spark.sql.execution.arrow.maxRecordsPerBatch."""
     decode = decode_stub if use_stub else decode_real
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -74,7 +73,7 @@ def extract_features(
 
 
 def resize_media(
-    df: DataFrame, target_w: int, target_h: int, batch_rows: int = 256, use_stub: bool = True
+    df: DataFrame, target_w: int, target_h: int, use_stub: bool = True
 ) -> DataFrame:
     """Image resize plumbing: mapInPandas over binary payloads producing the
     resized payload + updated dims. The decode/resample step is STUBBED (no
