@@ -558,6 +558,100 @@ def otel_metric_shape(df: DataFrame, source_key: str) -> DataFrame:
     )
 
 
+_OTLP_SPANS_SCHEMA = (
+    "struct<resourceSpans:array<struct<"
+    f"resource:struct<attributes:{_OTLP_ATTRS}>,"
+    "scopeSpans:array<struct<scope:struct<name:string,version:string>,"
+    "spans:array<struct<"
+    "traceId:string,spanId:string,parentSpanId:string,name:string,"
+    "kind:string,traceState:string,"
+    "startTimeUnixNano:string,endTimeUnixNano:string,"
+    f"attributes:{_OTLP_ATTRS},"
+    "status:struct<code:string,message:string>"
+    ">>>>>>>"  # span struct, spans array, scopeSpans struct+array, resourceSpans struct+array, outer struct
+)
+
+_SPAN_KINDS = {
+    "1": "internal", "2": "server", "3": "client", "4": "producer", "5": "consumer",
+    "SPAN_KIND_INTERNAL": "internal", "SPAN_KIND_SERVER": "server",
+    "SPAN_KIND_CLIENT": "client", "SPAN_KIND_PRODUCER": "producer",
+    "SPAN_KIND_CONSUMER": "consumer",
+}
+
+
+def _otlp_attr_json(attrs: Column) -> Column:
+    """keyValueToString (otlp_trace_parser.go:503-515): attributes as a JSON
+    object of stringified scalar values, keys sorted (Go json.Marshal of a
+    map sorts keys)."""
+    entries = F.coalesce(
+        F.transform(
+            attrs,
+            lambda a: F.struct(
+                a["key"].alias("key"),
+                F.coalesce(
+                    a["value"]["stringValue"],
+                    a["value"]["intValue"],
+                    _otlp_num_str(a["value"]["doubleValue"]),
+                    a["value"]["boolValue"].cast("string"),
+                    F.lit(""),
+                ).alias("value"),
+            ),
+        ),
+        F.array().cast("array<struct<key:string,value:string>>"),
+    )
+    return F.to_json(F.map_from_entries(F.array_sort(entries)))
+
+
+def otel_trace_parse(df: DataFrame, source_key: str) -> DataFrame:
+    """processor_otel_trace, 'json' format (processor_otel_trace.go:140 →
+    ConvertResourceSpans / otlp_trace_parser.go:291-470): one OTLP trace
+    payload expands to one row per span with the reference's field names —
+    traceID/spanID/parentSpanID (hex as carried by OTLP JSON), name, short
+    kind, traceState, start/end/duration in MICROseconds, attribute as a
+    sorted JSON object, statusCode OK/ERROR/UNSET, statusMessage, plus the
+    resource attributes as a JSON object. Divergence: a missing end time
+    falls back to start (the reference stamps now(), nondeterministic).
+
+    One from_json + explode chain; no Python in the row path."""
+    parsed = F.from_json(F.col(source_key), _OTLP_SPANS_SCHEMA)
+    rs = df.withColumn("__rs__", F.explode(parsed["resourceSpans"]))
+    rs = rs.withColumn("__res_json__", _otlp_attr_json(F.col("__rs__.resource.attributes")))
+    sp = rs.withColumn("__ss__", F.explode("__rs__.scopeSpans")).withColumn(
+        "__sp__", F.explode("__ss__.spans")
+    )
+    s = F.col("__sp__")
+    kind_expr: Column = F.lit("unknown")
+    for raw, short in _SPAN_KINDS.items():
+        kind_expr = F.when(s["kind"] == raw, short).otherwise(kind_expr)
+    start_us = (s["startTimeUnixNano"].cast("long") / 1000).cast("long")
+    end_ns = F.coalesce(s["endTimeUnixNano"].cast("long"), s["startTimeUnixNano"].cast("long"))
+    end_us = (end_ns / 1000).cast("long")
+    code = F.coalesce(s["status"]["code"], F.lit(""))
+    status = (
+        F.when(code.isin("2", "STATUS_CODE_ERROR"), "ERROR")
+        .when(code.isin("1", "STATUS_CODE_OK"), "OK")
+        .otherwise("UNSET")
+    )
+    return sp.select(
+        *[c for c in df.columns if c != source_key],
+        F.col("__res_json__").alias("resource"),
+        F.coalesce(F.col("__ss__.scope.name"), F.lit("")).alias("otlp_name"),
+        F.coalesce(F.col("__ss__.scope.version"), F.lit("")).alias("otlp_version"),
+        F.lower(F.coalesce(s["traceId"], F.lit(""))).alias("traceID"),
+        F.lower(F.coalesce(s["spanId"], F.lit(""))).alias("spanID"),
+        F.lower(F.coalesce(s["parentSpanId"], F.lit(""))).alias("parentSpanID"),
+        F.coalesce(s["name"], F.lit("")).alias("name"),
+        kind_expr.alias("kind"),
+        F.coalesce(s["traceState"], F.lit("")).alias("traceState"),
+        start_us.cast("string").alias("start"),
+        end_us.cast("string").alias("end"),
+        (end_us - start_us).cast("string").alias("duration"),
+        _otlp_attr_json(s["attributes"]).alias("attribute"),
+        status.alias("statusCode"),
+        F.coalesce(s["status"]["message"], F.lit("")).alias("statusMessage"),
+    )
+
+
 def anchor(
     df: DataFrame,
     source_key: str,

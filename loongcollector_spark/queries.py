@@ -744,6 +744,58 @@ def context_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "otel_trace_spans",
+    """
+    SELECT event_id,
+           lower(lpad(CAST(event_id AS VARCHAR), 32, '0')) AS "traceID",
+           lower(lpad(CAST(event_id AS VARCHAR), 16, '0')) AS "spanID",
+           'span-' || event_type AS name,
+           CASE WHEN event_id % 2 = 0 THEN 'server' ELSE 'client' END AS kind,
+           CAST(event_id * 1000 AS VARCHAR) AS start,
+           CAST(event_id * 1000 + 500 AS VARCHAR) AS "end",
+           '500' AS duration,
+           '{"k":"' || (user_id % 10) || '"}' AS attribute,
+           CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'UNSET' END AS "statusCode"
+    FROM events
+    """,
+    doc="processor_otel_trace json format (otlp_trace_parser.go:291-470): "
+        "OTLP trace payload -> one row per span (short kind, microsecond "
+        "times, sorted-JSON attributes, OK/ERROR/UNSET status)",
+)
+def otel_trace_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"resourceSpans":[{"resource":{},"scopeSpans":[{"spans":[{'
+              '"traceId":"'),
+        F.lpad(F.col("event_id").cast("string"), 32, "0"),
+        F.lit('","spanId":"'),
+        F.lpad(F.col("event_id").cast("string"), 16, "0"),
+        F.lit('","name":"span-'), F.col("event_type"),
+        F.lit('","kind":"'),
+        F.when(F.col("event_id") % 2 == 0, "SPAN_KIND_SERVER").otherwise("SPAN_KIND_CLIENT"),
+        F.lit('","startTimeUnixNano":"'),
+        (F.col("event_id") * 1_000_000).cast("string"),
+        F.lit('","endTimeUnixNano":"'),
+        (F.col("event_id") * 1_000_000 + 500_000).cast("string"),
+        F.lit('","attributes":[{"key":"k","value":{"stringValue":"'),
+        (F.col("user_id") % 10).cast("string"),
+        F.lit('"}}]'),
+        F.when(
+            F.col("event_type") == "error",
+            F.lit(',"status":{"code":"STATUS_CODE_ERROR"}'),
+        ).otherwise(F.lit("")),
+        F.lit("}]}]}]}"),
+    )
+    out = enrich.otel_trace_parse(
+        ev.select("event_id", payload.alias("otlp_trace")), "otlp_trace"
+    )
+    return out.select(
+        "event_id", "traceID", "spanID", "name", "kind",
+        "start", "end", "duration", "attribute", "statusCode",
+    )
+
+
+@register(
     "prom_parse_relabel",
     """
     SELECT event_id,

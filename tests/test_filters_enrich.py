@@ -231,3 +231,35 @@ def test_otel_metric_omitted_attributes(spark):
     df = spark.createDataFrame([(payload,)], "body string")
     r = otel_metric_shape(df, "body").first()
     assert r["__name__"] == "g" and r["__labels__"] == "" and r["__value__"] == 1.5
+
+
+def test_otel_trace_parse_spans(spark):
+    from loongcollector_spark.operators.enrich import otel_trace_parse
+
+    payload = (
+        '{"resourceSpans":[{"resource":{"attributes":[{"key":"service.name",'
+        '"value":{"stringValue":"cart"}}]},"scopeSpans":[{"scope":{"name":"lib","version":"1.0"},'
+        '"spans":['
+        '{"traceId":"0AF7651916CD43DD8448EB211C80319C","spanId":"B7AD6B7169203331",'
+        '"parentSpanId":"","name":"checkout","kind":"SPAN_KIND_SERVER",'
+        '"startTimeUnixNano":"1000000","endTimeUnixNano":"3000000",'
+        '"attributes":[{"key":"http.status_code","value":{"intValue":"200"}},'
+        '{"key":"a","value":{"stringValue":"z"}}],'
+        '"status":{"code":"STATUS_CODE_ERROR","message":"boom"}},'
+        '{"traceId":"t2","spanId":"s2","name":"fast","kind":"3",'
+        '"startTimeUnixNano":"5000"}'
+        "]}]}]}"
+    )
+    df = spark.createDataFrame([(payload,)], "body string")
+    rows = {r.name: r for r in otel_trace_parse(df, "body").collect()}
+    r = rows["checkout"]
+    assert r.traceID == "0af7651916cd43dd8448eb211c80319c"
+    assert r.kind == "server" and r.statusCode == "ERROR" and r.statusMessage == "boom"
+    assert (r.start, r.end, r.duration) == ("1000", "3000", "2000")
+    assert r.attribute == '{"a":"z","http.status_code":"200"}'
+    assert r.resource == '{"service.name":"cart"}'
+    assert r.otlp_name == "lib" and r.otlp_version == "1.0"
+    r2 = rows["fast"]
+    assert r2.kind == "client" and r2.statusCode == "UNSET"
+    assert r2.end == r2.start == "5" and r2.duration == "0"
+    assert r2.parentSpanID == "" and r2.attribute == "{}"
