@@ -307,3 +307,26 @@ def test_metadata_group_hashed_null_keys_capped(spark):
     out = metadata_group_hashed(df, ["k"], 100, F.col("id"))
     n_slices = out.select("__group_seq__").distinct().count()
     assert n_slices == 5  # ceil(500/100) hash slices, not one uncapped blob
+
+
+def test_route_fanout_multi_route_same_sink(spark):
+    # Router delivers to a flusher when ANY of its conditions match —
+    # two routes targeting one sink must OR, not first-wins
+    from loongcollector_spark.operators.route import Condition, Route, route_fanout
+
+    df = spark.createDataFrame(
+        [("error", "a"), ("warn", "b"), ("info", "c")], "level string, msg string"
+    )
+    out = route_fanout(df, [
+        Route("alerts", Condition(tag_key="level", tag_value="error")),
+        Route("alerts", Condition(tag_key="level", tag_value="warn")),
+        Route("all", None),
+    ])
+    assert sorted(r.level for r in out["alerts"].collect()) == ["error", "warn"]
+    assert out["all"].count() == 3
+    # unconditional route on a sink wins over any conditional sibling
+    out2 = route_fanout(df, [
+        Route("mix", Condition(tag_key="level", tag_value="error")),
+        Route("mix", None),
+    ])
+    assert out2["mix"].count() == 3
