@@ -111,6 +111,30 @@ def metadata_group(
     return out
 
 
+def broadcast_count_join(
+    df: DataFrame, keys: Sequence[str], cnt_col: str, prefix: str
+) -> DataFrame:
+    """Attach the exact per-key row count as ``cnt_col`` via a NULL-SAFE
+    broadcast join (groupBy groups null keys; a plain equi-join would never
+    match them back). Shared by the hot-key-safe rate-limit and
+    metadata-group variants — the fact table never shuffles."""
+    cnts = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias(cnt_col)
+    )
+    renamed = cnts
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"{prefix}{k}__")
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"{prefix}{k}__"))
+        cond = c if cond is None else (cond & c)
+    from pyspark.sql.functions import broadcast
+
+    return df.join(broadcast(renamed), cond, "left").drop(
+        *[f"{prefix}{k}__" for k in keys]
+    )
+
+
 def metadata_group_hashed(
     df: DataFrame,
     metadata_keys: Sequence[str],
@@ -125,22 +149,7 @@ def metadata_group_hashed(
     deterministic on retry, and the fact table only pays a broadcast-joined
     count, never a key-partitioned sort. Slices are ~max_events (hash
     variance), not exact — the DropOversize twin keeps slice 0 only."""
-    cnts = df.groupBy(*[F.col(k) for k in metadata_keys]).agg(
-        F.count(F.lit(1)).alias("__mg_cnt__")
-    )
-    renamed = cnts
-    for k in metadata_keys:
-        renamed = renamed.withColumnRenamed(k, f"__mg_{k}__")
-    # null-safe equi-join (same reason as rate_limit_sampled: null metadata
-    # keys must find their count, else the whole null population collapses
-    # into one uncapped slice)
-    cond = None
-    for k in metadata_keys:
-        c = F.col(k).eqNullSafe(F.col(f"__mg_{k}__"))
-        cond = c if cond is None else (cond & c)
-    out = df.join(F.broadcast(renamed), cond, "left").drop(
-        *[f"__mg_{k}__" for k in metadata_keys]
-    )
+    out = broadcast_count_join(df, list(metadata_keys), "__mg_cnt__", "__mg_")
     n_groups = F.greatest(
         F.ceil(F.col("__mg_cnt__") / max_events).cast("long"), F.lit(1)
     )

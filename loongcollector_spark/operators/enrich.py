@@ -599,6 +599,17 @@ def _otlp_attr_json(attrs: Column) -> Column:
         ),
         F.array().cast("array<struct<key:string,value:string>>"),
     )
+    # drop null keys and dedupe LAST-wins (the Go map semantics): real OTLP
+    # traffic does carry duplicate attribute keys, and map_from_entries would
+    # otherwise throw under the default mapKeyDedupPolicy=EXCEPTION
+    entries = F.filter(entries, lambda e: e["key"].isNotNull())
+    entries = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + 2, F.size(entries)),
+            lambda later: later["key"] == e["key"],
+        ),
+    )
     return F.to_json(F.map_from_entries(F.array_sort(entries)))
 
 
@@ -613,6 +624,15 @@ def otel_trace_parse(df: DataFrame, source_key: str) -> DataFrame:
     falls back to start (the reference stamps now(), nondeterministic).
 
     One from_json + explode chain; no Python in the row path."""
+    out_names = {
+        "resource", "otlp_name", "otlp_version", "traceID", "spanID",
+        "parentSpanID", "name", "kind", "traceState", "start", "end",
+        "duration", "attribute", "statusCode", "statusMessage",
+    }
+    conflicts = [c for c in df.columns if c != source_key and c in out_names]
+    if conflicts:
+        df = df.drop(*conflicts)  # span fields own these names (overwrite)
+
     parsed = F.from_json(F.col(source_key), _OTLP_SPANS_SCHEMA)
     rs = df.withColumn("__rs__", F.explode(parsed["resourceSpans"]))
     rs = rs.withColumn("__res_json__", _otlp_attr_json(F.col("__rs__.resource.attributes")))
@@ -623,9 +643,14 @@ def otel_trace_parse(df: DataFrame, source_key: str) -> DataFrame:
     kind_expr: Column = F.lit("unknown")
     for raw, short in _SPAN_KINDS.items():
         kind_expr = F.when(s["kind"] == raw, short).otherwise(kind_expr)
-    start_us = (s["startTimeUnixNano"].cast("long") / 1000).cast("long")
-    end_ns = F.coalesce(s["endTimeUnixNano"].cast("long"), s["startTimeUnixNano"].cast("long"))
-    end_us = (end_ns / 1000).cast("long")
+    # nano->micro must be INTEGER division: epoch-nanosecond values exceed
+    # 2^53, so a double `/ 1000` rounds by up to 256ns before truncation
+    sp = sp.withColumn("__start_ns__", s["startTimeUnixNano"].cast("long")).withColumn(
+        "__end_ns__",
+        F.coalesce(s["endTimeUnixNano"].cast("long"), s["startTimeUnixNano"].cast("long")),
+    )
+    start_us = F.expr("__start_ns__ div 1000")
+    end_us = F.expr("__end_ns__ div 1000")
     code = F.coalesce(s["status"]["code"], F.lit(""))
     status = (
         F.when(code.isin("2", "STATUS_CODE_ERROR"), "ERROR")

@@ -169,21 +169,9 @@ def rate_limit_sampled(
     (token_bucket.go:33-61): kept count is ~limit (hash variance), not
     exactly limit — the price of not ordering the key's rows. ``id_expr``
     must be a deterministic per-row expression (e.g. a doc/event id)."""
-    cnts = df.groupBy(*[F.col(f) for f in fields]).agg(
-        F.count(F.lit(1)).alias("__rl_cnt__")
-    )
-    renamed = cnts
-    for f in fields:
-        renamed = renamed.withColumnRenamed(f, f"__rl_{f}__")
-    # null-safe equi-join: groupBy groups null keys, and a plain equi-join
-    # would never match them back — silently dropping every null-keyed row
-    cond = None
-    for f in fields:
-        c = F.col(f).eqNullSafe(F.col(f"__rl_{f}__"))
-        cond = c if cond is None else (cond & c)
-    joined = df.join(F.broadcast(renamed), cond, "left").drop(
-        *[f"__rl_{f}__" for f in fields]
-    )
+    from loongcollector_spark.operators.aggregate import broadcast_count_join
+
+    joined = broadcast_count_join(df, list(fields), "__rl_cnt__", "__rl_")
     n_slices = F.ceil(F.col("__rl_cnt__") / limit).cast("long")
     keep = (F.col("__rl_cnt__") <= limit) | (
         F.pmod(F.xxhash64(id_expr), n_slices) == 0

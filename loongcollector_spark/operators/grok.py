@@ -249,16 +249,11 @@ def _parse_grok_arrow(
         for _, caps in compiled
     ]
 
-    # build the output StructType programmatically — simpleString() does not
-    # quote field names, so a column like '__tag__:__path__' would produce
-    # unparseable DDL
-    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+    from pyspark.sql.types import IntegerType, StructField
 
-    schema = StructType(
-        list(df.schema.fields)
-        + [StructField(a, StringType()) for a in aliases]
-        + [StructField("__grok_win__", IntegerType())]
-    )
+    from loongcollector_spark.operators.parse_common import extended_schema
+
+    schema = extended_schema(df, aliases, StructField("__grok_win__", IntegerType()))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import warnings

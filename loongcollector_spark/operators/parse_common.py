@@ -37,6 +37,21 @@ class ParserOptions:
         return not (self.keep_source_on_fail or self.copy_raw_log)
 
 
+def extended_schema(df: DataFrame, string_fields, extra_field=None):
+    """Output StructType for mapInPandas parsers: the input schema plus new
+    string fields (and one optional typed marker field). Built
+    programmatically — ``schema.simpleString()`` does not quote field names,
+    so DDL round-tripping breaks on columns like ``__tag__:__path__``."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    fields = list(df.schema.fields) + [
+        StructField(name, StringType()) for name in string_fields
+    ]
+    if extra_field is not None:
+        fields.append(extra_field)
+    return StructType(fields)
+
+
 def apply_parser_options(
     df: DataFrame,
     source_key: str,

@@ -79,15 +79,11 @@ def _parse_regex_arrow(
 ) -> DataFrame:
     """Single-pass vectorized extraction (Arrow batches, no per-row Python)."""
     anchored = _anchor(pattern) if full_match else pattern
-    # programmatic StructType: simpleString() does not quote field names,
-    # breaking on columns with DDL-special chars (e.g. '__tag__:__path__')
-    from pyspark.sql.types import BooleanType, StringType, StructField, StructType
+    from pyspark.sql.types import BooleanType, StructField
 
-    schema = StructType(
-        list(df.schema.fields)
-        + [StructField(k, StringType()) for k in keys]
-        + [StructField("__parse_ok__", BooleanType())]
-    )
+    from loongcollector_spark.operators.parse_common import extended_schema
+
+    schema = extended_schema(df, keys, StructField("__parse_ok__", BooleanType()))
 
     compiled = re.compile(anchored)
 

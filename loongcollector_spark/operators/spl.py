@@ -95,7 +95,7 @@ def _rsplit_as(s: str) -> tuple[str, str] | None:
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif depth == 0 and q is None and s[i : i + 4] in (" as ", " AS "):
+        elif depth == 0 and q is None and re.match(r"\s[aA][sS]\s", s[i : i + 4]):
             best = i
     if best is None:
         return None

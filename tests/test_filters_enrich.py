@@ -263,3 +263,23 @@ def test_otel_trace_parse_spans(spark):
     assert r2.kind == "client" and r2.statusCode == "UNSET"
     assert r2.end == r2.start == "5" and r2.duration == "0"
     assert r2.parentSpanID == "" and r2.attribute == "{}"
+
+
+def test_otel_trace_duplicate_attrs_and_big_timestamps(spark):
+    # last-wins on duplicate attribute keys (Go map semantics, not an
+    # exception); nano->micro division is integer-exact beyond 2^53
+    from loongcollector_spark.operators.enrich import otel_trace_parse
+
+    payload = (
+        '{"resourceSpans":[{"resource":{},"scopeSpans":[{"spans":[{'
+        '"traceId":"t","spanId":"s","name":"n","kind":"1",'
+        '"startTimeUnixNano":"1723882000000000999",'
+        '"endTimeUnixNano":"1723882000000001999",'
+        '"attributes":[{"key":"k","value":{"stringValue":"a"}},'
+        '{"key":"k","value":{"stringValue":"b"}}]}]}]}]}'
+    )
+    df = spark.createDataFrame([(payload, "preexisting")], "body string, name string")
+    r = otel_trace_parse(df, "body").first()
+    assert r.attribute == '{"k":"b"}'
+    assert (r.start, r.end, r.duration) == ("1723882000000000", "1723882000000001", "1")
+    assert r.name == "n"  # span field owns the conflicting column name
