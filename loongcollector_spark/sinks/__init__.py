@@ -31,7 +31,8 @@ class SinkSpec:
     compression: str | None = None  # codec (lz4/zstd/snappy/gzip for parquet)
     options: Mapping[str, str] = field(default_factory=dict)
     # protocol converter encoding (pkg/protocol/converter/converter.go:29-41):
-    # none | custom_single | custom_single_flatten | jsonline | influxdb | raw
+    # none | custom_single | custom_single_flatten | jsonline | influxdb |
+    # otlp_log | raw
     encoding: str = "none"
     tag_columns: tuple[str, ...] = ()
     time_column: str | None = None
@@ -95,6 +96,34 @@ def serialize_rows(df: DataFrame, spec: SinkSpec) -> DataFrame:
             F.lit(" "),
             F.col("__time_nano__").cast("string"),
         )
+    elif enc == "otlp_log":
+        # aggregator_opentelemetry / flusher_opentelemetry shape
+        # (plugins/aggregator/opentelemetry): one OTLP logRecord per row —
+        # body = the designated content column, remaining content + tags as
+        # string attributes, event time as timeUnixNano
+        body_col = spec.raw_column or (content_cols[0] if content_cols else None)
+        if body_col is None:
+            raise ValueError("encoding='otlp_log' needs raw_column or a content column")
+        attr_cols = [c for c in content_cols if c != body_col] + tag_cols
+        attrs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("key"),
+                    F.struct(F.col(c).cast("string").alias("stringValue")).alias("value"),
+                )
+                for c in attr_cols
+            ]
+        )
+        fields = []
+        if spec.time_column:
+            fields.append(
+                (F.col(spec.time_column).cast("long") * 1_000_000_000)
+                .cast("string")
+                .alias("timeUnixNano")
+            )
+        fields.append(F.struct(F.col(body_col).cast("string").alias("stringValue")).alias("body"))
+        fields.append(attrs.alias("attributes"))
+        obj = F.to_json(F.struct(*fields))
     elif enc == "raw":
         if not spec.raw_column and not content_cols:
             raise ValueError(

@@ -270,3 +270,22 @@ def test_read_log_files_tags_and_multiline(spark, tmp_path):
     )
     blocks = sorted(r.content for r in merged.collect())
     assert blocks == ["ERROR again", "ERROR boom\n  at A\n  at B", "ERROR other\n  at C"]
+
+
+def test_sink_otlp_log_encoding(spark):
+    import json
+
+    from loongcollector_spark.sinks import SinkSpec, serialize_rows
+
+    df = spark.createDataFrame(
+        [("payload text", "web", "INFO", 100)],
+        "msg string, svc string, level string, ts long",
+    )
+    s = serialize_rows(df, SinkSpec("s", encoding="otlp_log", raw_column="msg",
+                                    tag_columns=("svc",), time_column="ts")).first()[0]
+    obj = json.loads(s)
+    assert obj["timeUnixNano"] == "100000000000"
+    assert obj["body"] == {"stringValue": "payload text"}
+    assert {a["key"]: a["value"]["stringValue"] for a in obj["attributes"]} == {
+        "level": "INFO", "svc": "web"
+    }
