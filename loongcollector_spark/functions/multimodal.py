@@ -44,10 +44,21 @@ def decode_stub(payload: bytes, mime: str, dim: int = 16) -> np.ndarray:
     return (raw.astype(np.float64) / 2**31 - 1.0).astype(np.float32)
 
 
-def extract_features(df: DataFrame, dim: int = 16, use_stub: bool = True) -> DataFrame:
+def extract_features(
+    df: DataFrame,
+    dim: int = 16,
+    use_stub: bool = True,
+    min_partitions: int | None = None,
+) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas (Arrow batches;
-    payloads never shuffle — the output carries only small vectors). Batch
-    memory is bounded by spark.sql.execution.arrow.maxRecordsPerBatch."""
+    payloads never shuffle — the transform runs straight off the scan, where a
+    real media table already has file splits, and the output carries only
+    small vectors). Batch memory is bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch.
+
+    ``min_partitions`` is an opt-in for tiny in-memory fixtures that would
+    otherwise run single-partition; it inserts a round-robin Exchange that
+    DOES move the payload column, so never set it on a real scan."""
     decode = decode_stub if use_stub else decode_real
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -67,13 +78,17 @@ def extract_features(df: DataFrame, dim: int = 16, use_stub: bool = True) -> Dat
                 }
             )
 
-    return df.repartition(max(df.sparkSession.sparkContext.defaultParallelism, 4)).mapInPandas(
-        run, schema=FEATURE_SCHEMA
-    )
+    if min_partitions:
+        df = df.repartition(min_partitions)
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def resize_media(
-    df: DataFrame, target_w: int, target_h: int, use_stub: bool = True
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    use_stub: bool = True,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """Image resize plumbing: mapInPandas over binary payloads producing the
     resized payload + updated dims. The decode/resample step is STUBBED (no
@@ -111,9 +126,9 @@ def resize_media(
                 }
             )
 
-    return df.repartition(
-        max(df.sparkSession.sparkContext.defaultParallelism, 4)
-    ).mapInPandas(run, schema=out_schema)
+    if min_partitions:
+        df = df.repartition(min_partitions)
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -10,18 +10,46 @@ Catalyst expression:
     * | where <sql-expr>
       | extend k=<expr>[, k2=<expr>]          (Presto-flavored fns translated)
       | project c1, c2 / project-away c / project-rename new=old
-      | parse-json <col>                      (dynamic keys -> columns)
+      | parse-json <col> [as k1, k2]          (dynamic keys -> columns)
       | parse-regexp <col>, '<pat>' as a, b
       | parse-csv <col> as a, b, c
       | parse-kv -regexp <col>, '<pat>' / parse-kv -delims='<chars>' <col>
+        (either form accepts a trailing ``as k1, k2`` key list)
       | limit N
 
-Dynamic-key stages (parse-json / parse-kv) need the key set at plan time:
-a lightweight discovery job collects the distinct keys first (one scan of
-the source column only — column-pruned), then each key becomes a projected
-column; rows lacking a key get null, matching the reference's per-row
-contents. At 100 TB run discovery on a sample or pass ``keys=`` explicitly
-via parse_json/parse_key_value operators instead.
+Dynamic-key stages (parse-json / parse-kv) need the key set at plan time.
+Three resolution modes, cheapest first:
+
+    1. explicit ``as k1, k2`` on the stage — ZERO extra jobs (the 100 TB
+       path; the key set is part of the plan, like the reference's
+       per-config field lists);
+    2. ``compile_spl(..., sample_rows=N)`` — discovery scans only the
+       first N rows of the source column (one LIMIT-bounded, column-pruned
+       job per dynamic stage); keys absent from the sample are missed, so
+       use it when the key universe is stable across rows;
+    3. default full discovery — one distinct-scan of the source column per
+       dynamic stage (column-pruned but full-table; fine at test scale,
+       explicit keys are the scale path).
+
+Rows lacking a key get null, matching the reference's per-row contents.
+
+Multi-statement scripts (the ProcessorSPL contract, exercised by
+SplUnittest.cpp TestMultiParse) compile via :func:`compile_spl_multi`:
+
+    .let src = * | parse-json content;
+    .let ds1 = $src | where type = 'kv' | parse-kv -delims='&?' message;
+    $ds1;
+    .let ds2 = $src | where type = 'csv' | parse-csv message as x, y, z;
+    $ds2;
+
+``.let name = <pipeline>`` binds a dataset (head ``*`` = the input, or
+``$other`` = a prior binding); a ``$name`` statement (optionally with more
+``| stage``s) EMITS that dataset as a result branch. Branches come back as
+an ordered ``[(name, DataFrame), ...]`` — the Spark analogue of the
+reference returning one PipelineEventGroup per SPL result, which the caller
+routes to per-branch sinks (see ``spl_fanout``). Bindings are lazy logical
+plans: Catalyst dedups the shared prefix per-branch, and callers writing
+all branches should persist the input once (pipeline.py does).
 
 Expression translation covers the Presto names the reference tests use:
 json_extract -> get_json_object (scalars extract as JSON text; note Presto
@@ -29,8 +57,8 @@ quotes string scalars, Spark does not), date_parse(x, '%...') -> to_timestamp
 with the MySQL format converted, to_unixtime -> unix_timestamp. Everything
 else passes through F.expr — Spark SQL's function surface covers the rest.
 
-Out of scope (documented): multi-statement scripts (``;`` result branches),
-.let bindings, stats/sort stages — use the DataFrame API directly for those.
+Out of scope (documented): stats/sort stages — use the DataFrame API
+directly for those.
 """
 
 from __future__ import annotations
@@ -165,18 +193,36 @@ def _unquote_str(s: str) -> str:
     return s
 
 
-def _discover_json_keys(df: DataFrame, col: str) -> list[str]:
+def _discover_json_keys(
+    df: DataFrame, col: str, sample_rows: int | None = None
+) -> list[str]:
+    src = df.select(col)
+    if sample_rows:
+        src = src.limit(sample_rows)
     rows = (
-        df.select(F.explode(F.json_object_keys(F.col(col))).alias("k"))
+        src.select(F.explode(F.json_object_keys(F.col(col))).alias("k"))
         .distinct()
         .collect()
     )
     return sorted(r.k for r in rows)
 
 
-def _stage_parse_json(df: DataFrame, rest: str) -> DataFrame:
+def _keys_or_rest(rest: str) -> tuple[str, list[str] | None]:
+    """Split a trailing explicit ``as k1, k2`` key list off a stage tail."""
+    m = _rsplit_as(rest)
+    if not m:
+        return rest, None
+    return m[0].rstrip(", \t"), [_unquote_ident(k) for k in _split_top(m[1], ",")]
+
+
+def _stage_parse_json(
+    df: DataFrame, rest: str, sample_rows: int | None = None
+) -> DataFrame:
+    rest, keys = _keys_or_rest(rest)
     col = _unquote_ident(rest)
-    for k in _discover_json_keys(df, col):
+    if keys is None:
+        keys = _discover_json_keys(df, col, sample_rows)
+    for k in keys:
         df = df.withColumn(k, F.get_json_object(F.col(col), f"$.{k}"))
     return df
 
@@ -205,7 +251,10 @@ def _stage_parse_csv(df: DataFrame, rest: str) -> DataFrame:
     return parse_csv(df, col, keys, keep_source=True)
 
 
-def _stage_parse_kv(df: DataFrame, rest: str) -> DataFrame:
+def _stage_parse_kv(
+    df: DataFrame, rest: str, sample_rows: int | None = None
+) -> DataFrame:
+    rest, keys = _keys_or_rest(rest)
     m = re.match(r"^-regexp\s+(.*)$", rest)
     if m:
         args = _split_top(m.group(1), ",")
@@ -224,9 +273,16 @@ def _stage_parse_kv(df: DataFrame, rest: str) -> DataFrame:
         kv = F.str_to_map(F.col(col), F.lit(f"[{delims}]"), F.lit("="))
     tmp = "__spl_kv__"
     df = df.withColumn(tmp, kv)
-    keys = sorted(
-        r.k for r in df.select(F.explode(F.map_keys(F.col(tmp))).alias("k")).distinct().collect()
-    )
+    if keys is None:
+        src = df.select(tmp)
+        if sample_rows:
+            src = src.limit(sample_rows)
+        keys = sorted(
+            r.k
+            for r in src.select(
+                F.explode(F.map_keys(F.col(tmp))).alias("k")
+            ).distinct().collect()
+        )
     for k in keys:
         df = df.withColumn(k, F.col(tmp).getItem(k))
     return df.drop(tmp)
@@ -239,19 +295,9 @@ def _stage_project_rename(df: DataFrame, rest: str) -> DataFrame:
     return df
 
 
-def compile_spl(df: DataFrame, script: str) -> DataFrame:
-    """Compile one linear SPL pipeline into a DataFrame (see module doc for
-    the supported subset)."""
-    script = script.strip()
-    statements = [s for s in _split_top(script, ";") if s.strip()]
-    if len(statements) > 1:
-        raise SplError("multi-statement SPL scripts are not supported; "
-                       "compose compile_spl calls or use the DataFrame API")
-    script = statements[0].strip() if statements else ""
-    stages = [s.strip() for s in _split_top(script, "|")]
-    if stages and stages[0] in ("*", ""):
-        stages = stages[1:]
-    out = df
+def _apply_stages(
+    out: DataFrame, stages: list[str], sample_rows: int | None
+) -> DataFrame:
     for stage in stages:
         if not stage:
             continue
@@ -272,18 +318,104 @@ def compile_spl(df: DataFrame, script: str) -> DataFrame:
         elif verb == "project-rename":
             out = _stage_project_rename(out, rest)
         elif verb == "parse-json":
-            out = _stage_parse_json(out, rest)
+            out = _stage_parse_json(out, rest, sample_rows)
         elif verb == "parse-regexp":
             out = _stage_parse_regexp(out, rest)
         elif verb == "parse-csv":
             out = _stage_parse_csv(out, rest)
         elif verb == "parse-kv":
-            out = _stage_parse_kv(out, rest)
+            out = _stage_parse_kv(out, rest, sample_rows)
         elif verb == "limit":
             out = out.limit(int(rest))
         else:
             raise SplError(f"unsupported SPL stage {verb!r}")
     return out
+
+
+def _compile_pipeline(
+    df: DataFrame,
+    text: str,
+    bindings: dict[str, DataFrame],
+    sample_rows: int | None,
+) -> tuple[DataFrame, str | None]:
+    """Compile one ``head | stage | ...`` pipeline. The head names the
+    source: ``*`` (or empty) = the processor input, ``$name`` = a prior
+    ``.let`` binding. Returns (result, referenced-binding-name-or-None)."""
+    stages = [s.strip() for s in _split_top(text.strip(), "|")]
+    ref = None
+    if stages and stages[0].startswith("$"):
+        ref = stages[0][1:].strip()
+        if ref not in bindings:
+            raise SplError(f"undefined SPL dataset ${ref}")
+        base = bindings[ref]
+        stages = stages[1:]
+    else:
+        if stages and stages[0] in ("*", ""):
+            stages = stages[1:]
+        base = df
+    return _apply_stages(base, stages, sample_rows), ref
+
+
+def compile_spl(
+    df: DataFrame, script: str, *, sample_rows: int | None = None
+) -> DataFrame:
+    """Compile one linear SPL pipeline into a DataFrame (see module doc for
+    the supported subset). ``sample_rows`` bounds dynamic-key discovery for
+    parse-json / parse-kv stages without an explicit ``as`` key list."""
+    script = script.strip()
+    statements = [s for s in _split_top(script, ";") if s.strip()]
+    if len(statements) > 1:
+        raise SplError(
+            "multi-statement SPL script: use compile_spl_multi for "
+            ".let bindings and $name result branches"
+        )
+    script = statements[0].strip() if statements else ""
+    out, _ = _compile_pipeline(df, script, {}, sample_rows)
+    return out
+
+
+def compile_spl_multi(
+    df: DataFrame, script: str, *, sample_rows: int | None = None
+) -> list[tuple[str, DataFrame]]:
+    """Compile a multi-statement SPL script into ordered result branches.
+
+    Grammar (ProcessorSPL contract, core/plugin/processor/ProcessorSPL.cpp:
+    30-101; exercised by core/unittest/spl/SplUnittest.cpp TestMultiParse):
+    ``;``-separated statements, where ``.let name = <pipeline>`` binds a
+    dataset and any other statement EMITS a result branch. Each branch maps
+    to one output PipelineEventGroup in the reference; here each is a
+    DataFrame the caller routes to its sink. Branch names: the ``$ref``
+    head if present (suffixed on re-emission), else ``result<i>``.
+
+    Bindings stay lazy logical plans — emitting N branches re-evaluates the
+    shared prefix N times unless the caller persists the input (the routed
+    write path in pipeline.py materializes once before fan-out)."""
+    bindings: dict[str, DataFrame] = {}
+    results: list[tuple[str, DataFrame]] = []
+    for stmt in (s.strip() for s in _split_top(script.strip(), ";")):
+        if not stmt:
+            continue
+        m = re.match(r"^\.let\s+([A-Za-z_]\w*)\s*=\s*(.*)$", stmt, re.DOTALL)
+        if m:
+            bound, _ = _compile_pipeline(df, m.group(2), bindings, sample_rows)
+            bindings[m.group(1)] = bound
+            continue
+        out, ref = _compile_pipeline(df, stmt, bindings, sample_rows)
+        name = ref or f"result{len(results)}"
+        if any(n == name for n, _ in results):
+            name = f"{name}_{len(results)}"
+        results.append((name, out))
+    if not results:
+        raise SplError("multi-statement SPL script emitted no result branch")
+    return results
+
+
+def spl_fanout(
+    df: DataFrame, script: str, *, sample_rows: int | None = None
+) -> dict[str, DataFrame]:
+    """Named result branches of a multi-statement script, for routing each
+    to a sink (the reference hands each result group to the flusher chain)."""
+    return dict(compile_spl_multi(df, script, sample_rows=sample_rows))
 
 
 def spl_processor(df: DataFrame, script: str) -> DataFrame:

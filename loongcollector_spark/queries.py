@@ -719,6 +719,74 @@ def spl_pipeline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "spl_parse_json_keys",
+    """
+    SELECT event_id, event_type,
+           regexp_extract(props, '"k": (\\d+)', 1) AS k,
+           CAST(NULL AS VARCHAR) AS missing
+    FROM events WHERE event_type = 'error'
+    """,
+    doc="processor_spl 'parse-json col as k1, k2' explicit-key stage: the "
+        "key set is part of the plan — ZERO discovery jobs at plan build "
+        "(the 100 TB path; ProcessorSPL.cpp:30-101 config-time field lists)",
+)
+def spl_parse_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.spl import compile_spl
+
+    ev = load_table(spark, sf_dir, "events")
+    return compile_spl(
+        ev,
+        """* | parse-json props as k, missing
+             | where event_type = 'error'
+             | project event_id, event_type, k, missing""",
+    )
+
+
+@register(
+    "spl_multi_route",
+    """
+    WITH src AS (
+      SELECT event_type, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS kval
+      FROM events
+    )
+    SELECT 'hot' AS branch, COUNT(*) AS n_rows, CAST(SUM(kval) AS BIGINT) AS sum_k
+    FROM src WHERE event_type = 'click' AND kval >= 50
+    UNION ALL
+    SELECT 'errors' AS branch, COUNT(*) AS n_rows, CAST(SUM(kval) AS BIGINT) AS sum_k
+    FROM src WHERE event_type = 'error'
+    """,
+    doc="processor_spl multi-statement script (.let bindings + $ref result "
+        "branches, ProcessorSPL contract / SplUnittest TestMultiParse): two "
+        "named branches off one shared parse, per-branch aggregate counts "
+        "as the router would deliver to per-branch sinks",
+)
+def spl_multi_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.spl import compile_spl_multi
+
+    ev = load_table(spark, sf_dir, "events")
+    branches = compile_spl_multi(
+        ev,
+        """.let src = * | extend kval = cast(json_extract(props, '$.k') as INTEGER);
+           .let hot = $src | where event_type = 'click' and kval >= 50;
+           $hot;
+           .let errors = $src | where event_type = 'error';
+           $errors;""",
+    )
+    parts = [
+        df.agg(
+            F.lit(name).alias("branch"),
+            F.count("*").alias("n_rows"),
+            F.sum("kval").alias("sum_k"),
+        )
+        for name, df in branches
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
     "context_pack_sequences",
     """
     SELECT doc_id,

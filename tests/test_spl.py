@@ -107,3 +107,95 @@ def test_spl_concat_operator_and_quoted_as(spark):
     r = out.first()
     assert r.joined == "x as y!"
     assert (r.left, r.right) == ("x", "y")
+
+
+# --- round 3: explicit keys, sampled discovery, multi-statement ------------------
+
+
+def test_spl_parse_json_explicit_keys_no_discovery(spark, monkeypatch):
+    """'parse-json col as k1, k2' must build the plan with ZERO discovery
+    jobs — the 100 TB path (keys are part of the plan, like the reference's
+    per-config field lists)."""
+    from loongcollector_spark.operators import spl as spl_mod
+
+    def boom(*a, **k):  # pragma: no cover - should never run
+        raise AssertionError("discovery job ran despite explicit keys")
+
+    monkeypatch.setattr(spl_mod, "_discover_json_keys", boom)
+    df = lines(spark, '{"a1":"x","c":"d"}', '{"a1":"y"}')
+    out = compile_spl(df, "* | parse-json content as a1, missing")
+    rows = out.orderBy("id").collect()
+    assert [r.a1 for r in rows] == ["x", "y"]
+    # explicitly-listed-but-absent key projects as null (per-row contract)
+    assert all(r.missing is None for r in rows)
+    # 'c' was NOT discovered — proof no discovery scan happened
+    assert "c" not in out.columns
+
+
+def test_spl_parse_kv_explicit_keys(spark):
+    df = lines(spark, "k1=v1&k2=v2?k3=v3")
+    out = compile_spl(df, "* | parse-kv -delims='&?' content as k1, k3")
+    r = out.first()
+    assert (r.k1, r.k3) == ("v1", "v3")
+    assert "k2" not in out.columns
+
+
+def test_spl_sampled_discovery(spark):
+    """sample_rows bounds the discovery scan; keys only in later rows are
+    missed — documented trade-off of the sampled mode."""
+    df = lines(spark, '{"early":"1"}', '{"early":"2","late":"3"}')
+    full = compile_spl(df, "* | parse-json content")
+    assert {"early", "late"} <= set(full.columns)
+    sampled = compile_spl(df, "* | parse-json content", sample_rows=1)
+    assert "early" in sampled.columns and "late" not in sampled.columns
+
+
+def test_spl_multi_statement_branches(spark):
+    """Mirrors SplUnittest.cpp TestMultiParse: .let bindings + $ref emission,
+    two result branches with independent parse stages."""
+    from loongcollector_spark.operators.spl import compile_spl_multi
+
+    df = lines(
+        spark,
+        '{"type":"kv","message":"k1=v1&k2=v2?k3=v3"}',
+        '{"type":"csv","message":"a,b,c"}',
+    )
+    script = """.let src = * | parse-json content as type, message;
+.let ds1 = $src | where type = 'kv' | parse-kv -delims='&?' message as k1, k2, k3;
+$ds1;
+.let ds2 = $src | where type = 'csv' | parse-csv message as x, y, z;
+$ds2;
+"""
+    branches = compile_spl_multi(df, script)
+    assert [n for n, _ in branches] == ["ds1", "ds2"]
+    named = dict(branches)
+    r1 = named["ds1"].first()
+    assert (r1.k1, r1.k2, r1.k3) == ("v1", "v2", "v3")
+    r2 = named["ds2"].first()
+    assert (r2.x, r2.y, r2.z) == ("a", "b", "c")
+    assert named["ds1"].count() == 1 and named["ds2"].count() == 1
+
+
+def test_spl_multi_statement_anonymous_and_extra_stages(spark):
+    from loongcollector_spark.operators.spl import compile_spl_multi
+
+    df = lines(spark, "a", "b", "c")
+    branches = compile_spl_multi(
+        df,
+        ".let all = * | extend n = 1; $all | where content <> 'a'; * | limit 1;",
+    )
+    assert [n for n, _ in branches] == ["all", "result1"]
+    assert branches[0][1].count() == 2
+    assert branches[1][1].count() == 1
+
+
+def test_spl_multi_statement_errors(spark):
+    from loongcollector_spark.operators.spl import compile_spl_multi
+
+    df = lines(spark, "a")
+    with pytest.raises(SplError, match="undefined"):
+        compile_spl_multi(df, "$nope;")
+    with pytest.raises(SplError, match="no result branch"):
+        compile_spl_multi(df, ".let x = * | limit 1;")
+    with pytest.raises(SplError, match="compile_spl_multi"):
+        compile_spl(df, "* | limit 1; * | limit 2;")

@@ -188,6 +188,26 @@ def test_frame_sample_plan(spark):
         assert n == (durations[mid] - 1) // 1000 + 1
 
 
+def test_multimodal_payloads_never_shuffle(spark, tmp_path):
+    """Contract: extract_features / resize_media run straight off the scan —
+    no Exchange may carry the multi-MB payload column (VERDICT r2 item 1).
+    min_partitions is the explicit opt-in for tiny fixtures and is the only
+    way a payload crosses an Exchange."""
+    from loongcollector_spark.functions import multimodal as mm
+
+    path = str(tmp_path / "media.parquet")
+    mm.synthetic_media(spark, n_rows=16).write.parquet(path)
+    media = spark.read.parquet(path)
+    for out in (mm.extract_features(media, dim=8), mm.resize_media(media, 4, 4)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    # opt-in path still available for single-partition in-memory fixtures
+    opted = mm.extract_features(media, dim=8, min_partitions=4)
+    plan = opted._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
+    assert opted.count() == 16
+
+
 def test_resize_media_stub_shapes(spark):
     """Resize plumbing: deterministic stub payloads sized w*h, dims updated,
     ids preserved — the Spark-side contract a real codec drops into."""
