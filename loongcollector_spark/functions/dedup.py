@@ -272,15 +272,27 @@ def simhash_from_hashes(hashes_col: str = "gram_hashes"):
 
     @pandas_udf("long")
     def fold(hs: pd.Series) -> pd.Series:
+        # Whole-batch formulation (same shape as _minhash_signature_udf):
+        # flatten every row's gram hashes, unpack to an (N, 64) bit matrix,
+        # np.add.reduceat per row segment, then sign-compare + pack. One
+        # numpy pipeline per Arrow batch — no per-row Python loop.
+        lengths = hs.map(lambda v: 0 if v is None else len(v)).to_numpy(dtype=np.int64)
         out = np.zeros(len(hs), dtype=np.int64)
-        for i, lst in enumerate(hs):
-            if lst is None or len(lst) == 0:
-                continue
-            arr = np.asarray(lst, dtype=np.int64).view(np.uint64)
-            # bits[j] = count of grams with bit j set; sign vs half the grams
-            bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).sum(axis=0)
-            sig = np.where(bits * 2 > len(arr), np.uint64(1), np.uint64(0))
-            out[i] = (sig << np.arange(64, dtype=np.uint64)).sum().astype(np.uint64).view(np.int64)
+        if lengths.sum() == 0:
+            return pd.Series(out)
+        flat = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v in hs if v is not None and len(v)]
+        ).view(np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        # uint8 keeps the (N, 64) matrix at 64 B/gram; reduceat accumulates
+        # into int64 so segments longer than 255 grams don't wrap
+        bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])[lengths > 0]
+        sums = np.add.reduceat(bits, starts.astype(np.int64), axis=0, dtype=np.int64)
+        nz = lengths[lengths > 0]
+        sig = (sums * 2 > nz[:, None]).astype(np.uint64)
+        packed = (sig << shifts).sum(axis=1).astype(np.uint64).view(np.int64)
+        out[lengths > 0] = packed
         return pd.Series(out)
 
     return fold(hashes_col)

@@ -230,18 +230,22 @@ _GO_ESCAPE = None  # compiled lazily
 
 
 def _go_unquote(body: str) -> str:
-    """Go strconv.Unquote escape interpretation (the subset the reference's
-    unquote method exercises): \\xNN, \\uNNNN, \\UNNNNNNNN, octal, and the
-    single-char escapes."""
+    """Go strconv.Unquote escape interpretation for a double-quoted string
+    body: \\xNN, \\uNNNN, \\UNNNNNNNN, octal, and the single-char escapes.
+    Mirrors the error path too: an escape outside that grammar (e.g. \\q, or
+    \\' — legal only in rune literals), a dangling backslash, a bare internal
+    double quote, or a raw control character raises ValueError, and the
+    caller keeps the ORIGINAL value (processor_string_replace.go:112-115
+    ``err != nil -> newContVal = cont.Value``)."""
     import re as _re
 
     global _GO_ESCAPE
     if _GO_ESCAPE is None:
         _GO_ESCAPE = _re.compile(
-            r"\\(x[0-9A-Fa-f]{2}|u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|[0-7]{3}|[abfnrtv\\'\"])"
+            r"\\(x[0-9A-Fa-f]{2}|u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|[0-7]{3}|[abfnrtv\\\"])"
         )
     single = {"a": "\a", "b": "\b", "f": "\f", "n": "\n", "r": "\r",
-              "t": "\t", "v": "\v", "\\": "\\", "'": "'", '"': '"'}
+              "t": "\t", "v": "\v", "\\": "\\", '"': '"'}
 
     def rep(m: "_re.Match") -> str:
         e = m.group(1)
@@ -251,6 +255,13 @@ def _go_unquote(body: str) -> str:
             return chr(int(e, 8))
         return single[e]
 
+    # validate against the escape grammar before substituting: any backslash
+    # or quote that survives removing the valid escapes is a Go syntax error
+    residue = _GO_ESCAPE.sub("", body)
+    if "\\" in residue or '"' in residue:
+        raise ValueError("invalid Go string syntax")
+    if any(ch in "\n\r" for ch in residue):
+        raise ValueError("raw newline in quoted string")
     return _GO_ESCAPE.sub(rep, body)
 
 
@@ -426,6 +437,13 @@ def otel_metric_shape(df: DataFrame, source_key: str) -> DataFrame:
     (otlpDataToSLSProto.go histogram path), summary sum + count + quantile
     rows. Output: __name__, __labels__ (sorted k=v joined by '#$#', the
     log_to_metric shape), __time_nano__, __value__.
+
+    Documented divergences: rows the reference parser also emits but this
+    shape does not — exemplar metrics (otlp_metric_parser.go
+    exemplarMetricToLogs appends one row per exemplar) and the entire
+    ExponentialHistogram branch including its ZeroCount bucket. Consumers
+    diffing against reference output on payloads containing those point
+    types will see fewer rows here.
 
     Spark-first: ONE from_json + a flatten/explode chain of pure column
     expressions — no Python in the row path; the protobuf Format would ride

@@ -24,12 +24,15 @@ the executors only ever see compiled regexes. Two engines:
 Capture aliases keep their ORIGINAL spelling in the output (internally each
 capture gets a unique synthetic group name ``gN``, sidestepping Java/Python
 restrictions on group-name characters and duplicate names; for a repeated
-alias within one pattern, the LAST occurrence wins — matching the
-reference's capture-overwrite order).
+alias within one pattern, the last NON-EMPTY occurrence wins — matching the
+reference's skip-empty capture-append order, processor_grok.go:146-153 —
+which is what lets alternation patterns alias the same field per branch).
 
-The builtin dictionary lives in grok_patterns.GROK_LIBRARY (~110 fresh-bodied
+The builtin dictionary lives in grok_patterns.GROK_LIBRARY (~190 fresh-bodied
 definitions of the public pattern names bundled by the reference under
-example_config/processor_grok_patterns/).
+example_config/processor_grok_patterns/, now covering every family: core,
+httpd, java, haproxy, linux-syslog, aws, bind, bro, exim, firewall, junos,
+mongodb, nagios, postgresql, rails, redis, ruby, squid, bacula).
 """
 
 from __future__ import annotations
@@ -134,12 +137,16 @@ def compile_grok_full(
     return regex, caps
 
 
-def _last_capture_per_alias(caps: Sequence[GrokCapture]) -> dict[str, GrokCapture]:
-    """Reference applies captures in order, later overwriting earlier — so a
-    repeated alias resolves to its last occurrence."""
-    out: dict[str, GrokCapture] = {}
+def _alias_occurrences(caps: Sequence[GrokCapture]) -> dict[str, list[GrokCapture]]:
+    """All occurrences of each alias, in capture order. The reference skips
+    EMPTY captures and applies the rest in order (processor_grok.go:146-153:
+    ``Capture.String() != ""``), so a repeated alias resolves to its last
+    NON-EMPTY occurrence — which is what makes alternation patterns with
+    per-branch aliases (NAGIOSLOGLINE) work: the matched branch's groups are
+    non-empty, the others extract as "" and are skipped."""
+    out: dict[str, list[GrokCapture]] = {}
     for c in caps:
-        out[c.alias] = c
+        out.setdefault(c.alias, []).append(c)
     return out
 
 
@@ -201,15 +208,29 @@ def parse_grok(
         expr: Column = F.lit(None).cast("string")
         for i in range(len(compiled) - 1, -1, -1):
             regex, caps = compiled[i]
-            last = _last_capture_per_alias(caps)
-            if alias in last:
-                gidx = group_pos[i][last[alias].group]
-                expr = F.when(
-                    F.col("__grok_win__") == i,
-                    F.regexp_extract(src, regex, gidx),
-                ).otherwise(expr)
+            occs = _alias_occurrences(caps)
+            if alias in occs:
+                groups = occs[alias]
+                if len(groups) == 1:
+                    val = F.regexp_extract(src, regex, group_pos[i][groups[0].group])
+                else:
+                    # last non-empty occurrence wins; "" only if all empty
+                    val = F.coalesce(
+                        *[
+                            F.nullif(
+                                F.regexp_extract(src, regex, group_pos[i][c.group]),
+                                F.lit(""),
+                            )
+                            for c in reversed(groups)
+                        ],
+                        F.lit(""),
+                    )
+                expr = F.when(F.col("__grok_win__") == i, val).otherwise(expr)
         if typ != "string":
-            expr = expr.cast(typ)
+            # try_cast: an empty/non-participating capture under a typed
+            # alias yields null instead of an ANSI cast error (the reference
+            # skips empty captures entirely)
+            expr = expr.try_cast(typ)
         out = out.withColumn(alias, expr)
     out = out.drop("__grok_win__")
 
@@ -245,7 +266,7 @@ def _parse_grok_arrow(
 
     pyregexes = [re.compile(_to_python(regex)) for regex, _ in compiled]
     pattern_aliases = [
-        [(c.group, a) for a, c in _last_capture_per_alias(caps).items()]
+        [([c.group for c in occ], a) for a, occ in _alias_occurrences(caps).items()]
         for _, caps in compiled
     ]
 
@@ -282,11 +303,18 @@ def _parse_grok_arrow(
                     # str.extract raises on zero-capture regexes; a
                     # capture-less pattern only consumes the rows (match test)
                     ext = s.iloc[hit_idx].str.extract(creg)
-                    for gname, alias in pattern_aliases[i]:
-                        vals = ext[gname]
-                        out[alias][hit_idx] = vals.where(vals.notna(), "").to_numpy(
-                            dtype=object
-                        )
+                    for gnames, alias in pattern_aliases[i]:
+                        # apply occurrences in order, skipping empty captures
+                        # (reference semantics): last non-empty wins, "" if
+                        # every occurrence is empty
+                        acc = np.full(len(hit_idx), "", dtype=object)
+                        for gname in gnames:
+                            vals = ext[gname].where(ext[gname].notna(), "").to_numpy(
+                                dtype=object
+                            )
+                            nonempty = vals != ""
+                            acc[nonempty] = vals[nonempty]
+                        out[alias][hit_idx] = acc
                 win[hit_idx] = i
                 remaining[hit_idx] = False
             res = pdf.copy()
@@ -299,7 +327,7 @@ def _parse_grok_arrow(
     out = parsed
     for alias, typ in all_keys:
         if typ != "string":
-            out = out.withColumn(alias, F.col(alias).cast(typ))
+            out = out.withColumn(alias, F.col(alias).try_cast(typ))
     any_match = F.col("__grok_win__") >= 0
     if not ignore_parse_failure:
         out = out.filter(any_match)

@@ -87,7 +87,28 @@ def route_fanout(
             if r.condition and r.condition.discard_tag and r.condition.tag_key
         }
         for tag in sorted(drop_tags):
-            sink_df = sink_df.drop(tag)
+            # per-row fidelity for mixed routes to one sink: a row that also
+            # matched a NON-discarding route keeps its tag (the reference
+            # discards the tag per matched route, not per sink); only when
+            # every route to the sink discards it does the column vanish.
+            # Columnar divergence (documented): a row matching both a
+            # discarding and a keeping route is delivered ONCE with the tag
+            # kept, where the reference's per-route delivery would emit it
+            # twice (with and without).
+            keepers = [
+                r
+                for r in sink_routes
+                if r.condition is None
+                or not (r.condition.discard_tag and r.condition.tag_key == tag)
+            ]
+            if not keepers:
+                sink_df = sink_df.drop(tag)
+            else:
+                keep_cond = _any_condition(keepers)
+                if keep_cond is not None:
+                    sink_df = sink_df.withColumn(
+                        tag, F.when(keep_cond, F.col(tag))
+                    )
         out[sink] = sink_df
     return out
 

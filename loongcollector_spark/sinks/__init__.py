@@ -74,10 +74,14 @@ def serialize_rows(df: DataFrame, spec: SinkSpec) -> DataFrame:
             F.struct(t, _kv_map(content_cols).alias("contents"), _kv_map(tag_cols).alias("tags"))
         )
     elif enc in ("custom_single_flatten", "jsonline"):
+        # a content/tag column literally named "time" would duplicate the
+        # protocol time key in to_json; the reference flattens into one Go
+        # map where the protocol time wins (converter_single_log_flatten.go
+        # sets it last) — so exclude same-named fields
         obj = F.to_json(
             F.struct(
-                *[F.col(c) for c in content_cols],
-                *[F.col(c) for c in tag_cols],
+                *[F.col(c) for c in content_cols if c != "time"],
+                *[F.col(c) for c in tag_cols if c != "time"],
                 t,
             )
         )
@@ -170,15 +174,14 @@ def write_sink(df: DataFrame, spec: SinkSpec) -> dict[str, Any]:
         # honor spec.mode: append must NOT truncate the table (a streaming
         # foreachBatch delivering per-micro-batch appends would otherwise keep
         # only the last batch's rows); the FIRST append against a fresh table
-        # creates it instead of failing
+        # creates it instead of failing. Existence is probed via the catalog
+        # (not by parsing exception text, which varies across Spark/catalog
+        # versions and locales).
         if spec.mode == "append":
-            try:
+            if df.sparkSession.catalog.tableExists(spec.path):
                 writer.append()
-            except Exception as e:
-                if "TABLE_OR_VIEW_NOT_FOUND" in str(e) or "NoSuchTable" in str(e):
-                    writer.create()
-                else:
-                    raise
+            else:
+                writer.create()
         else:
             writer.createOrReplace()
         return {"sink": spec.name, "delivered": True, "table": spec.path}

@@ -358,3 +358,176 @@ def test_grok_arrow_with_special_column_names(spark):
     out = parse_grok(df, "content", match=["%{COMBINEDAPACHELOG}"])
     r = out.first()
     assert r["__tag__:__path__"] == "/var/log/x" and r["clientip"] == "10.0.0.1"
+
+
+# --- grok exotic families (round 3) ------------------------------------------
+
+_EXOTIC_CASES = [
+    # (pattern, line, {field: expected})
+    (
+        "S3_ACCESS_LOG",
+        '79a5 mybucket [06/Feb/2019:00:00:38 +0000] 192.0.2.3 79a5 3E57427F3E '
+        'REST.GET.VERSIONING mykey "GET /mybucket?versioning HTTP/1.1" 200 - '
+        '113 - 7 - "-" "S3Console/0.4" -',
+        {"bucket": "mybucket", "clientip": "192.0.2.3", "verb": "GET",
+         "response": 200, "bytes": 113, "request_time_ms": 7},
+    ),
+    (
+        "SQUID3",
+        "1426235101.405 342 192.0.2.1 TCP_MISS/200 12920 GET "
+        "http://example.com/page - HIER_DIRECT/93.184.216.34 text/html",
+        {"cache_result": "TCP_MISS", "status_code": "200",
+         "request_method": "GET", "content_type": "text/html"},
+    ),
+    (
+        "MONGO3_LOG",
+        "2014-11-03T18:28:32.450-0500 I NETWORK [initandlisten] waiting for "
+        "connections on port 27017",
+        {"severity": "I", "component": "NETWORK", "context": "initandlisten"},
+    ),
+    (
+        "RT_FLOW2",
+        "RT_FLOW_SESSION_CREATE: session created 192.0.2.1/1024->198.51.100.2/80 "
+        "junos-http 10.0.0.1/5000->198.51.100.2/80 snat dnat 6 policy1 trust "
+        "untrust 1234 wan",
+        {"event": "RT_FLOW_SESSION_CREATE", "src-ip": "192.0.2.1",
+         "dst-port": "80", "policy-name": "policy1", "session-id": "1234"},
+    ),
+    (
+        "CISCOFW106023",
+        'Deny tcp src outside:192.0.2.9/50026 dst inside:198.51.100.7/443 by '
+        'access-group "OUTSIDE" [0x5063b82f, 0x0]',
+        {"action": "Deny", "protocol": "tcp", "src_interface": "outside",
+         "dst_ip": "198.51.100.7", "policy_id": "OUTSIDE"},
+    ),
+    (
+        "ELB_ACCESS_LOG",
+        "2015-05-13T23:39:43.945958Z my-elb 192.0.2.0:2817 10.0.0.1:80 "
+        '0.000073 0.001048 0.000057 200 200 0 29 "GET http://example.com:80/ HTTP/1.1"',
+        {"elb": "my-elb", "clientip": "192.0.2.0", "clientport": 2817,
+         "backendip": "10.0.0.1", "response": 200, "bytes": 29, "verb": "GET"},
+    ),
+    (
+        "RUBY_LOGGER",
+        "W, [2017-01-13T13:01:13.123456 #1234]  WARN -- myapp: hello world",
+        {"pid": "1234", "loglevel": "WARN", "progname": "myapp",
+         "message": "hello world"},
+    ),
+    (
+        "REDISMONLOG",
+        '1339518083.107412 [0 127.0.0.1:60866] "GET" foo',
+        {"database": "0", "client": "127.0.0.1", "command": "GET",
+         "params": "foo"},
+    ),
+    (
+        "POSTGRESQL",
+        "2024-02-17 10:11:12 UTC alice db1-conn 4242",
+        {"user_id": "alice", "connection_id": "db1-conn", "pid": "4242"},
+    ),
+    (
+        "NETSCREENSESSIONLOG",
+        'Feb 17 10:11:12 fw1 ns5: NetScreen device_id=ns5 [Root]system-notification: '
+        'start_time="2024-02-17 10:10:00" duration=3 policy_id=320001 service=http '
+        'proto=6 src zone=Trust dst zone=Untrust action=Permit sent=100 rcvd=200 '
+        'src=10.0.0.1 dst=198.51.100.9 src_port=1024 dst_port=80 '
+        'src-xlated ip=10.0.0.1 port=1024 dst-xlated ip=198.51.100.9 port=80 '
+        'session_id=4321 reason=Close - TCP FIN',
+        {"device_id": "ns5", "policy_id": "320001", "action": "Permit",
+         "src_ip": "10.0.0.1", "session_id": "4321"},
+    ),
+]
+
+
+@pytest.mark.parametrize("engine", ["jvm", "arrow"])
+def test_grok_exotic_family_headliners(spark, engine):
+    """Each new pattern family (aws/squid/mongodb/junos/firewall/rails/ruby/
+    redis/postgresql) extracts its contract fields on a representative line,
+    identically under both engines."""
+    for pattern, line, expect in _EXOTIC_CASES:
+        df = lines_df(spark, line)
+        out = parse_grok(df, "content", match=["%{" + pattern + "}"], engine=engine)
+        r = out.first()
+        for field, want in expect.items():
+            got = r[field]
+            assert got == want, f"{pattern}.{field}: {got!r} != {want!r} ({engine})"
+
+
+@pytest.mark.parametrize("engine", ["jvm", "arrow"])
+def test_grok_alternation_last_nonempty_alias(spark, engine):
+    """NAGIOSLOGLINE: repeated aliases across alternation branches resolve to
+    the last NON-EMPTY occurrence (processor_grok.go:146-153 skips empty
+    captures) — a WARNING match must fill nagios_message even though later
+    branches also alias it."""
+    df = lines_df(
+        spark,
+        "[1427925600] Warning: check timed out",
+        "[1427925600] SERVICE ALERT: host1;http;CRITICAL;HARD;3;refused",
+    )
+    out = parse_grok(df, "content", match=["%{NAGIOSLOGLINE}"], engine=engine)
+    rows = out.orderBy("id").collect()
+    assert rows[0]["nagios_message"] == "check timed out"
+    assert rows[1]["nagios_type"] == "SERVICE ALERT"
+    assert rows[1]["nagios_hostname"] == "host1"
+    assert rows[1]["nagios_state"] == "CRITICAL"
+    assert rows[1]["nagios_attempt"] == "3"
+    assert rows[1]["nagios_message"] == "refused"
+
+
+@pytest.mark.parametrize("engine", ["jvm", "arrow"])
+def test_grok_bind9_duplicate_alias(spark, engine):
+    """BIND9 aliases `query` twice; last non-empty occurrence (the actual
+    query) wins, matching the reference's ordered-append contract."""
+    df = lines_df(
+        spark,
+        "17-Feb-2024 23:06:56 queries: info: client 192.0.2.55#1204 "
+        "(foo.example): query: bar.example IN A (10.0.0.1)",
+    )
+    out = parse_grok(df, "content", match=["%{BIND9}"], engine=engine)
+    r = out.first()
+    assert r["query"] == "bar.example"
+    assert r["clientip"] == "192.0.2.55"
+    assert r["querytype"] == "A"
+
+
+def test_grok_library_covers_reference_families():
+    """Every %{NAME} referenced inside our shipped bodies resolves and
+    compiles; the headliner of each reference bundle
+    (example_config/processor_grok_patterns/) is present."""
+    import re as _re
+
+    from loongcollector_spark.operators.grok import compile_grok, _to_python
+    from loongcollector_spark.operators.grok_patterns import GROK_LIBRARY
+
+    ref = _re.compile(r"%\{([A-Z0-9_]+)(?::[^}]*)?\}")
+    for name, body in GROK_LIBRARY.items():
+        for used in ref.findall(body):
+            assert used in GROK_LIBRARY, f"{name} references undefined %{{{used}}}"
+        regex, _ = compile_grok("%{" + name + "}")
+        _re.compile(_to_python(regex))
+
+    headliners = {
+        "aws": ["S3_ACCESS_LOG", "ELB_ACCESS_LOG", "CLOUDFRONT_ACCESS_LOG"],
+        "bind": ["BIND9"],
+        "bro": ["BRO_HTTP", "BRO_DNS", "BRO_CONN"],
+        "exim": ["EXIM_MSGID", "EXIM_FLAGS", "EXIM_DATE", "EXIM_QT"],
+        "firewall": ["NETSCREENSESSIONLOG", "CISCO_TAGGED_SYSLOG",
+                     "CISCOFW106001", "CISCOFW106014", "CISCOFW106023",
+                     "CISCOFW106100", "CISCOFW302013_302014_302015_302016"],
+        "grok-patterns": ["COMBINEDAPACHELOG", "SYSLOGLINE", "URI"],
+        "haproxy": ["HAPROXYHTTP"],
+        "httpd": ["HTTPD_COMBINEDLOG", "HTTPD_ERRORLOG"],
+        "java": ["CATALINALOG", "TOMCATLOG", "JAVASTACKTRACEPART"],
+        "junos": ["RT_FLOW1", "RT_FLOW2", "RT_FLOW3"],
+        "linux-syslog": ["SYSLOG5424LINE", "CRONLOG"],
+        "mongodb": ["MONGO_LOG", "MONGO_SLOWQUERY", "MONGO3_LOG"],
+        "nagios": ["NAGIOSLOGLINE"],
+        "postgresql": ["POSTGRESQL"],
+        "rails": ["RAILS3"],
+        "redis": ["REDISLOG", "REDISMONLOG"],
+        "ruby": ["RUBY_LOGGER"],
+        "squid": ["SQUID3"],
+        "bacula": ["BACULA_LOG_NEW_VOLUME", "BACULA_LOG_JOBEND"],
+    }
+    for family, names in headliners.items():
+        for n in names:
+            assert n in GROK_LIBRARY, f"{family} headliner {n} missing"

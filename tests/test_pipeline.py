@@ -192,6 +192,13 @@ def test_sink_converter_encodings(spark, tmp_path):
     s2 = serialize_rows(df, SinkSpec("s", encoding="jsonline",
                                      tag_columns=("svc",), time_column="ts")).first()[0]
     assert json.loads(s2) == {"msg": "hello", "n": 7, "svc": "web", "time": 100}
+    # a content column literally named "time" must not duplicate the
+    # protocol time key (the reference flattens into one map; protocol wins)
+    tdf = spark.createDataFrame([("x", 5, 100)], "msg string, time int, ts long")
+    s2b = serialize_rows(tdf, SinkSpec("s", encoding="jsonline",
+                                       time_column="ts")).first()[0]
+    assert s2b.count('"time"') == 1
+    assert json.loads(s2b) == {"msg": "x", "time": 100}
     # raw
     s3 = serialize_rows(df, SinkSpec("s", encoding="raw", raw_column="msg")).first()[0]
     assert s3 == "hello"

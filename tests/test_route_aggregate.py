@@ -37,6 +37,24 @@ def test_route_fanout_duplication(events):
     assert out["sink_all"].count() == 4  # always-match duplicates rows
 
 
+def test_route_fanout_mixed_discard_keeps_tag_per_row(events):
+    """A sink fed by both a discarding and a non-discarding route: rows that
+    matched the keeping route retain the tag value, rows delivered only by
+    the discarding route get null — per-route discard semantics
+    (Condition.h:28-73) approximated per row in the columnar model."""
+    routes = [
+        route.Route("mix", route.Condition(tag_key="env", tag_value="prod", discard_tag=True)),
+        route.Route("mix", route.Condition(event_type="METRIC")),
+    ]
+    out = route.route_fanout(events, routes, cache=False)["mix"]
+    assert "env" in out.columns
+    vals = {r.id: r.env for r in out.collect()}
+    # id=2 is METRIC (keeping route) -> tag kept even though it is also prod;
+    # prod-only rows lose the tag value
+    assert vals[2] == "prod"
+    assert all(v is None for i, v in vals.items() if i != 2)
+
+
 def test_route_first_match_wins(events):
     routes = [
         route.Route("errors", route.Condition(content_key="content", content_regex=".*failed.*")),
