@@ -6,10 +6,14 @@ Reference (core/plugin/processor/ProcessorParseApsaraNative.cpp): lines like
 
 microsecond time prefix in brackets, then tab-separated fields, trailing
 ``key:value`` pairs. Duplicate keys are tolerated by the reference's ordered
-content list (core/models/LogEvent.h:115-118); in the columnar mapping,
-duplicates land in the map column with last-wins (documented divergence:
-order-preserving duplicate keys do not exist in a map; the raw line is
-retained for full fidelity).
+content list (core/models/LogEvent.h:115-121, the SLS log-reduce contract);
+two mappings are offered:
+
+- ``map_column`` (fast path): duplicates collapse last-wins — a map column
+  prunes/serializes cheaply but cannot hold ordered repeats;
+- ``ordered_pairs_column`` (opt-in fidelity path): the raw
+  ``array<struct<key,value>>`` in insertion order, duplicates preserved —
+  exactly the reference's ordered content list.
 """
 
 from __future__ import annotations
@@ -28,6 +32,7 @@ def parse_apsara(
     map_column: str = "fields",
     time_column: str = "apsara_time",
     level_column: str = "__LEVEL__",
+    ordered_pairs_column: str | None = None,
     options: ParserOptions | None = None,
 ) -> DataFrame:
     options = options or ParserOptions()
@@ -39,18 +44,19 @@ def parse_apsara(
     # trailing key:value fields (tab-separated, each containing ':')
     tail = F.regexp_replace(src, APSARA_TIME_RE, "")
     pairs = F.filter(F.split(tail, r"\t"), lambda p: p.rlike(r"^[^\[:]+:"))
-    kv = F.map_from_entries(
-        F.transform(
-            pairs,
-            lambda p: F.struct(
-                F.regexp_extract(p, r"^([^:]+):", 1).alias("key"),
-                F.regexp_replace(p, r"^[^:]+:", "").alias("value"),
-            ),
-        )
+    entries = F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.regexp_extract(p, r"^([^:]+):", 1).alias("key"),
+            F.regexp_replace(p, r"^[^:]+:", "").alias("value"),
+        ),
     )
+    kv = F.map_from_entries(entries)
     extracted = {
         time_column: F.to_timestamp(time_str),
         level_column: level,
         map_column: kv,
     }
+    if ordered_pairs_column:
+        extracted[ordered_pairs_column] = entries
     return apply_parser_options(df, source_key, success, extracted, options)

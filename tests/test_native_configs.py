@@ -1,0 +1,128 @@
+"""E2E parity: the reference's shipped pipeline YAMLs, loaded UNMODIFIED.
+
+Mirrors test/e2e/test_cases/ scenarios: each example_config/data_pipelines/
+*.yaml is translated by config.spec_from_native, fed the sample lines its own
+header comment documents, run through run_pipeline, and the per-sink output
+is read back and checked against the "After Process" expectation in the same
+comment. Network flushers (flusher_sls) are overridden to a local parquet
+twin; flusher_stdout stays a noop sink.
+
+Skips (module-level) if the reference checkout is absent.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+REF_DIR = "/root/reference/example_config/data_pipelines"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_DIR), reason="reference example_config not present"
+)
+
+
+def _run_yaml(spark, tmp_path, yaml_name, lines, line_offset=False, sink="sls"):
+    from loongcollector_spark.config import load_native_config
+    from loongcollector_spark.pipeline import run_pipeline
+    from loongcollector_spark.sources.files import read_log_files
+
+    out_dir = str(tmp_path / "out")
+    spec, paths = load_native_config(
+        f"{REF_DIR}/{yaml_name}",
+        sink_overrides={sink: {"format": "parquet", "path": out_dir}},
+    )
+    assert paths == ["/home/test-log/*.log"]  # parsed verbatim from the YAML
+    log_dir = tmp_path / "logs"
+    log_dir.mkdir()
+    (log_dir / "a.log").write_text("\n".join(lines) + "\n")
+    df = read_log_files(spark, str(log_dir), line_offset=line_offset)
+    res = run_pipeline(df, spec)
+    return spec, res, out_dir
+
+
+def test_nginx_regex_yaml(spark, tmp_path):
+    line = (
+        '::1 - - [18/Jul/2022:07:28:01 +0000] "GET /hello/ilogtail HTTP/1.1" '
+        '404 153 "-" "curl/7.74.0" "-"'
+    )
+    spec, res, out = _run_yaml(spark, tmp_path, "nginx-regex.yaml", [line, "garbage"])
+    assert [p[0] for p in spec.processors] == ["parse_regex"]
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2  # KeepSourceIfParseError default keeps the bad row
+    good = next(r for r in rows if r.status == "404")
+    assert (good.remote_addr, good.method, good.url, good.protocol) == (
+        "::1", "GET", "/hello/ilogtail", "HTTP/1.1"
+    )
+    assert good.time_local == "18/Jul/2022:07:28:01"
+    assert (good.body_bytes_sent, good.http_user_agent) == ("153", "curl/7.74.0")
+
+
+def test_file_json_yaml(spark, tmp_path):
+    spec, res, out = _run_yaml(
+        spark, tmp_path, "file-json.yaml", ['{"key1":"value1","key2":2}']
+    )
+    assert [p[0] for p in spec.processors] == ["expand_json"]
+    r = spark.read.parquet(out).first()
+    assert r.expanded["key1"] == "value1"
+    assert r.expanded["key2"] == "2"
+    assert "content" not in r.asDict() or r.content is None  # KeepSource: false
+
+
+def test_file_delimiter_yaml(spark, tmp_path):
+    spec, res, out = _run_yaml(
+        spark, tmp_path, "file-delimiter.yaml", ["123\t2022-08-08\tbuy\t10000"]
+    )
+    r = spark.read.parquet(out).first()
+    assert (r.uid, r.time, r.method, r.value) == ("123", "2022-08-08", "buy", "10000")
+
+
+def test_file_grok_yaml(spark, tmp_path):
+    spec, res, out = _run_yaml(
+        spark,
+        tmp_path,
+        "file-grok.yaml",
+        ["10.0.0.0 GET /index.html 15824 0.043", "no match here ???"],
+        sink="stdout",  # file-grok.yaml ships only a stdout flusher
+    )
+    rows = spark.read.parquet(out).collect()
+    # IgnoreParseFailure: false drops the unmatched line
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.client, r.method, r.request, r.bytes, r.duration) == (
+        "10.0.0.0", "GET", "/index.html", "15824", "0.043"
+    )
+
+
+def test_multiline_java_stack_yaml(spark, tmp_path):
+    # NB: single space before '[' — the YAML's header comment shows two
+    # spaces, which its own SplitRegex (':\\d+\\s\\[') does not match; the
+    # shipped regex is the contract we honor
+    lines = [
+        "2022-08-09 14:47:17 [ main:1 ] - [ ERROR ] com.aliyun.NullPointerTest"
+        ".main(NullPointerTest.java:13) Param Error",
+        "java.lang.NullPointerException",
+        "\tat com.aliyun.NullPointerTest.main(NullPointerTest.java:11)",
+        "2022-08-09 14:47:18 [ main:1 ] - [ INFO ] done",
+    ]
+    spec, res, out = _run_yaml(
+        spark, tmp_path, "multiline_java_stack_trace-split_log_regex.yaml",
+        lines, line_offset=True,
+    )
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2  # two headers -> two merged events
+    stack = next(r.content for r in rows if "NullPointerException" in r.content)
+    assert stack == "\n".join(lines[:3])
+
+
+def test_stdout_flusher_maps_to_noop_and_fanout_delivers_all(spark, tmp_path):
+    # every flusher gets every event: the sls parquet twin and the stdout
+    # noop sink both report delivery
+    spec, res, out = _run_yaml(
+        spark, tmp_path, "file-delimiter.yaml", ["1\t2\t3\t4", "5\t6\t7\t8"]
+    )
+    assert set(spec.sinks) == {"sls", "stdout"}
+    assert spec.sinks["stdout"].format == "noop"
+    assert res["sls"]["delivered"] and res["stdout"]["delivered"]
+    assert spark.read.parquet(out).count() == 2

@@ -531,3 +531,20 @@ def test_grok_library_covers_reference_families():
     for family, names in headliners.items():
         for n in names:
             assert n in GROK_LIBRARY, f"{family} headliner {n} missing"
+
+
+def test_apsara_ordered_duplicate_keys(spark):
+    """Opt-in fidelity path: duplicate keys preserved in insertion order as
+    array<struct<key,value>> (the reference's ordered content list,
+    core/models/LogEvent.h:115-121); the map column stays last-wins."""
+    from loongcollector_spark.operators.parse_apsara import parse_apsara
+
+    line = "[2024-01-01 12:00:00.123456]\t[INFO]\tk:first\tother:x\tk:second"
+    df = spark.createDataFrame([(line,)], "content string")
+    out = parse_apsara(df, "content", ordered_pairs_column="pairs").first()
+    assert [(p.key, p.value) for p in out.pairs] == [
+        ("k", "first"), ("other", "x"), ("k", "second"),
+    ]
+    assert out.fields["k"] == "second"  # map fast path: last-wins
+    # default call shape unchanged (no pairs column)
+    assert "pairs" not in parse_apsara(df, "content").columns
