@@ -15,6 +15,8 @@ Catalyst expression:
       | parse-csv <col> as a, b, c
       | parse-kv -regexp <col>, '<pat>' / parse-kv -delims='<chars>' <col>
         (either form accepts a trailing ``as k1, k2`` key list)
+      | stats <agg> as <name>[, ...] by k1, k2   (count()/sum/avg/min/max …)
+      | sort by c1 [desc][, c2 ...]              (total order: range shuffle)
       | limit N
 
 Dynamic-key stages (parse-json / parse-kv) need the key set at plan time.
@@ -57,8 +59,10 @@ quotes string scalars, Spark does not), date_parse(x, '%...') -> to_timestamp
 with the MySQL format converted, to_unixtime -> unix_timestamp. Everything
 else passes through F.expr — Spark SQL's function surface covers the rest.
 
-Out of scope (documented): stats/sort stages — use the DataFrame API
-directly for those.
+``stats`` compiles to groupBy().agg() — partial aggregation map-side, only
+(group, partial) rows shuffle. ``sort by`` is a TOTAL order (Spark range
+partitions + shuffles); prefer ``stats ... | sort`` on the already-reduced
+result, as the reference engine's own stats-then-sort idiom does.
 """
 
 from __future__ import annotations
@@ -288,6 +292,70 @@ def _stage_parse_kv(
     return df.drop(tmp)
 
 
+def _rsplit_keyword(s: str, word: str) -> tuple[str, str] | None:
+    """Split at the LAST top-level ' <word> ' (quote/paren aware)."""
+    q, depth = None, 0
+    best = None
+    probe = re.compile(r"\s" + word + r"\s", re.IGNORECASE)
+    for i, ch in enumerate(s):
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and q is None and probe.match(s[i : i + len(word) + 2]):
+            best = i
+    if best is None:
+        return None
+    return s[:best], s[best + len(word) + 2 :]
+
+
+def _stage_stats(df: DataFrame, rest: str) -> DataFrame:
+    """``stats <agg> as <name>[, ...] by k1, k2`` → groupBy().agg(): partial
+    aggregation runs map-side, only (group, partial) rows cross the shuffle.
+    Presto-style ``count()`` is translated to ``count(*)``."""
+    m = _rsplit_keyword(rest, "by")
+    if m:
+        aggs_text, by_text = m
+        by_cols = [_unquote_ident(c) for c in _split_top(by_text, ",")]
+    else:
+        aggs_text, by_cols = rest, []
+    aggs = []
+    for part in _split_top(aggs_text, ","):
+        named = _rsplit_as(part)
+        if not named:
+            raise SplError(f"stats aggregate needs 'as <name>': {part!r}")
+        expr, name = named
+        expr = re.sub(r"\bcount\s*\(\s*\)", "count(*)", _translate_expr(expr.strip()))
+        aggs.append(F.expr(expr).alias(_unquote_ident(name)))
+    if not aggs:
+        raise SplError("stats needs at least one aggregate")
+    return df.groupBy(*by_cols).agg(*aggs) if by_cols else df.agg(*aggs)
+
+
+def _stage_sort(df: DataFrame, rest: str) -> DataFrame:
+    """``sort by c1 [desc][, c2 ...]`` — a TOTAL order (range shuffle)."""
+    stripped = re.sub(r"^by\s+", "", rest.strip(), flags=re.IGNORECASE)
+    if stripped == rest.strip():
+        raise SplError(f"sort needs 'by': sort by c1 [desc], got {rest!r}")
+    rest = stripped
+    cols = []
+    for part in _split_top(rest, ","):
+        toks = part.strip().split()
+        if not toks:
+            continue
+        name = _unquote_ident(toks[0])
+        desc = len(toks) > 1 and toks[1].lower() == "desc"
+        cols.append(F.col(name).desc() if desc else F.col(name).asc())
+    if not cols:
+        raise SplError("sort needs at least one column")
+    return df.orderBy(*cols)
+
+
 def _stage_project_rename(df: DataFrame, rest: str) -> DataFrame:
     for part in _split_top(rest, ","):
         new, _, old = part.partition("=")
@@ -325,6 +393,10 @@ def _apply_stages(
             out = _stage_parse_csv(out, rest)
         elif verb == "parse-kv":
             out = _stage_parse_kv(out, rest, sample_rows)
+        elif verb == "stats":
+            out = _stage_stats(out, rest)
+        elif verb == "sort":
+            out = _stage_sort(out, rest)
         elif verb == "limit":
             out = out.limit(int(rest))
         else:

@@ -1980,6 +1980,30 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "spl_stats_rollup",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="processor_spl stats stage: 'stats count() as .., sum(..) as .. by k' "
+        "compiled to groupBy().agg() — map-side partial aggregation, only "
+        "(group, partial) rows shuffle; sort compiles to a total order",
+)
+def spl_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.spl import compile_spl
+
+    ev = load_table(spark, sf_dir, "events")
+    return compile_spl(
+        ev,
+        """* | extend kval = cast(json_extract(props, '$.k') as INTEGER)
+             | stats count() as n_rows, sum(kval) as sum_k by event_type""",
+    )
+
+
 # =============================================================================
 # Driver-window ordering
 # =============================================================================
@@ -2005,6 +2029,7 @@ _DRIVER_WINDOW_TAIL = [
     "content_value_group_counts",  # aggregate: context_pack + shardhash + salted
     "split_words_rollup",          # delimiters: parse_delimiter + parse_csv
     "anchor_extract_span",         # enrich-extract: pack_json_roundtrip
+    "spl_stats_rollup",            # spl: two spl queries already in-window
 ]
 
 

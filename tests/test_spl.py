@@ -199,3 +199,27 @@ def test_spl_multi_statement_errors(spark):
         compile_spl_multi(df, ".let x = * | limit 1;")
     with pytest.raises(SplError, match="compile_spl_multi"):
         compile_spl(df, "* | limit 1; * | limit 2;")
+
+
+def test_spl_stats_by(spark):
+    df = lines(spark, "a", "a", "b")
+    out = compile_spl(
+        df, "* | stats count() as n, min(id) as first_id by content | sort by content"
+    )
+    rows = [(r.content, r.n, r.first_id) for r in out.collect()]
+    assert rows == [("a", 2, 0), ("b", 1, 2)]
+
+
+def test_spl_stats_global_and_sort_desc(spark):
+    df = lines(spark, "x", "y", "z")
+    assert compile_spl(df, "* | stats count() as n").first().n == 3
+    out = compile_spl(df, "* | sort by id desc | limit 2")
+    assert [r.id for r in out.collect()] == [2, 1]
+
+
+def test_spl_stats_errors(spark):
+    df = lines(spark, "a")
+    with pytest.raises(SplError, match="as"):
+        compile_spl(df, "* | stats count() by content")
+    with pytest.raises(SplError, match="sort"):
+        compile_spl(df, "* | sort")
