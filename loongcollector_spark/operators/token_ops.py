@@ -115,3 +115,28 @@ def token_rollup(
     """Order-insensitive token-payload digest used for token-array equality
     at scale (SURVEY §7.3 hard part 5): xxhash64 per row, bit_xor folded."""
     return F.bit_xor(F.xxhash64(F.col(tokens_col).cast("array<int>").cast("string")))
+
+
+def token_exact_dedup(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on TOKEN-ARRAY EQUALITY — the per-row invariant the north
+    rule verifies against the reference. Pure groupBy on the array column:
+    partial aggregation runs map-side, so only one (tokens, min-id, count)
+    partial per distinct sequence per partition crosses the shuffle.
+
+    Returns (keeper_id, dup_count) — keeper = min id among equal sequences.
+
+    Scale note: the distinct token arrays themselves ride the shuffle
+    (~4·n_tok bytes each). For multi-KB sequences where even that is too
+    much, pre-aggregate on ``xxhash64(tokens)`` and keep the array only for
+    an equality re-check within hash groups — at header widths (8-64
+    tokens) the direct groupBy is both exact and cheaper."""
+    return (
+        df.groupBy(tokens_col)
+        .agg(
+            F.min(F.col(id_col)).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop(tokens_col)
+    )

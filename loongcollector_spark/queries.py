@@ -2004,6 +2004,45 @@ def spl_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_dedup_oracle(n_rows: int = 2000, n_dup: int = 400) -> str:
+    from loongcollector_spark.sources.sql_oracle import f1_cte
+
+    positions = tuple(range(8))
+    cols = ", ".join(f"t{p}" for p in positions)
+    return f"""
+WITH {f1_cte(n_rows, 42, positions)},
+base AS (
+  SELECT source || '-' || lpad(CAST(i AS VARCHAR), 12, '0') AS doc_id, i, {cols}
+  FROM f1),
+unioned AS (
+  SELECT doc_id, {cols} FROM base
+  UNION ALL
+  SELECT doc_id || '-copy' AS doc_id, {cols} FROM base WHERE i < {n_dup})
+SELECT min(doc_id) AS keeper_id, COUNT(*) AS dup_count
+FROM unioned GROUP BY {cols}
+"""
+
+
+@register(
+    "token_exact_dedup",
+    _token_dedup_oracle(),
+    doc="token-native exact dedup: groupBy on the token ARRAY itself — the "
+        "north rule's per-row token-array-equality invariant as an operator; "
+        "map-side partials, one (tokens,min-id,count) per distinct sequence "
+        "per partition crosses the shuffle (DuckDB oracle replays the "
+        "splitmix64 token stream and groups on the 8-token tuple)",
+)
+def token_exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.token_ops import token_exact_dedup
+    from loongcollector_spark.sources.synthetic import generate_sequences_head
+
+    seqs = generate_sequences_head(spark, 2000, head=8)
+    dupes = seqs.filter(
+        F.substring_index("doc_id", "-", -1).cast("long") < 400
+    ).withColumn("doc_id", F.concat("doc_id", F.lit("-copy")))
+    return token_exact_dedup(seqs.unionByName(dupes))
+
+
 # =============================================================================
 # Driver-window ordering
 # =============================================================================
@@ -2030,6 +2069,7 @@ _DRIVER_WINDOW_TAIL = [
     "split_words_rollup",          # delimiters: parse_delimiter + parse_csv
     "anchor_extract_span",         # enrich-extract: pack_json_roundtrip
     "spl_stats_rollup",            # spl: two spl queries already in-window
+    "quality_scores",              # text: text_quality_panel covers the panel
 ]
 
 

@@ -88,3 +88,23 @@ def test_token_subseq_batch(spark):
     assert got.filter((F.col("expect") >= 0) & (F.col("match_pos") < 0)).count() == 0
     assert got.filter((F.col("expect") >= 0) & (F.col("match_pos") > F.col("expect"))).count() == 0
     _ = bad
+
+
+def test_token_exact_dedup(spark):
+    """Token-array equality dedup: duplicated sequences collapse to one
+    keeper (min id) with the right dup_count; uniques stay singletons."""
+    from pyspark.sql import functions as F
+
+    from loongcollector_spark.operators.token_ops import token_exact_dedup
+    from loongcollector_spark.sources.synthetic import generate_sequences_head
+
+    seqs = generate_sequences_head(spark, 300, head=8)
+    dupes = seqs.filter(
+        F.substring_index("doc_id", "-", -1).cast("long") < 50
+    ).withColumn("doc_id", F.concat("doc_id", F.lit("-copy")))
+    out = token_exact_dedup(seqs.unionByName(dupes)).persist()
+    assert out.count() == 300
+    assert out.filter("dup_count = 2").count() == 50
+    # keeper is the min doc_id -> never the '-copy' twin
+    assert out.filter(F.col("keeper_id").endswith("-copy")).count() == 0
+    out.unpersist()
