@@ -163,6 +163,11 @@ def _native_sink(f: Mapping[str, Any], overrides: Mapping[str, Mapping[str, Any]
         return sink_from_dict(name, overrides[name])
     if t == "flusher_file":
         return SinkSpec(name=name, format="text", path=f.get("FileName"))
+    if t in ("flusher_kafka", "flusher_kafka_v2"):
+        opts = {"kafka.bootstrap.servers": ",".join(f.get("Brokers", []))}
+        if f.get("Topic"):
+            opts["topic"] = f["Topic"]
+        return SinkSpec(name=name, format="kafka", options=opts)
     # network flushers (sls/kafka/...) have no sandbox endpoint: deliver to a
     # noop sink unless overridden to a local twin
     return SinkSpec(name=name, format="noop")

@@ -8,7 +8,10 @@ delivery retry/exactly-once = the output-commit protocol + lineage manifests
 (lineage.py).
 
 Provided sink kinds: parquet / json (flusher_file), noop (flusher_blackhole),
-console (flusher_stdout), memory/checker (flusher_checker — test assertions).
+console (flusher_stdout), memory/checker (flusher_checker — test assertions),
+kafka (flusher_kafka/_v2 over Spark's own connector — encoded value +
+per-row dynamic topic + shard-hash partition key; gated on the connector
+jar), iceberg (production table sink; gated on the runtime jar).
 """
 
 from __future__ import annotations
@@ -46,10 +49,10 @@ def _kv_map(cols: list[str]):
     )
 
 
-def serialize_rows(df: DataFrame, spec: SinkSpec) -> DataFrame:
+def _serialize_expr(df: DataFrame, spec: SinkSpec):
     """Protocol converter serializers (pkg/protocol/converter/): each row
-    becomes one serialized string in column ``value`` — pure column
-    expressions (to_json / concat), no Python in the row path.
+    becomes one serialized string — pure column expressions (to_json /
+    concat), no Python in the row path. Returns the value Column.
 
     - custom_single (custom_single_log.go:32-62): {"time": t, "contents":
       {...}, "tags": {...}} per row, JSON.
@@ -137,19 +140,71 @@ def serialize_rows(df: DataFrame, spec: SinkSpec) -> DataFrame:
         obj = F.col(spec.raw_column or content_cols[0]).cast("string")
     else:
         raise ValueError(f"unknown sink encoding {enc!r}")
-    return df.select(obj.alias("value"))
+    return obj
+
+
+def serialize_rows(df: DataFrame, spec: SinkSpec) -> DataFrame:
+    """Each row serialized to one string in column ``value``."""
+    return df.select(_serialize_expr(df, spec).alias("value"))
+
+
+def kafka_records(df: DataFrame, spec: SinkSpec) -> DataFrame:
+    """Kafka record shape for a sink: ``value`` from the converter encoding
+    (defaults to jsonline when the spec says 'none' — the v2 plugin always
+    runs its converter), plus per-row ``topic``/``key`` when the routed frame
+    carries them (dynamic_topic's __topic__ column; __shardhash__ as the
+    partition key, mirroring flusher_kafka_v2's HashKeys partitioning). One
+    pure projection — no joins, no shuffle."""
+    if spec.encoding == "none":
+        import dataclasses
+
+        spec = dataclasses.replace(spec, encoding="jsonline")
+    cols = [_serialize_expr(df, spec).alias("value")]
+    if "__topic__" in df.columns:
+        cols.append(F.col("__topic__").cast("string").alias("topic"))
+    if "__shardhash__" in df.columns:
+        cols.append(F.col("__shardhash__").cast("string").alias("key"))
+    return df.select(*cols)
 
 
 def write_sink(df: DataFrame, spec: SinkSpec) -> dict[str, Any]:
     """Deliver one sink; returns driver-side delivery counters."""
-    if spec.encoding != "none":
+    if spec.encoding != "none" and spec.format != "kafka":
         # converter encodings serialize to one string per row; delivery is
-        # newline-separated text (the jsonline/flusher stream shape)
+        # newline-separated text (the jsonline/flusher stream shape).
+        # kafka serializes inside its own branch (kafka_records keeps the
+        # per-row topic/key columns alongside the encoded value).
         df = serialize_rows(df, spec)
         if spec.format not in ("noop", "console", "memory"):
             import dataclasses
 
             spec = dataclasses.replace(spec, format="text", encoding="none")
+    if spec.format == "kafka":
+        # flusher_kafka / flusher_kafka_v2 twin over Spark's own kafka sink:
+        # the converter encoding produces the message value (the v2 plugin's
+        # converter chain), the topic comes per-row from dynamic_topic's
+        # __topic__ column when present, else spec.options["topic"]. Gated:
+        # the spark-sql-kafka connector jar is not bundled with pyspark.
+        jvm = df.sparkSession._jvm
+        try:
+            jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+            )
+        except Exception as e:
+            raise RuntimeError(
+                "kafka sink requires the spark-sql-kafka connector on the "
+                "classpath; submit with --packages org.apache.spark:"
+                "spark-sql-kafka-0-10_2.13:<spark-version>"
+            ) from e
+        payload = kafka_records(df, spec)
+        writer = payload.write.format("kafka")
+        for k, v in spec.options.items():
+            if k != "topic":
+                writer = writer.option(k, v)
+        if "topic" not in payload.columns:
+            writer = writer.option("topic", spec.options.get("topic", spec.path))
+        writer.save()
+        return {"sink": spec.name, "delivered": True}
     if spec.format == "iceberg":
         # Production sink format (north rule): atomic-commit Iceberg tables,
         # `path` holding the catalog table name. Gated: this sandbox ships no

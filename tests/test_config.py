@@ -74,3 +74,22 @@ def test_example_nginx_pipeline_runs(spark, tmp_path):
     assert "status_class" in got_access.columns
     assert got_access.filter(F.col("__pipeline__") == "nginx-regex").count() == got_access.count()
     assert res["unparsed"]["delivered"]
+
+
+def test_native_kafka_flusher_mapping():
+    from loongcollector_spark.config import spec_from_native
+
+    spec, paths = spec_from_native(
+        {
+            "inputs": [{"Type": "input_file", "FilePaths": ["/x/*.log"]}],
+            "flushers": [
+                {"Type": "flusher_kafka_v2", "Brokers": ["b1:9092", "b2:9092"],
+                 "Topic": "access-log"},
+            ],
+        }
+    )
+    s = spec.sinks["kafka_v2"]
+    assert s.format == "kafka"
+    assert s.options["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert s.options["topic"] == "access-log"
+    assert paths == ["/x/*.log"]
