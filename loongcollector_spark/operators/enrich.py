@@ -373,14 +373,25 @@ _OTLP_ATTRS = (
     "array<struct<key:string,value:struct<stringValue:string,intValue:string,"
     "doubleValue:double,boolValue:boolean>>>"
 )
+_OTLP_EXEMPLARS = (
+    f"array<struct<filteredAttributes:{_OTLP_ATTRS},timeUnixNano:string,"
+    "asDouble:double,asInt:string,spanId:string,traceId:string>>"
+)
 _OTLP_DP = (
     f"array<struct<attributes:{_OTLP_ATTRS},timeUnixNano:string,"
-    "asDouble:double,asInt:string>>"
+    f"asDouble:double,asInt:string,exemplars:{_OTLP_EXEMPLARS}>>"
 )
 _OTLP_HDP = (
     f"array<struct<attributes:{_OTLP_ATTRS},timeUnixNano:string,sum:double,"
     "count:string,min:double,max:double,explicitBounds:array<double>,"
-    "bucketCounts:array<string>>>"
+    f"bucketCounts:array<string>,exemplars:{_OTLP_EXEMPLARS}>>"
+)
+_OTLP_BUCKETS = "struct<offset:int,bucketCounts:array<string>>"
+_OTLP_EHDP = (
+    f"array<struct<attributes:{_OTLP_ATTRS},timeUnixNano:string,sum:double,"
+    "count:string,min:double,max:double,scale:int,zeroCount:string,"
+    f"positive:{_OTLP_BUCKETS},negative:{_OTLP_BUCKETS},"
+    f"exemplars:{_OTLP_EXEMPLARS}>>"
 )
 _OTLP_SDP = (
     f"array<struct<attributes:{_OTLP_ATTRS},timeUnixNano:string,sum:double,"
@@ -393,7 +404,8 @@ _OTLP_METRICS_SCHEMA = (
     f"name:string,gauge:struct<dataPoints:{_OTLP_DP}>,"
     f"sum:struct<dataPoints:{_OTLP_DP},isMonotonic:boolean>,"
     f"histogram:struct<dataPoints:{_OTLP_HDP}>,"
-    f"summary:struct<dataPoints:{_OTLP_SDP}>"
+    f"summary:struct<dataPoints:{_OTLP_SDP}>,"
+    f"exponentialHistogram:struct<dataPoints:{_OTLP_EHDP}>"
     ">>>>>>>"  # metric struct, metrics array, scopeMetrics struct+array, resourceMetrics struct+array, outer struct
 )
 _REC_T = "array<struct<name:string,labels:array<string>,t:long,v:double>>"
@@ -438,12 +450,15 @@ def otel_metric_shape(df: DataFrame, source_key: str) -> DataFrame:
     rows. Output: __name__, __labels__ (sorted k=v joined by '#$#', the
     log_to_metric shape), __time_nano__, __value__.
 
-    Documented divergences: rows the reference parser also emits but this
-    shape does not — exemplar metrics (otlp_metric_parser.go
-    exemplarMetricToLogs appends one row per exemplar) and the entire
-    ExponentialHistogram branch including its ZeroCount bucket. Consumers
-    diffing against reference output on payloads containing those point
-    types will see fewer rows here.
+    Also emitted, matching the reference parser: exemplar rows
+    (exemplarMetricToLogs — one ``name_exemplars`` row per exemplar on
+    gauge/sum/histogram/exponential-histogram points, traceId/spanId/
+    filtered attributes as labels) and the full ExponentialHistogram branch
+    (sum/min/max-when-nonzero + count + per-bucket ``le=`` rows at base
+    2^(2^-scale) with positive.offset / negative.offset / zero.count
+    pseudo-buckets). Remaining divergence: non-integral bucket boundaries
+    render via Spark's double-to-string, which can differ from Go's %v
+    shortest-repr in corner cases.
 
     Spark-first: ONE from_json + a flatten/explode chain of pure column
     expressions — no Python in the row path; the protobuf Format would ride
@@ -460,24 +475,55 @@ def otel_metric_shape(df: DataFrame, source_key: str) -> DataFrame:
     base = F.col("__res_labels__")
     name = F.col("__m__.name")
 
+    empty_s = F.array().cast("array<string>")
+
     def rec(nm: Column, labels: Column, t: Column, v: Column) -> Column:
         return F.struct(
             nm.alias("name"), labels.alias("labels"), t.alias("t"), v.alias("v")
         )
+
+    def exemplar_recs(exemplars: Column, labels: Column) -> Column:
+        """exemplarMetricToLogs (otlp_metric_parser.go:247-266): one
+        name_exemplars row per exemplar — traceId/spanId/filteredAttributes
+        appended as labels (final label order is sorted downstream, matching
+        the Go map's order-independence), value = asDouble|asInt|0."""
+
+        def one(ex: Column) -> Column:
+            exlab = F.concat(
+                labels,
+                F.when(
+                    ex["traceId"].isNotNull() & (ex["traceId"] != ""),
+                    F.array(F.concat(F.lit("traceId="), ex["traceId"])),
+                ).otherwise(empty_s),
+                F.when(
+                    ex["spanId"].isNotNull() & (ex["spanId"] != ""),
+                    F.array(F.concat(F.lit("spanId="), ex["spanId"])),
+                ).otherwise(empty_s),
+                _otlp_attr_kv(ex["filteredAttributes"]),
+            )
+            return rec(
+                F.concat(name, F.lit("_exemplars")),
+                exlab,
+                ex["timeUnixNano"].cast("long"),
+                F.coalesce(ex["asDouble"], ex["asInt"].cast("double"), F.lit(0.0)),
+            )
+
+        return F.coalesce(F.transform(exemplars, one), empty)
 
     def scalar_recs(dps: Column, extra: Column | None) -> Column:
         def one(dp: Column) -> Column:
             labels = F.concat(base, _otlp_attr_kv(dp["attributes"]))
             if extra is not None:
                 labels = F.concat(labels, F.array(extra))
-            return rec(
+            point = rec(
                 name,
                 labels,
                 dp["timeUnixNano"].cast("long"),
                 F.coalesce(dp["asDouble"], dp["asInt"].cast("double")),
             )
+            return F.concat(F.array(point), exemplar_recs(dp["exemplars"], labels))
 
-        return F.coalesce(F.transform(dps, one), empty)
+        return F.coalesce(F.flatten(F.transform(dps, one)), empty)
 
     gauge = scalar_recs(F.col("__m__.gauge.dataPoints"), None)
     mono = F.concat(
@@ -525,11 +571,89 @@ def otel_metric_shape(df: DataFrame, source_key: str) -> DataFrame:
             F.array(
                 rec(F.concat(name, F.lit("_count")), labels, t, dp["count"].cast("double"))
             ),
+            exemplar_recs(dp["exemplars"], labels),
             buckets,
         )
 
     hist = F.coalesce(
         F.flatten(F.transform(F.col("__m__.histogram.dataPoints"), hist_recs)), empty
+    )
+
+    def exp_hist_recs(dp: Column) -> Column:
+        """exponentialHistogram2Logs (otlp_metric_parser.go:78-120): sum/min/
+        max when non-zero, count always, exemplars, then one name_bucket row
+        per base-2^(2^-scale) bucket with the reference's `le=` keys —
+        positive `(lower,upper]`, negative `[-upper,-lower)` — plus the
+        positive.offset / negative.offset / zero.count pseudo-buckets.
+        Boundary rendering uses the integral-clean formatter; a non-integral
+        boundary may differ from Go's %v in shortest-repr corner cases."""
+        labels = F.concat(base, _otlp_attr_kv(dp["attributes"]))
+        t = dp["timeUnixNano"].cast("long")
+        cond_rec = lambda c, suffix, v: F.when(  # noqa: E731
+            c.isNotNull() & (c != 0),
+            F.array(rec(F.concat(name, F.lit(suffix)), labels, t, v)),
+        ).otherwise(empty)
+        b = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -dp["scale"].cast("double")))
+
+        def brec(key: Column, v: Column) -> Column:
+            return rec(
+                F.concat(name, F.lit("_bucket")),
+                F.concat(labels, F.array(F.concat(F.lit("le="), key))),
+                t,
+                v,
+            )
+
+        def side(bkts: Column, positive: bool) -> Column:
+            off = F.coalesce(bkts["offset"], F.lit(0))
+            counts = F.coalesce(bkts["bucketCounts"], empty_s)
+
+            def one(i: Column) -> Column:
+                lower = F.pow(b, (off + i).cast("double"))
+                upper = lower * b
+                if positive:
+                    key = F.concat(
+                        F.lit("("), _otlp_num_str(lower), F.lit(","),
+                        _otlp_num_str(upper), F.lit("]"),
+                    )
+                else:
+                    key = F.concat(
+                        F.lit("["), _otlp_num_str(-upper), F.lit(","),
+                        _otlp_num_str(-lower), F.lit(")"),
+                    )
+                return brec(key, F.element_at(counts, i + 1).cast("double"))
+
+            rows = F.when(
+                F.size(counts) > 0,
+                F.transform(F.sequence(F.lit(0), F.size(counts) - 1), one),
+            ).otherwise(empty)
+            off_key = "positive.offset" if positive else "negative.offset"
+            return F.concat(
+                rows, F.array(brec(F.lit(off_key), off.cast("double")))
+            )
+
+        return F.concat(
+            cond_rec(dp["sum"], "_sum", dp["sum"]),
+            cond_rec(dp["min"], "_min", dp["min"]),
+            cond_rec(dp["max"], "_max", dp["max"]),
+            F.array(
+                rec(F.concat(name, F.lit("_count")), labels, t, dp["count"].cast("double"))
+            ),
+            exemplar_recs(dp["exemplars"], labels),
+            side(dp["positive"], True),
+            F.array(
+                brec(
+                    F.lit("zero.count"),
+                    F.coalesce(dp["zeroCount"].cast("double"), F.lit(0.0)),
+                )
+            ),
+            side(dp["negative"], False),
+        )
+
+    exp_hist = F.coalesce(
+        F.flatten(
+            F.transform(F.col("__m__.exponentialHistogram.dataPoints"), exp_hist_recs)
+        ),
+        empty,
     )
 
     def summary_recs(dp: Column) -> Column:
@@ -563,7 +687,7 @@ def otel_metric_shape(df: DataFrame, source_key: str) -> DataFrame:
     )
 
     out = m.withColumn(
-        "__rec__", F.explode(F.concat(gauge, summ, hist, summary))
+        "__rec__", F.explode(F.concat(gauge, summ, hist, summary, exp_hist))
     )
     return out.select(
         *[c for c in df.columns if c != source_key],

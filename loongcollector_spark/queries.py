@@ -2004,6 +2004,82 @@ def spl_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "otel_exp_histogram",
+    """
+    WITH k AS (
+      SELECT event_id, user_id,
+             CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS kv,
+             'host=h' || (user_id % 20) AS host
+      FROM events
+    )
+    SELECT event_id, 'req_lat_sum' AS "__name__", host AS "__labels__",
+           event_id * 1000 AS "__time_nano__", kv + 0.5 AS "__value__" FROM k
+    UNION ALL
+    SELECT event_id, 'req_lat_max', host, event_id * 1000, CAST(kv + 2 AS DOUBLE) FROM k
+    UNION ALL
+    SELECT event_id, 'req_lat_count', host, event_id * 1000, CAST(kv * 2 + 1 AS DOUBLE) FROM k
+    UNION ALL
+    SELECT event_id, 'req_lat_exemplars',
+           host || '#$#pod=p' || user_id || '#$#traceId=74a',
+           event_id * 1000 + 5, CAST(kv AS DOUBLE) FROM k
+    UNION ALL
+    SELECT event_id, 'req_lat_bucket', host || '#$#le=(2,4]',
+           event_id * 1000, CAST(kv AS DOUBLE) FROM k
+    UNION ALL
+    SELECT event_id, 'req_lat_bucket', host || '#$#le=(4,8]',
+           event_id * 1000, CAST(kv + 1 AS DOUBLE) FROM k
+    UNION ALL
+    SELECT event_id, 'req_lat_bucket', host || '#$#le=positive.offset',
+           event_id * 1000, 1.0 FROM k
+    UNION ALL
+    SELECT event_id, 'req_lat_bucket', host || '#$#le=zero.count',
+           event_id * 1000, CAST(user_id % 5 AS DOUBLE) FROM k
+    UNION ALL
+    SELECT event_id, 'req_lat_bucket', host || '#$#le=[-2,-1)',
+           event_id * 1000, 2.0 FROM k
+    UNION ALL
+    SELECT event_id, 'req_lat_bucket', host || '#$#le=negative.offset',
+           event_id * 1000, 0.0 FROM k
+    """,
+    doc="processor_otel_metric ExponentialHistogram branch + exemplar rows "
+        "(otlp_metric_parser.go exponentialHistogram2Logs / "
+        "exemplarMetricToLogs): base-2^(2^-scale) le= buckets, "
+        "positive.offset/negative.offset/zero.count pseudo-buckets, "
+        "min==0 suppressed, exemplar traceId/filteredAttributes labels",
+)
+def otel_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kv = F.regexp_extract("props", r'"k": (\d+)', 1)
+    payload = F.concat(
+        F.lit('{"resourceMetrics":[{"resource":{"attributes":[{"key":"host",'
+              '"value":{"stringValue":"h'),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit('"}}]},"scopeMetrics":[{"metrics":[{"name":"req_lat",'
+              '"exponentialHistogram":{"dataPoints":[{"attributes":[],'
+              '"timeUnixNano":"'),
+        (F.col("event_id") * 1000).cast("string"),
+        F.lit('","sum":'), kv, F.lit('.5,"min":0,"max":'),
+        (kv.cast("int") + 2).cast("string"),
+        F.lit(',"count":"'), (kv.cast("int") * 2 + 1).cast("string"),
+        F.lit('","scale":0,"zeroCount":"'), (F.col("user_id") % 5).cast("string"),
+        F.lit('","positive":{"offset":1,"bucketCounts":["'),
+        kv, F.lit('","'), (kv.cast("int") + 1).cast("string"),
+        F.lit('"]},"negative":{"offset":0,"bucketCounts":["2"]},'
+              '"exemplars":[{"filteredAttributes":[{"key":"pod",'
+              '"value":{"stringValue":"p'),
+        F.col("user_id").cast("string"),
+        F.lit('"}}],"timeUnixNano":"'),
+        (F.col("event_id") * 1000 + 5).cast("string"),
+        F.lit('","asInt":"'), kv, F.lit('","traceId":"74a"}]}]}}]}]}]}'),
+    )
+    out = enrich.otel_metric_shape(
+        ev.withColumn("otlp_body", payload).select("event_id", "otlp_body"),
+        "otlp_body",
+    )
+    return out.select("event_id", "__name__", "__labels__", "__time_nano__", "__value__")
+
+
 def _token_dedup_oracle(n_rows: int = 2000, n_dup: int = 400) -> str:
     from loongcollector_spark.sources.sql_oracle import f1_cte
 
@@ -2070,6 +2146,7 @@ _DRIVER_WINDOW_TAIL = [
     "anchor_extract_span",         # enrich-extract: pack_json_roundtrip
     "spl_stats_rollup",            # spl: two spl queries already in-window
     "quality_scores",              # text: text_quality_panel covers the panel
+    "otel_metric_projection",      # otel-metric: otel_exp_histogram supersets
 ]
 
 

@@ -233,3 +233,44 @@ def test_streaming_windowed_rollup_watermark(spark, tmp_path):
     got2 = run()
     assert ("2024-01-01 10:00:00", "web") not in got2  # late row dropped
     assert got2[("2024-01-01 10:21:00", "web")] == (1, 7)
+
+
+def test_spl_explicit_keys_streaming_safe(spark, tmp_path):
+    """compile_spl with explicit 'as' keys builds on a STREAMING DataFrame —
+    no plan-time discovery job (discovery would need collect(), illegal on a
+    stream). The 100 TB/streaming path is the explicit-key form."""
+    import json
+
+    from loongcollector_spark.operators.spl import SplError, compile_spl
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(
+            json.dumps({"content": json.dumps({"lvl": lvl, "n": i})})
+            for i, lvl in enumerate(["INFO", "ERROR", "INFO"])
+        )
+    )
+    stream = (
+        spark.readStream.schema("content string").json(str(src))
+    )
+    assert stream.isStreaming
+    out = compile_spl(
+        stream,
+        "* | parse-json content as lvl, n | where lvl = 'ERROR' | project n",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("spl_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select * from spl_stream").collect()
+    assert [r.n for r in rows] == ["1"]
+    # the discovery form must fail loudly on a stream, not silently scan
+    import pyspark.errors
+
+    with pytest.raises(Exception):
+        compile_spl(stream, "* | parse-json content")
