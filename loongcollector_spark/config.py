@@ -33,6 +33,9 @@ _CONDITION_FIELDS = (
     "event_type", "tag_key", "tag_value", "content_key", "content_regex", "discard_tag",
 )
 
+# plan-time unroll for the reference's ExpandDepth=0 ("unlimited") recursion
+_UNLIMITED_EXPAND_DEPTH = 6
+
 
 def route_from_dict(d: Mapping[str, Any]) -> Route:
     cond_kwargs = {k: d[k] for k in _CONDITION_FIELDS if k in d}
@@ -50,6 +53,10 @@ def sink_from_dict(name: str, d: Mapping[str, Any]) -> SinkSpec:
         max_records_per_file=int(d.get("max_records_per_file", 0)),
         compression=d.get("compression"),
         options=d.get("options", {}),
+        encoding=d.get("encoding", "none"),
+        tag_columns=tuple(d.get("tag_columns", ())),
+        time_column=d.get("time_column"),
+        raw_column=d.get("raw_column"),
     )
 
 
@@ -97,10 +104,13 @@ def load_spec(path: str) -> PipelineSpec:
 # Native reference-config translation
 # --------------------------------------------------------------------------
 
-def _native_options(p: Mapping[str, Any]):
+def _native_options(p: Mapping[str, Any], keep_source_default: bool = False):
     from loongcollector_spark.operators.parse_common import ParserOptions
 
-    keep = bool(p.get("KeepSource", False))
+    # per-plugin KeepSource defaults differ in the reference:
+    # processor_json inits KeepSource=true (processor_json.go:112),
+    # processor_regex / split_char default false
+    keep = bool(p.get("KeepSource", keep_source_default))
     return ParserOptions(
         keep_source_on_success=keep,
         keep_source_on_fail=bool(p.get("KeepSourceIfParseError", True)),
@@ -121,17 +131,24 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
             "options": _native_options(p),
         }
     if t in ("processor_json", "processor_parse_json_native"):
+        # reference: ExpandDepth 0 (the init default) means UNLIMITED
+        # recursion (processor_json.go:32,109); the columnar expansion is
+        # unrolled at plan time, so 'unlimited' maps to a bounded deep
+        # unroll — real log payloads rarely nest past a handful of levels
+        depth = int(p.get("ExpandDepth", 0))
         return "expand_json", {
             "source_key": src,
-            "expand_depth": int(p.get("ExpandDepth", 0) or 1),
+            "expand_depth": depth if depth > 0 else _UNLIMITED_EXPAND_DEPTH,
             "connector": p.get("ExpandConnector", "_"),
             "prefix": p.get("Prefix", ""),
-            "options": _native_options(p),
+            # processor_json inits KeepSource=true (processor_json.go:112)
+            "options": _native_options(p, keep_source_default=True),
         }
     if t in ("processor_split_char", "processor_parse_delimiter_native"):
         return "parse_delimiter", {
             "source_key": src,
-            "separator": p.get("SplitSep", p.get("Separator", "\t")),
+            # split_char inits SplitSep="\n" (split_char.go:186)
+            "separator": p.get("SplitSep", p.get("Separator", "\n")),
             "keys": list(p.get("SplitKeys", p.get("Keys", []))),
             "options": _native_options(p),
         }
@@ -155,22 +172,46 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
     raise KeyError(f"unsupported native processor type {t!r}")
 
 
-def _native_sink(f: Mapping[str, Any], overrides: Mapping[str, Mapping[str, Any]]) -> SinkSpec:
+def _native_sink(
+    f: Mapping[str, Any],
+    overrides: Mapping[str, Mapping[str, Any]],
+    name: str,
+) -> SinkSpec:
     t = f["Type"]
-    name = {"flusher_sls": "sls", "flusher_stdout": "stdout",
-            "flusher_file": "file"}.get(t, t.removeprefix("flusher_"))
     if name in overrides:
         return sink_from_dict(name, overrides[name])
     if t == "flusher_file":
-        return SinkSpec(name=name, format="text", path=f.get("FileName"))
+        # flusher_file runs the converter chain before writing; a bare text
+        # sink cannot hold a multi-column frame, so serialize as jsonline
+        return SinkSpec(
+            name=name, format="text", path=f.get("FileName"), encoding="jsonline"
+        )
     if t in ("flusher_kafka", "flusher_kafka_v2"):
         opts = {"kafka.bootstrap.servers": ",".join(f.get("Brokers", []))}
         if f.get("Topic"):
             opts["topic"] = f["Topic"]
         return SinkSpec(name=name, format="kafka", options=opts)
-    # network flushers (sls/kafka/...) have no sandbox endpoint: deliver to a
+    if t == "flusher_stdout":
+        return SinkSpec(name=name, format="console")
+    # network flushers (sls/es/...) have no sandbox endpoint: deliver to a
     # noop sink unless overridden to a local twin
     return SinkSpec(name=name, format="noop")
+
+
+def _native_sink_names(flushers) -> list[str]:
+    """Stable unique sink names: type-derived, '_2'/'_3' suffixed on repeats
+    (two flusher_file blocks must not silently collapse into one sink)."""
+    names: list[str] = []
+    for f in flushers:
+        t = f["Type"]
+        base = {"flusher_sls": "sls", "flusher_stdout": "stdout",
+                "flusher_file": "file"}.get(t, t.removeprefix("flusher_"))
+        name, i = base, 1
+        while name in names:
+            i += 1
+            name = f"{base}_{i}"
+        names.append(name)
+    return names
 
 
 def spec_from_native(
@@ -188,11 +229,17 @@ def spec_from_native(
     multiline processor is present) and hand the DataFrame to run_pipeline.
     Every flusher receives every event (the reference's flusher fan-out when
     no router is configured), so the spec compiles in fanout mode with one
-    unconditional route per sink. Network flushers map to noop sinks unless
-    ``sink_overrides`` redirects them to a local twin."""
+    unconditional route per sink. flusher_stdout maps to the console sink,
+    flusher_file to a jsonline-encoded text sink; network flushers map to
+    noop sinks unless ``sink_overrides`` redirects them to a local twin.
+    Repeated flusher types get '_2'/'_3'-suffixed sink names."""
     sink_overrides = sink_overrides or {}
     processors = [_native_processor(p) for p in doc.get("processors", [])]
-    sinks = [_native_sink(f, sink_overrides) for f in doc.get("flushers", [])]
+    flushers = doc.get("flushers", [])
+    sinks = [
+        _native_sink(f, sink_overrides, n)
+        for f, n in zip(flushers, _native_sink_names(flushers))
+    ]
     paths: list[str] = []
     for inp in doc.get("inputs", []):
         if inp.get("Type") in ("input_file", "input_static_file"):

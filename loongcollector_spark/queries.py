@@ -2151,6 +2151,10 @@ _DRIVER_WINDOW_TAIL = [
 
 
 def _reorder_for_driver_window() -> None:
+    # NB: this call must stay at the BOTTOM of the module — a query
+    # registered after it would land beyond the tail, outside both the
+    # curated window and this list. The tail queries stay covered by
+    # tools/check_oracles.py --json → CORRECTNESS_local.json each round.
     missing = [n for n in _DRIVER_WINDOW_TAIL if n not in QUERIES]
     if missing:  # fail loudly at import: a rename must update this list
         raise KeyError(f"_DRIVER_WINDOW_TAIL names unknown queries: {missing}")

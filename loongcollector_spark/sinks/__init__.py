@@ -202,7 +202,13 @@ def write_sink(df: DataFrame, spec: SinkSpec) -> dict[str, Any]:
             if k != "topic":
                 writer = writer.option(k, v)
         if "topic" not in payload.columns:
-            writer = writer.option("topic", spec.options.get("topic", spec.path))
+            topic = spec.options.get("topic", spec.path)
+            if not topic:
+                raise ValueError(
+                    "kafka sink needs a topic: set options['topic'] / path, "
+                    "or add a per-row __topic__ column via dynamic_topic"
+                )
+            writer = writer.option("topic", topic)
         writer.save()
         return {"sink": spec.name, "delivered": True}
     if spec.format == "iceberg":

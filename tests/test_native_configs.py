@@ -5,7 +5,7 @@ Mirrors test/e2e/test_cases/ scenarios: each example_config/data_pipelines/
 header comment documents, run through run_pipeline, and the per-sink output
 is read back and checked against the "After Process" expectation in the same
 comment. Network flushers (flusher_sls) are overridden to a local parquet
-twin; flusher_stdout stays a noop sink.
+twin; flusher_stdout maps to the console sink.
 
 Skips (module-level) if the reference checkout is absent.
 """
@@ -116,13 +116,68 @@ def test_multiline_java_stack_yaml(spark, tmp_path):
     assert stack == "\n".join(lines[:3])
 
 
-def test_stdout_flusher_maps_to_noop_and_fanout_delivers_all(spark, tmp_path):
+def test_stdout_flusher_maps_to_console_and_fanout_delivers_all(spark, tmp_path):
     # every flusher gets every event: the sls parquet twin and the stdout
-    # noop sink both report delivery
+    # console sink both report delivery
     spec, res, out = _run_yaml(
         spark, tmp_path, "file-delimiter.yaml", ["1\t2\t3\t4", "5\t6\t7\t8"]
     )
     assert set(spec.sinks) == {"sls", "stdout"}
-    assert spec.sinks["stdout"].format == "noop"
+    assert spec.sinks["stdout"].format == "console"  # flusher_stdout prints
     assert res["sls"]["delivered"] and res["stdout"]["delivered"]
     assert spark.read.parquet(out).count() == 2
+
+
+def test_native_flusher_file_delivers_jsonline(spark, tmp_path):
+    """flusher_file runs the converter chain before writing — the sink must
+    serialize (jsonline), not crash on a multi-column text write."""
+    import json
+
+    from loongcollector_spark.config import spec_from_native
+    from loongcollector_spark.pipeline import run_pipeline
+
+    out = str(tmp_path / "file_out")
+    spec, _ = spec_from_native(
+        {
+            "inputs": [{"Type": "input_file", "FilePaths": ["/x/*.log"]}],
+            "processors": [{"Type": "processor_json", "SourceKey": "content"}],
+            "flushers": [{"Type": "flusher_file", "FileName": out}],
+        }
+    )
+    df = spark.createDataFrame([('{"a":"1","b":{"c":"2"}}',)], "content string")
+    res = run_pipeline(df, spec)
+    assert res["file"]["delivered"]
+    import glob
+
+    line = open(glob.glob(f"{out}/part*")[0]).readline()
+    obj = json.loads(line)
+    # ExpandDepth absent = reference's 0 = unlimited -> nested keys flatten
+    assert obj["expanded"]["a"] == "1"
+    assert obj["expanded"]["b_c"] == "2"
+    # processor_json defaults KeepSource TRUE (processor_json.go:112)
+    assert obj["content"] == '{"a":"1","b":{"c":"2"}}'
+
+
+def test_native_duplicate_flusher_names():
+    from loongcollector_spark.config import spec_from_native
+
+    spec, _ = spec_from_native(
+        {
+            "flushers": [
+                {"Type": "flusher_file", "FileName": "/a"},
+                {"Type": "flusher_file", "FileName": "/b"},
+            ]
+        }
+    )
+    assert set(spec.sinks) == {"file", "file_2"}
+    assert spec.sinks["file"].path == "/a" and spec.sinks["file_2"].path == "/b"
+
+
+def test_native_split_char_default_newline():
+    from loongcollector_spark.config import _native_processor
+
+    name, kwargs = _native_processor(
+        {"Type": "processor_split_char", "SourceKey": "content",
+         "SplitKeys": ["a", "b"]}
+    )
+    assert kwargs["separator"] == "\n"  # split_char.go:186 init default
