@@ -200,14 +200,22 @@ def minhash_lsh_candidates(
     signature positions (the MinHash estimate). ``gram_hash`` maps a shingle
     to a non-negative-ish long (default xxhash64 — fastest; pass
     ``md5_hash60`` for cross-engine-reproducible signatures)."""
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     grams = df.select(
         F.col(id_col).alias("id"),
         F.transform(shingles(F.col(text_col), n), lambda g: gram_hash(g)).alias("gh"),
     )
+    return minhash_lsh_from_gram_hashes(grams, num_hashes, bands, seed)
+
+
+def minhash_lsh_from_gram_hashes(
+    grams: DataFrame, num_hashes: int = 32, bands: int = 8, seed: int = 42
+) -> DataFrame:
+    """Banding over a precomputed (id, gh:array<long>) gram-hash relation —
+    the shared core of the text and token-native MinHash paths."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
     # The banded self-join references this relation on BOTH sides; without a
     # persist the whole shingle+UDF chain executes twice. The signature table
     # is tiny (id + k longs per doc) — at cluster scale this is the relation

@@ -140,3 +140,60 @@ def token_exact_dedup(
         )
         .drop(tokens_col)
     )
+
+
+def token_gram_hashes(
+    tokens: Column, n: int = 3, vocab_bits: int = 16
+) -> Column:
+    """Distinct n-gram hashes straight off a token array — NO string
+    round-trip: window i packs its n token ids positionally in base
+    2^vocab_bits (exact and collision-free while every id < 2^vocab_bits and
+    n*vocab_bits <= 62; ANSI-overflow-safe by construction). Pure JVM
+    (slice + aggregate), fuses into whole-stage codegen. The token analogue
+    of dedup.shingles() for pre-tokenized corpora."""
+    if n * vocab_bits > 62:
+        raise ValueError("n * vocab_bits must be <= 62 to stay in a long")
+    base = 1 << vocab_bits
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(tokens, i + 1, n),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * base + x.cast("long"),
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(tokens) >= n, grams).otherwise(
+            F.array().cast("array<long>")
+        )
+    )
+
+
+def token_minhash_lsh(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    vocab_bits: int = 16,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates over TOKEN ARRAYS (the tokens-axis
+    dedup path): gram hashes are exact positional packings of token-id
+    windows (token_gram_hashes), signatures and banding reuse the text
+    engine's machinery (dedup.minhash_lsh_from_gram_hashes). Returns
+    (id_a, id_b, est_jaccard). Compared to detok-then-shingle, this skips
+    string materialization entirely — the only non-JVM step is the one
+    numpy signature UDF over Arrow batches."""
+    from loongcollector_spark.functions.dedup import minhash_lsh_from_gram_hashes
+
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        token_gram_hashes(F.col(tokens_col), n, vocab_bits).alias("gh"),
+    ).filter(F.size("gh") > 0)
+    return minhash_lsh_from_gram_hashes(grams, num_hashes, bands, seed)

@@ -2119,6 +2119,97 @@ def token_exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_exact_dedup(seqs.unionByName(dupes))
 
 
+def _token_minhash_oracle(
+    n_rows: int = 1500, n_dup: int = 300, num_hashes: int = 16,
+    bands: int = 4, seed: int = 42,
+) -> str:
+    """DuckDB replay of token_minhash_lsh: positional-packed gram hashes from
+    the splitmix64 token stream, the exact (a·x+b) mod 2^31-1 permutations,
+    and banding expressed as slice-equality (the Spark side's xxhash64 band
+    key is a pure proxy for slice equality)."""
+    from loongcollector_spark.functions.dedup import minhash_coeffs
+    from loongcollector_spark.sources.sql_oracle import VOCAB_SIZE, f1_cte
+
+    a, b = minhash_coeffs(num_hashes, seed)
+    p = (1 << 31) - 1
+    rows_per_band = num_hashes // bands
+    tok_cols = ", ".join(f"t{j}" for j in range(8))
+    gram_exprs = ",\n    ".join(
+        f"(CAST(t{j} AS BIGINT)*65536 + t{j+1})*65536 + t{j+2} AS g{j}"
+        for j in range(6)
+    )
+    sig_exprs = ",\n    ".join(
+        "LEAST("
+        + ", ".join(f"((g{g} % {p}) * {a[k]} + {b[k]}) % {p}" for g in range(6))
+        + f") AS s{k}"
+        for k in range(num_hashes)
+    )
+    band_conds = " OR ".join(
+        "("
+        + " AND ".join(
+            f"x.s{k} = y.s{k}"
+            for k in range(bb * rows_per_band, (bb + 1) * rows_per_band)
+        )
+        + ")"
+        for bb in range(bands)
+    )
+    est = " + ".join(
+        f"(CASE WHEN x.s{k} = y.s{k} THEN 1 ELSE 0 END)" for k in range(num_hashes)
+    )
+    return f"""
+WITH {f1_cte(n_rows, seed, tuple(range(8)))},
+base AS (
+  SELECT source || '-' || lpad(CAST(i AS VARCHAR), 12, '0') AS doc_id, i, {tok_cols}
+  FROM f1),
+unioned AS (
+  SELECT doc_id, {tok_cols} FROM base
+  UNION ALL
+  SELECT doc_id || '-copy', CAST((t0 + 1) % {VOCAB_SIZE} AS INT) AS t0,
+         {", ".join(f"t{j}" for j in range(1, 8))}
+  FROM base WHERE i < {n_dup}),
+grams AS (
+  SELECT doc_id,
+    {gram_exprs}
+  FROM unioned),
+sigs AS (
+  SELECT doc_id,
+    {sig_exprs}
+  FROM grams)
+SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       ({est}) / {float(num_hashes)} AS est_jaccard
+FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id AND ({band_conds})
+"""
+
+
+@register(
+    "dedup_token_minhash",
+    _token_minhash_oracle(),
+    doc="token-native MinHash+LSH near-dup: positional-packed token n-gram "
+        "hashes (no string round-trip, pure JVM) -> shared signature/banding "
+        "engine; oracle replays the packing, the (a·x+b) mod 2^31-1 "
+        "permutations, and band membership as slice-equality in DuckDB",
+)
+def dedup_token_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.token_ops import token_minhash_lsh
+    from loongcollector_spark.sources.synthetic import VOCAB_SIZE, generate_sequences_head
+
+    seqs = generate_sequences_head(spark, 1500, head=8)
+    dupes = seqs.filter(
+        F.substring_index("doc_id", "-", -1).cast("long") < 300
+    ).withColumn(
+        "doc_id", F.concat("doc_id", F.lit("-copy"))
+    ).withColumn(
+        "tokens",
+        F.transform(
+            "tokens",
+            lambda x, i: F.when(i == 0, (x + 1) % VOCAB_SIZE).otherwise(x),
+        ),
+    )
+    return token_minhash_lsh(
+        seqs.unionByName(dupes), num_hashes=16, bands=4, seed=42
+    )
+
+
 # =============================================================================
 # Driver-window ordering
 # =============================================================================
@@ -2147,6 +2238,7 @@ _DRIVER_WINDOW_TAIL = [
     "spl_stats_rollup",            # spl: two spl queries already in-window
     "quality_scores",              # text: text_quality_panel covers the panel
     "otel_metric_projection",      # otel-metric: otel_exp_histogram supersets
+    "dedup_token_minhash",         # dedup+token: both families in-window
 ]
 
 

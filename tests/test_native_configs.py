@@ -149,8 +149,14 @@ def test_native_flusher_file_delivers_jsonline(spark, tmp_path):
     assert res["file"]["delivered"]
     import glob
 
-    line = open(glob.glob(f"{out}/part*")[0]).readline()
-    obj = json.loads(line)
+    lines = [
+        ln
+        for f in sorted(glob.glob(f"{out}/part*"))
+        for ln in open(f).read().splitlines()
+        if ln.strip()
+    ]
+    assert len(lines) == 1
+    obj = json.loads(lines[0])
     # ExpandDepth absent = reference's 0 = unlimited -> nested keys flatten
     assert obj["expanded"]["a"] == "1"
     assert obj["expanded"]["b_c"] == "2"

@@ -108,3 +108,41 @@ def test_token_exact_dedup(spark):
     # keeper is the min doc_id -> never the '-copy' twin
     assert out.filter(F.col("keeper_id").endswith("-copy")).count() == 0
     out.unpersist()
+
+
+def test_token_gram_hashes_and_minhash(spark):
+    from pyspark.sql import functions as F
+
+    from loongcollector_spark.functions import dedup
+    from loongcollector_spark.operators.token_ops import (
+        token_gram_hashes,
+        token_minhash_lsh,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [5, 6, 7, 8]), (2, [5, 6]), (3, [9, 5, 6, 7])],
+        "id long, tokens array<int>",
+    )
+    got = {r.id: list(r.g) for r in df.select(
+        "id", token_gram_hashes(F.col("tokens"), n=3).alias("g")
+    ).collect()}
+    B = 1 << 16
+    assert got[1] == [(5 * B + 6) * B + 7, (6 * B + 7) * B + 8]
+    assert got[2] == []  # shorter than n
+    assert got[3][0] == (9 * B + 5) * B + 6
+    with pytest.raises(ValueError, match="<= 62"):
+        token_gram_hashes(F.col("tokens"), n=4, vocab_bits=16)
+
+    # near-identical token sequences land in the same band with high
+    # estimated jaccard; the pair list is symmetric-free (id_a < id_b)
+    seqs = spark.createDataFrame(
+        [("a", list(range(100, 140))), ("b", [999] + list(range(101, 140))),
+         ("c", list(range(5000, 5040)))],
+        "doc_id string, tokens array<int>",
+    )
+    pairs = {(r.id_a, r.id_b): r.est_jaccard
+             for r in token_minhash_lsh(seqs, num_hashes=16, bands=4).collect()}
+    dedup.release_persisted()
+    assert ("a", "b") in pairs
+    assert pairs[("a", "b")] > 0.5
+    assert all(a < b for a, b in pairs)
