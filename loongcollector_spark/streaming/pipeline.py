@@ -114,3 +114,45 @@ def run_streaming_pipeline(
         "active": query.isActive,
         "sinks": sink_names,
     }
+
+
+def run_native_streaming(
+    spark: SparkSession,
+    config_path: str,
+    input_path: str,
+    output_base: str,
+    checkpoint_dir: str,
+    sink_overrides: dict | None = None,
+    **kwargs: Any,
+) -> dict[str, Any]:
+    """Run an UNMODIFIED reference pipeline YAML as a streaming query: the
+    input_file source becomes a text file stream (each line one event in
+    ``content``, like the batch read_log_files), processors/flushers come
+    from config.spec_from_native, and delivery rides the foreachBatch
+    fan-out above — the closest Spark shape to the reference's
+    file-watcher → processor thread-group → flusher chain.
+
+    ``input_path`` overrides the YAML's FilePaths (those point at the
+    reference host's /home/test-log); pass the directory/glob to tail."""
+    import dataclasses
+
+    from loongcollector_spark.config import load_native_config
+
+    spec, _ = load_native_config(config_path, sink_overrides=sink_overrides)
+    # the text stream delivers lines as `value`; the reference's processors
+    # address the raw line as `content` — prepend the rename
+    spec = dataclasses.replace(
+        spec,
+        processors=[("rename", {"mapping": {"value": "content"}})]
+        + list(spec.processors),
+    )
+    return run_streaming_pipeline(
+        spark,
+        input_path,
+        "value string",
+        spec,
+        output_base,
+        checkpoint_dir,
+        input_format="text",
+        **kwargs,
+    )

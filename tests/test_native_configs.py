@@ -187,3 +187,26 @@ def test_native_split_char_default_newline():
          "SplitKeys": ["a", "b"]}
     )
     assert kwargs["separator"] == "\n"  # split_char.go:186 init default
+
+
+def test_native_yaml_streaming(spark, tmp_path):
+    """The shipped file-delimiter YAML runs as a Structured Streaming query
+    (text file stream -> processor chain -> per-batch sink delivery)."""
+    from loongcollector_spark.streaming.pipeline import run_native_streaming
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    (src / "a.log").write_text("123\t2022-08-08\tbuy\t10000\n9\t2023-01-01\tsell\t5\n")
+    out = str(tmp_path / "stream_out")
+    res = run_native_streaming(
+        spark,
+        f"{REF_DIR}/file-delimiter.yaml",
+        str(src),
+        out,
+        str(tmp_path / "ckpt"),
+        sink_overrides={"sls": {"format": "parquet", "path": str(tmp_path / "sls_out")}},
+    )
+    assert not res["active"]
+    rows = {r.uid: r for r in spark.read.parquet(str(tmp_path / "sls_out")).collect()}
+    assert set(rows) == {"123", "9"}
+    assert rows["123"].method == "buy" and rows["9"].value == "5"
