@@ -274,3 +274,67 @@ def test_spl_explicit_keys_streaming_safe(spark, tmp_path):
 
     with pytest.raises(Exception):
         compile_spl(stream, "* | parse-json content")
+
+
+def test_syslog_socket_input_twin(spark, tmp_path):
+    """Network-input twin (plugins/input/syslog): lines from a TCP socket
+    stream through the RFC3164 decode into a memory sink — priority split
+    into facility/severity, program/pid extracted, bad lines kept raw."""
+    import socket
+    import threading
+    import time as _time
+
+    from loongcollector_spark.sources.network import (
+        parse_syslog_rfc3164,
+        read_socket_lines,
+    )
+
+    lines = [
+        "<34>Oct 11 22:14:15 host1 su[123]: 'su root' failed on /dev/pts/8",
+        "<13>Feb  5 17:32:18 web02 nginx: GET /index.html 200",
+        "not a syslog line at all",
+    ]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            _time.sleep(8)  # keep the connection up across the micro-batch
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    stream = read_socket_lines(spark, "127.0.0.1", port)
+    decoded = parse_syslog_rfc3164(stream)
+    q = (
+        decoded.writeStream.format("memory")
+        .queryName("syslog_in")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 45
+        while _time.time() < deadline:
+            if spark.sql("select * from syslog_in").count() >= 3:
+                break
+            _time.sleep(1)
+        rows = {r.content: r for r in spark.sql("select * from syslog_in").collect()}
+    finally:
+        q.stop()
+        srv.close()
+    assert len(rows) == 3
+    su = rows["'su root' failed on /dev/pts/8"]
+    assert (su.priority, su.facility, su.severity) == (34, 4, 2)
+    assert (su.hostname, su.program, su.pid) == ("host1", "su", "123")
+    ngx = rows["GET /index.html 200"]
+    assert (ngx.priority, ngx.facility, ngx.severity) == (13, 1, 5)
+    assert ngx.pid is None
+    bad = rows["not a syslog line at all"]
+    assert (bad.priority, bad.facility, bad.severity) == (-1, -1, -1)
+    assert bad.hostname is None
