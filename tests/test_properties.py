@@ -148,3 +148,65 @@ def test_csv_encode_parse_roundtrip(spark, rows_fields):
         for i in range(width):
             expect = fields[i] if i < len(fields) else None
             assert r[f"c{i}"] == expect, (fields, r.asDict())
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=(1 << 16) - 1),
+                 min_size=0, max_size=12),
+        min_size=1, max_size=8,
+    )
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_token_gram_hashes_match_python_reference(spark, rows):
+    """Positional packing is exact: the JVM gram hashes equal the Python
+    reference packing of every length-3 window (distinct, first-occurrence
+    order), and the packing is injective over token windows."""
+    from loongcollector_spark.operators.token_ops import token_gram_hashes
+
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(rows)], "id long, tokens array<int>"
+    )
+    got = {r.id: list(r.g) for r in df.select(
+        "id", token_gram_hashes(F.col("tokens"), n=3).alias("g")
+    ).collect()}
+    B = 1 << 16
+    for i, toks in enumerate(rows):
+        if len(toks) < 3:
+            expect = []
+        else:
+            seen, expect = set(), []
+            for j in range(len(toks) - 2):
+                h = (toks[j] * B + toks[j + 1]) * B + toks[j + 2]
+                if h not in seen:
+                    seen.add(h)
+                    expect.append(h)
+        assert got[i] == expect, (toks, got[i], expect)
+        # injectivity: recover the window from the hash
+        for h in expect:
+            w = (h // (B * B), (h // B) % B, h % B)
+            assert list(w) in [list(toks[j:j+3]) for j in range(len(toks)-2)]
+
+
+@given(st.lists(st.sampled_from(
+    ["where id >= 0", "extend z = id + 1", "project-away z", "limit 5",
+     "sort by id desc", "stats count() as n by content"]),
+    min_size=1, max_size=4))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_spl_stage_chains_never_crash_plan_build(spark, stages):
+    """Any chain of well-formed SPL stages compiles to a plan (or raises
+    SplError for stages over dropped columns) — plan building never throws
+    an unrelated Python error."""
+    from pyspark.sql.utils import AnalysisException
+
+    from loongcollector_spark.operators.spl import SplError, compile_spl
+
+    df = spark.createDataFrame([(0, "a"), (1, "b")], "id long, content string")
+    script = "* | " + " | ".join(stages)
+    try:
+        out = compile_spl(df, script)
+        out.count()
+    except (SplError, AnalysisException):
+        pass  # dropped/unknown column chains legitimately fail analysis
