@@ -224,3 +224,36 @@ def test_resize_media_stub_shapes(spark):
         assert len(r.payload) == 48
         expect = (hashlib.sha256(orig[r.media_id]).digest() * 2)[:48]
         assert bytes(r.payload) == expect
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """Quality evidence for the ANN scale paths, averaged over 5 queries on
+    the real embeddings table: both pruned paths must beat the random-scan
+    baseline (expected recall == fraction of rows scanned, 16/64 buckets =
+    8/16... ~0.25 here). Measured on this fixture: LSH ~0.48, IVF ~0.60 —
+    ~2x the baseline at a quarter of the scan; thresholds sit between
+    baseline and measurement so noise can't flake the test."""
+    import statistics
+
+    from loongcollector_spark.functions import similarity as sim
+    from loongcollector_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.orderBy("vec_id").limit(5).collect()
+    lsh_r, ivf_r = [], []
+    for row in queries:
+        q = [float(x) for x in row["embedding"]]
+        exact = [r.id for r in sim.brute_force_topk(
+            emb, "embedding", "vec_id", q, k=10).collect()]
+        lsh = [r.id for r in sim.lsh_bucketed_topk(
+            emb, "embedding", "vec_id", q, k=10, n_planes=6, n_probes=16
+        ).collect()]
+        ivf = [r.id for r in sim.ivf_topk(
+            emb, "embedding", "vec_id", q, k=10, n_cells=16, nprobe=4
+        ).collect()]
+        # the query's own row is exact-similarity 1.0 and must survive pruning
+        assert exact[0] == lsh[0] == ivf[0] == row["vec_id"]
+        lsh_r.append(len(set(exact) & set(lsh)) / 10)
+        ivf_r.append(len(set(exact) & set(ivf)) / 10)
+    assert statistics.mean(lsh_r) >= 0.35, lsh_r   # baseline ~0.25, measured ~0.48
+    assert statistics.mean(ivf_r) >= 0.40, ivf_r   # baseline ~0.25, measured ~0.60
