@@ -490,6 +490,9 @@ def spl_fanout(
     return dict(compile_spl_multi(df, script, sample_rows=sample_rows))
 
 
-def spl_processor(df: DataFrame, script: str) -> DataFrame:
-    """PROCESSORS-registry entry point (processor_spl Script config key)."""
-    return compile_spl(df, script)
+def spl_processor(
+    df: DataFrame, script: str, sample_rows: int | None = None
+) -> DataFrame:
+    """PROCESSORS-registry entry point (processor_spl Script config key;
+    ``sample_rows`` bounds dynamic-key discovery, see compile_spl)."""
+    return compile_spl(df, script, sample_rows=sample_rows)
