@@ -153,10 +153,21 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
             "options": _native_options(p),
         }
     if t == "processor_grok":
+        dictionary = dict(p.get("CustomPatterns", {}) or {})
+        if p.get("CustomPatternDir"):
+            from loongcollector_spark.operators.grok import load_pattern_dir
+
+            # dir patterns first, inline CustomPatterns win on collision
+            # (processor_grok.go loads the dir then the inline map)
+            merged = {}
+            for d in p["CustomPatternDir"]:
+                merged.update(load_pattern_dir(d))
+            merged.update(dictionary)
+            dictionary = merged
         return "parse_grok", {
             "source_key": src,
             "match": list(p["Match"]),
-            "dictionary": dict(p.get("CustomPatterns", {}) or {}),
+            "dictionary": dictionary,
             "ignore_parse_failure": bool(p.get("IgnoreParseFailure", True)),
             "keep_source": bool(p.get("KeepSource", True)),
         }

@@ -70,8 +70,13 @@ class GrokCapture:
 def _decapture(body: str) -> str:
     """Turn raw capturing groups into non-capturing so the only captures in
     the expanded regex are the synthetic %{...:alias} groups (keeps group
-    indexes == gN numbers)."""
-    return re.sub(r"(?<!\\)\((?!\?)", "(?:", body)
+    indexes == gN numbers). Inline NAMED groups ``(?<name>...)`` are also
+    neutralized: fields surface only via %{NAME:alias}, and third-party
+    pattern files (exim, bacula, rails) use Onigmo-style names/duplicates
+    that Java and Python reject — as plain groups they load fine.
+    Lookbehinds ``(?<=``/``(?<!`` are untouched."""
+    body = re.sub(r"(?<!\\)\((?!\?)", "(?:", body)
+    return re.sub(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>", "(?:", body)
 
 
 def _expand(
@@ -334,3 +339,36 @@ def _parse_grok_arrow(
     if not keep_source:
         out = out.withColumn(source_key, F.when(~any_match, F.col(source_key)))
     return out.drop("__grok_win__")
+
+
+def load_pattern_file(path: str) -> dict[str, str]:
+    """Parse one grok pattern file in the reference's on-disk format
+    (processor_grok.go addPatternsFromPath, lines 176-208): each non-empty
+    line not starting with '\"' is ``NAME<space>body``; quote-prefixed lines
+    are comments."""
+    out: dict[str, str] = {}
+    with open(path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line[0] == '"':
+                continue
+            name, _, body = line.partition(" ")
+            if name and body:
+                out[name] = body
+    return out
+
+
+def load_pattern_dir(path: str) -> dict[str, str]:
+    """All pattern files under a directory (CustomPatternDir config key) —
+    later files win on duplicate names, like the reference's map overwrite.
+    NB: third-party files may use Onigmo-only syntax (\\h, nested duplicate
+    named groups); compile_grok validates at plan time, so incompatible
+    entries fail loudly when referenced, not silently at load."""
+    import glob as _glob
+    import os as _os
+
+    out: dict[str, str] = {}
+    for f in sorted(_glob.glob(_os.path.join(path, "*"))):
+        if _os.path.isfile(f):
+            out.update(load_pattern_file(f))
+    return out

@@ -548,3 +548,41 @@ def test_apsara_ordered_duplicate_keys(spark):
     assert out.fields["k"] == "second"  # map fast path: last-wins
     # default call shape unchanged (no pairs column)
     assert "pairs" not in parse_apsara(df, "content").columns
+
+
+def test_grok_pattern_dir_loads_reference_bundle(spark):
+    """CustomPatternDir parity: the reference's own shipped pattern files
+    (example_config/processor_grok_patterns) load in their on-disk format
+    and >= 310 of the 318 names compile under BOTH regex dialects; the only
+    incompatibles are Onigmo-exclusive syntax (\\h, mid-pattern (?m)),
+    asserted by name so a regression shows up as a diff here. A loaded
+    pattern then actually parses a line end-to-end."""
+    import os
+
+    ref_dir = "/root/reference/example_config/processor_grok_patterns"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference checkout not present")
+    from loongcollector_spark.operators.grok import (
+        compile_grok_full,
+        load_pattern_dir,
+        parse_grok,
+    )
+
+    pats = load_pattern_dir(ref_dir)
+    assert len(pats) >= 300
+    bad = []
+    for name in sorted(pats):
+        try:
+            compile_grok_full("%{" + name + "}", dictionary=pats)
+        except Exception:
+            bad.append(name)
+    assert set(bad) <= {"RAILS3", "RAILS3HEAD", "RUUID"}, bad
+
+    # end-to-end with the REFERENCE's own SQUID3 definition
+    df = lines_df(
+        spark,
+        "1426235101.405 342 192.0.2.1 TCP_MISS/200 12920 GET "
+        "http://example.com/page - HIER_DIRECT/93.184.216.34 text/html",
+    )
+    r = parse_grok(df, "content", match=["%{SQUID3}"], dictionary=pats).first()
+    assert (r["cache_result"], r["status_code"]) == ("TCP_MISS", "200")
