@@ -171,6 +171,48 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
             "ignore_parse_failure": bool(p.get("IgnoreParseFailure", True)),
             "keep_source": bool(p.get("KeepSource", True)),
         }
+    if t == "processor_rename":
+        return "rename", {
+            "mapping": dict(zip(p.get("SourceKeys", []), p.get("DestKeys", []))),
+            "no_key_error": bool(p.get("NoKeyError", False)),
+        }
+    if t == "processor_add_fields":
+        return "add_fields", {
+            "fields": dict(p.get("Fields", {})),
+            "ignore_if_exist": bool(p.get("IgnoreIfExist", False)),
+        }
+    if t == "processor_drop":
+        return "drop", {"keys": list(p.get("DropKeys", []))}
+    if t == "processor_pick_key":
+        return "pick_keys", {
+            "include": list(p["Include"]) if p.get("Include") else None,
+            "exclude": list(p["Exclude"]) if p.get("Exclude") else None,
+        }
+    if t in ("processor_desensitize", "processor_desensitize_native"):
+        return "desensitize", {
+            "source_key": src,
+            "regex_begin": p.get("RegexBegin", ""),
+            "regex_content": p.get("RegexContent", ".*"),
+            "method": p.get("Method", "const"),
+            "replacement": p.get("ReplaceString", "********"),
+        }
+    if t == "processor_filter_regex":
+        return "filter_include_exclude", {
+            "include": dict(p.get("Include", {}) or {}) or None,
+            "exclude": dict(p.get("Exclude", {}) or {}) or None,
+        }
+    if t == "processor_split_key_value":
+        return "parse_key_value", {
+            "source_key": src,
+            "pair_delimiter": p.get("Delimiter", "\t"),
+            "kv_separator": p.get("Separator", ":"),
+            "no_separator_key_prefix": p.get("NoSeparatorKeyPrefix"),
+        }
+    if t == "processor_strptime":
+        return "parse_timestamp", {
+            "source_key": src,
+            "source_format": p.get("Format", "%Y-%m-%d %H:%M:%S"),
+        }
     if t == "processor_split_log_regex":
         from loongcollector_spark.sources.files import PATH_TAG
 

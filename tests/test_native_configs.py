@@ -210,3 +210,73 @@ def test_native_yaml_streaming(spark, tmp_path):
     rows = {r.uid: r for r in spark.read.parquet(str(tmp_path / "sls_out")).collect()}
     assert set(rows) == {"123", "9"}
     assert rows["123"].method == "buy" and rows["9"].value == "5"
+
+
+def test_native_enrich_filter_processor_translations(spark, tmp_path):
+    """The broader Go processor set translates and runs: rename, add_fields,
+    split_key_value, strptime, filter_regex, desensitize, drop — one native
+    config chaining them, checked end-to-end."""
+    import json as _json
+
+    from loongcollector_spark.config import spec_from_native
+    from loongcollector_spark.pipeline import run_pipeline
+
+    out = str(tmp_path / "out")
+    spec, _ = spec_from_native(
+        {
+            "processors": [
+                {"Type": "processor_split_key_value", "SourceKey": "content",
+                 "Delimiter": ";", "Separator": "="},
+                {"Type": "processor_rename", "SourceKeys": ["content"],
+                 "DestKeys": ["raw"]},
+                {"Type": "processor_add_fields",
+                 "Fields": {"env": "prod", "raw": "clobbered"},
+                 "IgnoreIfExist": True},
+                {"Type": "processor_filter_regex",
+                 "Include": {"raw": ".*level=(INFO|ERROR).*"},
+                 "Exclude": {"raw": ".*drop=yes.*"}},
+                {"Type": "processor_desensitize", "SourceKey": "raw",
+                 "Method": "const", "RegexBegin": "card=",
+                 "RegexContent": "\\d+", "ReplaceString": "****"},
+                {"Type": "processor_strptime", "SourceKey": "when",
+                 "Format": "%Y-%m-%d %H:%M:%S"},
+                {"Type": "processor_drop", "DropKeys": ["kv"]},
+            ],
+            "flushers": [{"Type": "flusher_file", "FileName": out}],
+        }
+    )
+    df = spark.createDataFrame(
+        [
+            ("level=INFO;card=1234;when=x",),
+            ("level=ERROR;drop=yes;card=5678;when=y",),
+            ("level=DEBUG;when=z",),
+        ],
+        "content string",
+    ).selectExpr("content", "'2024-02-17 10:11:12' as when")
+    res = run_pipeline(df, spec)
+    assert res["file"]["delivered"]
+    import glob
+
+    rows = [
+        _json.loads(ln)
+        for f in sorted(glob.glob(f"{out}/part*"))
+        for ln in open(f).read().splitlines()
+        if ln.strip()
+    ]
+    # include keeps INFO/ERROR, exclude drops drop=yes -> one survivor
+    assert len(rows) == 1
+    r = rows[0]
+    assert "content" not in r and r["raw"].startswith("level=INFO")
+    assert r["env"] == "prod" and r["raw"] != "clobbered"  # IgnoreIfExist
+    assert "card=****" in r["raw"]  # desensitized
+    assert "kv" not in r  # dropped map column
+    # __event_time__ is an internal (dunder) column: present on the frame,
+    # correctly excluded from the serialized contents — check the mapping
+    from loongcollector_spark.config import _native_processor
+
+    name, kwargs = _native_processor(
+        {"Type": "processor_strptime", "SourceKey": "when",
+         "Format": "%Y-%m-%d %H:%M:%S"}
+    )
+    assert name == "parse_timestamp"
+    assert kwargs == {"source_key": "when", "source_format": "%Y-%m-%d %H:%M:%S"}
