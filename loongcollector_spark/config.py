@@ -213,6 +213,19 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
             "source_key": src,
             "source_format": p.get("Format", "%Y-%m-%d %H:%M:%S"),
         }
+    if t == "processor_gotime":
+        from loongcollector_spark.operators.parse_time import go_layout_to_strptime
+
+        return "reformat_time", {
+            "source_key": src,
+            "source_format": go_layout_to_strptime(
+                p.get("SourceFormat", "2006-01-02 15:04:05")
+            ),
+            "dest_key": p.get("DestKey", f"{src}_formatted"),
+            "dest_format": go_layout_to_strptime(
+                p.get("DestFormat", "2006-01-02 15:04:05")
+            ),
+        }
     if t == "processor_split_log_regex":
         from loongcollector_spark.sources.files import PATH_TAG
 

@@ -95,3 +95,24 @@ def reformat_time(
     if dest_timezone:
         ts = F.from_utc_timestamp(ts, dest_timezone)
     return df.withColumn(dest_key, F.date_format(ts, strptime_to_spark(dest_format)))
+
+
+_GO_LAYOUT_TOKENS = [
+    # longest-first so "2006" wins over "06", "15" over "1", "05" over "5"
+    ("2006", "%Y"), ("01", "%m"), ("02", "%d"), ("15", "%H"),
+    ("04", "%M"), ("05", "%S"), ("06", "%y"),
+    ("January", "%B"), ("Jan", "%b"), ("Monday", "%A"), ("Mon", "%a"),
+    ("PM", "%p"), ("pm", "%p"), ("03", "%I"),
+    ("-0700", "%z"), ("Z0700", "%z"), ("MST", "%Z"),
+    (".000000", ".%f"), (".000", ".%f"),
+]
+
+
+def go_layout_to_strptime(layout: str) -> str:
+    """Go reference-time layout ("2006-01-02 15:04:05") -> strptime format —
+    the conversion processor_gotime configs need to ride reformat_time
+    (which speaks strptime; gotime.go:33-54 speaks Go layouts)."""
+    out = layout
+    for go, c in _GO_LAYOUT_TOKENS:
+        out = out.replace(go, c)
+    return out

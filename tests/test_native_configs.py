@@ -280,3 +280,22 @@ def test_native_enrich_filter_processor_translations(spark, tmp_path):
     )
     assert name == "parse_timestamp"
     assert kwargs == {"source_key": "when", "source_format": "%Y-%m-%d %H:%M:%S"}
+
+
+def test_native_gotime_translation(spark):
+    """processor_gotime Go layouts translate through go_layout_to_strptime
+    and reformat end-to-end (gotime.go:33-54)."""
+    from loongcollector_spark.config import _native_processor
+    from loongcollector_spark.pipeline import PROCESSORS
+
+    name, kwargs = _native_processor(
+        {"Type": "processor_gotime", "SourceKey": "t",
+         "SourceFormat": "2006-01-02 15:04:05",
+         "DestKey": "euro", "DestFormat": "02/01/2006 15:04"}
+    )
+    assert name == "reformat_time"
+    assert kwargs["source_format"] == "%Y-%m-%d %H:%M:%S"
+    assert kwargs["dest_format"] == "%d/%m/%Y %H:%M"
+    df = spark.createDataFrame([("2024-02-17 10:11:12",)], "t string")
+    out = PROCESSORS[name](df, **kwargs).first()
+    assert out.euro == "17/02/2024 10:11"
