@@ -338,3 +338,40 @@ def test_syslog_socket_input_twin(spark, tmp_path):
     bad = rows["not a syslog line at all"]
     assert (bad.priority, bad.facility, bad.severity) == (-1, -1, -1)
     assert bad.hostname is None
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    """Watermarked streaming dedup: a same-content re-delivery inside the
+    delay is dropped, distinct content passes; state is keyed on the content
+    hash so different doc_ids with equal text still collapse."""
+    import json
+
+    from loongcollector_spark.streaming.dedup import streaming_exact_dedup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"doc_id": "a", "text": "same words", "ts": "2024-01-01T00:00:00"},
+        {"doc_id": "b", "text": "same words", "ts": "2024-01-01T00:01:00"},
+        {"doc_id": "c", "text": "other words", "ts": "2024-01-01T00:02:00"},
+    ]
+    (src / "batch.json").write_text("\n".join(json.dumps(r) for r in rows))
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ts string")
+        .json(str(src))
+        .withColumn("event_time", F.to_timestamp("ts"))
+    )
+    out = streaming_exact_dedup(stream, "text", "event_time", delay="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r.doc_id for r in spark.sql("select * from dedup_stream").collect()}
+    assert got == {"a", "c"}  # b = duplicate content within the watermark
