@@ -14,16 +14,24 @@ execution mode with the idiomatic Spark mapping:
 | Router fan-out to flushers | ``foreachBatch`` conditional per-sink writes |
 | token-bucket rate limit | ``applyInPandasWithState`` per-key bucket state |
 | periodic self-monitoring rollup | watermarked tumbling-window aggregation (``streaming_windowed_rollup``) |
+| (training pipeline) live exact dedup | watermark-bounded ``dropDuplicatesWithinWatermark`` (``streaming_exact_dedup``) |
+| native pipeline YAML in stream mode | ``run_native_streaming`` |
 """
 
+from loongcollector_spark.streaming.dedup import streaming_exact_dedup
 from loongcollector_spark.streaming.multiline import streaming_merge_multiline
-from loongcollector_spark.streaming.pipeline import run_streaming_pipeline
+from loongcollector_spark.streaming.pipeline import (
+    run_native_streaming,
+    run_streaming_pipeline,
+)
 from loongcollector_spark.streaming.rate_limit import streaming_rate_limit
 from loongcollector_spark.streaming.rollup import streaming_windowed_rollup
 
 __all__ = [
     "run_streaming_pipeline",
+    "run_native_streaming",
     "streaming_rate_limit",
     "streaming_merge_multiline",
     "streaming_windowed_rollup",
+    "streaming_exact_dedup",
 ]
