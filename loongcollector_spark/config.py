@@ -172,9 +172,11 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
             "keep_source": bool(p.get("KeepSource", True)),
         }
     if t == "processor_rename":
+        # NoKeyError in the reference only LOGS an alarm and keeps flowing
+        # (processor_rename.go:80-100); never abort the plan on a missing key
         return "rename", {
             "mapping": dict(zip(p.get("SourceKeys", []), p.get("DestKeys", []))),
-            "no_key_error": bool(p.get("NoKeyError", False)),
+            "no_key_error": False,
         }
     if t == "processor_add_fields":
         return "add_fields", {
@@ -189,10 +191,18 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
             "exclude": list(p["Exclude"]) if p.get("Exclude") else None,
         }
     if t in ("processor_desensitize", "processor_desensitize_native"):
+        # reference default Match is "full" (whole-value masking,
+        # processor_desensitize.go init): anchored-^ begin + .* content
+        # replaces the entire value exactly once; "regex" uses the
+        # configured window
+        if p.get("Match", "full") == "full":
+            begin, content = "^", ".*"
+        else:
+            begin, content = p.get("RegexBegin", ""), p.get("RegexContent", ".*")
         return "desensitize", {
             "source_key": src,
-            "regex_begin": p.get("RegexBegin", ""),
-            "regex_content": p.get("RegexContent", ".*"),
+            "regex_begin": begin,
+            "regex_content": content,
             "method": p.get("Method", "const"),
             "replacement": p.get("ReplaceString", "********"),
         }
@@ -206,15 +216,28 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
             "source_key": src,
             "pair_delimiter": p.get("Delimiter", "\t"),
             "kv_separator": p.get("Separator", ":"),
-            "no_separator_key_prefix": p.get("NoSeparatorKeyPrefix"),
+            # key_value_splitter.go:49 default prefix; the reference emits
+            # flat log fields, so discovered keys are projected to columns
+            # (plan-time discovery — the kv map stays for dynamic access)
+            "no_separator_key_prefix": p.get(
+                "NoSeparatorKeyPrefix", "no_separator_key_"
+            ),
+            "expand_keys": True,
         }
     if t == "processor_strptime":
         return "parse_timestamp", {
-            "source_key": src,
+            # strptime.go defaultSourceKey = "time", NOT the raw line
+            "source_key": p.get("SourceKey", "time"),
             "source_format": p.get("Format", "%Y-%m-%d %H:%M:%S"),
         }
     if t == "processor_gotime":
         from loongcollector_spark.operators.parse_time import go_layout_to_strptime
+
+        def _loc(key: str) -> str | None:
+            # SourceLocation/DestLocation are UTC offsets in hours
+            # (gotime.go:73-78); 0/absent = keep as-is
+            h = int(p.get(key, 0) or 0)
+            return f"GMT{h:+d}" if h else None
 
         return "reformat_time", {
             "source_key": src,
@@ -225,6 +248,9 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
             "dest_format": go_layout_to_strptime(
                 p.get("DestFormat", "2006-01-02 15:04:05")
             ),
+            "source_timezone": _loc("SourceLocation"),
+            "dest_timezone": _loc("DestLocation"),
+            "keep_source": bool(p.get("KeepSource", True)),
         }
     if t == "processor_split_log_regex":
         from loongcollector_spark.sources.files import PATH_TAG

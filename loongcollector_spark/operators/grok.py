@@ -359,16 +359,22 @@ def load_pattern_file(path: str) -> dict[str, str]:
 
 
 def load_pattern_dir(path: str) -> dict[str, str]:
-    """All pattern files under a directory (CustomPatternDir config key) —
-    later files win on duplicate names, like the reference's map overwrite.
-    NB: third-party files may use Onigmo-only syntax (\\h, nested duplicate
-    named groups); compile_grok validates at plan time, so incompatible
-    entries fail loudly when referenced, not silently at load."""
+    """Patterns from a directory, single file, or glob (CustomPatternDir
+    config key; processor_grok.go:176-188 stats the path and globs dirs as
+    ``dir/*`` but also accepts a file or glob verbatim) — later files win on
+    duplicate names, like the reference's map overwrite. A path matching
+    nothing raises instead of silently loading zero patterns.
+    NB: third-party files may use Onigmo-only syntax (\\h, mid-pattern
+    (?m)); compile_grok validates at plan time, so incompatible entries
+    fail loudly when referenced, not silently at load."""
     import glob as _glob
     import os as _os
 
+    pattern = _os.path.join(path, "*") if _os.path.isdir(path) else path
+    files = [f for f in sorted(_glob.glob(pattern)) if _os.path.isfile(f)]
+    if not files:
+        raise FileNotFoundError(f"no grok pattern files at {path!r}")
     out: dict[str, str] = {}
-    for f in sorted(_glob.glob(_os.path.join(path, "*"))):
-        if _os.path.isfile(f):
-            out.update(load_pattern_file(f))
+    for f in files:
+        out.update(load_pattern_file(f))
     return out

@@ -26,7 +26,14 @@ def parse_key_value(
     map_column: str = "kv",
     keys: list[str] | None = None,
     no_separator_key_prefix: str | None = None,
+    expand_keys: bool = False,
+    sample_rows: int | None = None,
 ) -> DataFrame:
+    """``expand_keys=True`` additionally projects every discovered key to a
+    top-level column (the reference emits flat log fields, not a nested map;
+    key_value_splitter.go:110-130). Discovery is a plan-time distinct-scan of
+    the map keys — bound it with ``sample_rows`` or pass ``keys`` explicitly
+    on the 100 TB path (same trade as SPL's parse-kv stage)."""
     src = F.col(source_key)
     if no_separator_key_prefix is None:
         m: Column = F.str_to_map(
@@ -50,6 +57,17 @@ def parse_key_value(
         m = F.map_from_entries(entries)
 
     out = df.withColumn(map_column, m)
-    for k in keys or []:
+    project = list(keys or [])
+    if expand_keys and not project:
+        src_keys = out.select(map_column)
+        if sample_rows:
+            src_keys = src_keys.limit(sample_rows)
+        project = sorted(
+            r.k
+            for r in src_keys.select(
+                F.explode(F.map_keys(F.col(map_column))).alias("k")
+            ).distinct().collect()
+        )
+    for k in project:
         out = out.withColumn(k, F.try_element_at(F.col(map_column), F.lit(k)))
     return out

@@ -70,7 +70,9 @@ def parse_timestamp(
 ) -> DataFrame:
     """Parse SourceKey with a strptime format into an event-time column."""
     spark_fmt = strptime_to_spark(source_format)
-    ts = F.to_timestamp(F.col(source_key), spark_fmt)
+    # try_to_timestamp: malformed values null out instead of failing the
+    # whole job under ANSI mode (the reference logs and keeps the event)
+    ts = F.try_to_timestamp(F.col(source_key), F.lit(spark_fmt))
     if source_timezone:
         ts = F.to_utc_timestamp(ts, source_timezone)
     out = df.withColumn(dest, ts)
@@ -87,14 +89,29 @@ def reformat_time(
     dest_format: str,
     source_timezone: str | None = None,
     dest_timezone: str | None = None,
+    keep_source: bool = True,
 ) -> DataFrame:
-    """processor_gotime: parse + reformat into DestKey with tz conversion."""
-    ts = F.to_timestamp(F.col(source_key), strptime_to_spark(source_format))
+    """processor_gotime: parse + reformat into DestKey with tz conversion.
+    ``source_format`` may also be one of the gotime fixed epoch patterns
+    'seconds'/'milliseconds'/'microseconds' (gotime.go:36), parsing the
+    column as a numeric unix timestamp at that resolution."""
+    src = F.col(source_key)
+    if source_format == "seconds":
+        ts = F.timestamp_seconds(src.try_cast("long"))
+    elif source_format == "milliseconds":
+        ts = F.timestamp_millis(src.try_cast("long"))
+    elif source_format == "microseconds":
+        ts = F.timestamp_micros(src.try_cast("long"))
+    else:
+        ts = F.try_to_timestamp(src, F.lit(strptime_to_spark(source_format)))
     if source_timezone:
         ts = F.to_utc_timestamp(ts, source_timezone)
     if dest_timezone:
         ts = F.from_utc_timestamp(ts, dest_timezone)
-    return df.withColumn(dest_key, F.date_format(ts, strptime_to_spark(dest_format)))
+    out = df.withColumn(dest_key, F.date_format(ts, strptime_to_spark(dest_format)))
+    if not keep_source and source_key != dest_key:
+        out = out.drop(source_key)
+    return out
 
 
 _GO_LAYOUT_TOKENS = [
@@ -108,11 +125,28 @@ _GO_LAYOUT_TOKENS = [
 ]
 
 
+GO_EPOCH_FORMATS = ("seconds", "milliseconds", "microseconds")
+
+
 def go_layout_to_strptime(layout: str) -> str:
     """Go reference-time layout ("2006-01-02 15:04:05") -> strptime format —
     the conversion processor_gotime configs need to ride reformat_time
-    (which speaks strptime; gotime.go:33-54 speaks Go layouts)."""
+    (which speaks strptime; gotime.go:33-54 speaks Go layouts). The fixed
+    epoch formats ('seconds'/'milliseconds'/'microseconds') pass through
+    untouched — reformat_time handles them natively. Non-padded Go tokens
+    ("1","2","3","4","5") have no strptime equivalent; a digit surviving
+    conversion raises instead of silently parsing every row to null."""
+    if layout in GO_EPOCH_FORMATS:
+        return layout
     out = layout
     for go, c in _GO_LAYOUT_TOKENS:
         out = out.replace(go, c)
+    import re as _re
+
+    residue = _re.sub(r"%.", "", out)
+    if _re.search(r"\d", residue):
+        raise ValueError(
+            f"unsupported (non-padded?) Go layout token in {layout!r} -> {out!r}; "
+            "use the zero-padded reference-time forms (2006, 01, 02, 15, 04, 05)"
+        )
     return out

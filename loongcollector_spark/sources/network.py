@@ -23,12 +23,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# <PRI>MMM dd HH:MM:SS hostname program[pid]: message
+# <PRI>MMM dd HH:MM:SS hostname [program[pid]: ] message — the tag part is
+# OPTIONAL: the reference's rfc3164 parser ends the tag at ':' or ' ' and
+# still extracts pri/timestamp/hostname for tag-less lines
 _RFC3164 = (
     r"^<(\d{1,3})>"
     r"([A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) "
     r"(\S+) "
-    r"([^:\[\s]+)(?:\[(\d+)\])?: "
+    r"(?:([^:\[\s]+)(?:\[(\d+)\])?: )?"
     r"(.*)$"
 )
 

@@ -139,6 +139,13 @@ def run_native_streaming(
     from loongcollector_spark.config import load_native_config
 
     spec, _ = load_native_config(config_path, sink_overrides=sink_overrides)
+    if any(name == "merge_multiline" for name, _ in spec.processors):
+        raise NotImplementedError(
+            "processor_split_log_regex needs per-file line offsets, which a "
+            "text stream does not carry; use streaming_merge_multiline (the "
+            "stateful cross-batch operator) or the batch runner "
+            "(read_log_files(line_offset=True) + run_pipeline)"
+        )
     # the text stream delivers lines as `value`; the reference's processors
     # address the raw line as `content` — prepend the rename
     spec = dataclasses.replace(

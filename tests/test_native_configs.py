@@ -236,7 +236,7 @@ def test_native_enrich_filter_processor_translations(spark, tmp_path):
                  "Include": {"raw": ".*level=(INFO|ERROR).*"},
                  "Exclude": {"raw": ".*drop=yes.*"}},
                 {"Type": "processor_desensitize", "SourceKey": "raw",
-                 "Method": "const", "RegexBegin": "card=",
+                 "Method": "const", "Match": "regex", "RegexBegin": "card=",
                  "RegexContent": "\\d+", "ReplaceString": "****"},
                 {"Type": "processor_strptime", "SourceKey": "when",
                  "Format": "%Y-%m-%d %H:%M:%S"},
@@ -282,6 +282,29 @@ def test_native_enrich_filter_processor_translations(spark, tmp_path):
     assert kwargs == {"source_key": "when", "source_format": "%Y-%m-%d %H:%M:%S"}
 
 
+def test_native_desensitize_full_match_default(spark):
+    """Match defaults to 'full' in the reference: the WHOLE value is
+    replaced exactly once (no doubled replacement from an empty trailing
+    match), and md5 mode hashes the whole content."""
+    import hashlib
+
+    from loongcollector_spark.config import _native_processor
+    from loongcollector_spark.pipeline import PROCESSORS
+
+    df = spark.createDataFrame([("secret-value",)], "content string")
+    name, kwargs = _native_processor(
+        {"Type": "processor_desensitize", "SourceKey": "content",
+         "Method": "const", "ReplaceString": "****"}
+    )
+    assert PROCESSORS[name](df, **kwargs).first().content == "****"
+    name, kwargs = _native_processor(
+        {"Type": "processor_desensitize", "SourceKey": "content",
+         "Method": "md5"}
+    )
+    got = PROCESSORS[name](df, **kwargs).first().content
+    assert got == hashlib.md5(b"secret-value").hexdigest()
+
+
 def test_native_gotime_translation(spark):
     """processor_gotime Go layouts translate through go_layout_to_strptime
     and reformat end-to-end (gotime.go:33-54)."""
@@ -299,3 +322,32 @@ def test_native_gotime_translation(spark):
     df = spark.createDataFrame([("2024-02-17 10:11:12",)], "t string")
     out = PROCESSORS[name](df, **kwargs).first()
     assert out.euro == "17/02/2024 10:11"
+
+
+def test_native_streaming_refuses_multiline(spark, tmp_path):
+    from loongcollector_spark.streaming.pipeline import run_native_streaming
+
+    with pytest.raises(NotImplementedError, match="streaming_merge_multiline"):
+        run_native_streaming(
+            spark,
+            f"{REF_DIR}/multiline_java_stack_trace-split_log_regex.yaml",
+            str(tmp_path), str(tmp_path / "o"), str(tmp_path / "c"),
+        )
+
+
+def test_native_gotime_epoch_and_location():
+    from loongcollector_spark.config import _native_processor
+
+    name, kwargs = _native_processor(
+        {"Type": "processor_gotime", "SourceKey": "t",
+         "SourceFormat": "seconds", "DestKey": "iso",
+         "DestFormat": "2006-01-02 15:04:05", "DestLocation": 8}
+    )
+    assert kwargs["source_format"] == "seconds"
+    assert kwargs["dest_timezone"] == "GMT+8"
+    with pytest.raises(ValueError, match="non-padded"):
+        _native_processor(
+            {"Type": "processor_gotime", "SourceKey": "t",
+             "SourceFormat": "2006-1-2 15:4:5", "DestKey": "x",
+             "DestFormat": "2006-01-02"}
+        )

@@ -586,3 +586,32 @@ def test_grok_pattern_dir_loads_reference_bundle(spark):
     )
     r = parse_grok(df, "content", match=["%{SQUID3}"], dictionary=pats).first()
     assert (r["cache_result"], r["status_code"]) == ("TCP_MISS", "200")
+
+
+def test_grok_pattern_path_accepts_single_file():
+    """CustomPatternDir pointing at one FILE loads it (the reference stats
+    the path and globs only directories); a missing path raises instead of
+    silently loading nothing."""
+    import os
+
+    import pytest as _pytest
+
+    from loongcollector_spark.operators.grok import load_pattern_dir
+
+    f = "/root/reference/example_config/processor_grok_patterns/squid"
+    if not os.path.exists(f):
+        _pytest.skip("reference checkout not present")
+    pats = load_pattern_dir(f)
+    assert "SQUID3" in pats and len(pats) == 1
+    with _pytest.raises(FileNotFoundError):
+        load_pattern_dir("/nonexistent/pattern/path")
+
+
+def test_key_value_expand_keys(spark):
+    from loongcollector_spark.operators.parse_kv import parse_key_value
+
+    df = spark.createDataFrame([("a=1;b=2",), ("a=3;c=4",)], "content string")
+    out = parse_key_value(df, "content", ";", "=", expand_keys=True)
+    assert {"a", "b", "c"} <= set(out.columns)
+    rows = sorted((r.a, r.b, r.c) for r in out.collect())
+    assert rows == [("1", "2", None), ("3", None, "4")]

@@ -375,3 +375,19 @@ def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(60)
     got = {r.doc_id for r in spark.sql("select * from dedup_stream").collect()}
     assert got == {"a", "c"}  # b = duplicate content within the watermark
+
+
+def test_syslog_tagless_line_still_parses(spark):
+    """Tag-less RFC3164 lines (no 'program: ' part) keep pri/timestamp/
+    hostname — matching the reference's rfc3164 parser tolerance (batch
+    form of the decode; the column logic is identical in streaming)."""
+    from loongcollector_spark.sources.network import parse_syslog_rfc3164
+
+    df = spark.createDataFrame(
+        [("<13>Feb  5 17:32:18 web02 starting up now",)], "content string"
+    )
+    r = parse_syslog_rfc3164(df).first()
+    assert (r.priority, r.facility, r.severity) == (13, 1, 5)
+    assert r.hostname == "web02"
+    assert r.content == "starting up now"
+    assert r.pid is None
