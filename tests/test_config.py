@@ -93,3 +93,14 @@ def test_native_kafka_flusher_mapping():
     assert s.options["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
     assert s.options["topic"] == "access-log"
     assert paths == ["/x/*.log"]
+
+
+def test_example_native_yaml_loads():
+    from loongcollector_spark.config import load_native_config
+
+    spec, paths = load_native_config("examples/native_squid_kafka.yaml")
+    assert paths == ["/var/log/squid/access.log*"]
+    assert [p[0] for p in spec.processors] == ["parse_grok", "rename"]
+    assert spec.sinks["kafka_v2"].format == "kafka"
+    assert spec.sinks["kafka_v2"].options["topic"] == "squid-access"
+    assert spec.sinks["file"].encoding == "jsonline"
