@@ -755,6 +755,67 @@ def _otlp_attr_json(attrs: Column) -> Column:
     return F.to_json(F.map_from_entries(F.array_sort(entries)))
 
 
+_OTLP_LOGS_SCHEMA = (
+    "struct<resourceLogs:array<struct<"
+    f"resource:struct<attributes:{_OTLP_ATTRS}>,"
+    "scopeLogs:array<struct<logRecords:array<struct<"
+    "timeUnixNano:string,severityNumber:string,severityText:string,"
+    "body:struct<stringValue:string,intValue:string,doubleValue:double,"
+    "boolValue:boolean>,"
+    f"attributes:{_OTLP_ATTRS}"
+    ">>>>>>>"  # record struct+array, scopeLogs struct+array, resourceLogs struct+array, outer struct
+)
+
+
+def otel_log_parse(df: DataFrame, source_key: str) -> DataFrame:
+    """OTLP logs payload (JSON) -> one row per logRecord, the reference's
+    decode shape (otlpDataToSLSProto.go ConvertOtlpLogV1:280-338): columns
+    time_unix_nano / severity_number / severity_text / content (body as
+    string) / attributes / resources — the latter two as sorted-key JSON
+    objects of stringified values (Go json.Marshal of a map), null when the
+    attribute set is empty (the reference appends the field only when
+    non-empty). One from_json + explode chain, pure JVM."""
+    parsed = F.from_json(F.col(source_key), _OTLP_LOGS_SCHEMA)
+    rl = df.withColumn("__rl__", F.explode(parsed["resourceLogs"]))
+    rl = rl.withColumn(
+        "__res_json__",
+        F.when(
+            F.size(
+                F.coalesce(
+                    F.col("__rl__.resource.attributes"),
+                    F.array().cast(_OTLP_ATTRS),
+                )
+            )
+            > 0,
+            _otlp_attr_json(F.col("__rl__.resource.attributes")),
+        ),
+    )
+    rec = rl.withColumn("__sl__", F.explode("__rl__.scopeLogs")).withColumn(
+        "__lr__", F.explode("__sl__.logRecords")
+    )
+    r = F.col("__lr__")
+    body = F.coalesce(
+        r["body"]["stringValue"],
+        r["body"]["intValue"],
+        _otlp_num_str(r["body"]["doubleValue"]),
+        r["body"]["boolValue"].cast("string"),
+        F.lit(""),
+    )
+    attrs_json = F.when(
+        F.size(F.coalesce(r["attributes"], F.array().cast(_OTLP_ATTRS))) > 0,
+        _otlp_attr_json(r["attributes"]),
+    )
+    return rec.select(
+        *[c for c in df.columns if c != source_key],
+        F.coalesce(r["timeUnixNano"], F.lit("0")).alias("time_unix_nano"),
+        F.coalesce(r["severityNumber"], F.lit("0")).alias("severity_number"),
+        F.coalesce(r["severityText"], F.lit("")).alias("severity_text"),
+        body.alias("content"),
+        attrs_json.alias("attributes"),
+        F.col("__res_json__").alias("resources"),
+    )
+
+
 def otel_trace_parse(df: DataFrame, source_key: str) -> DataFrame:
     """processor_otel_trace, 'json' format (processor_otel_trace.go:140 →
     ConvertResourceSpans / otlp_trace_parser.go:291-470): one OTLP trace

@@ -98,6 +98,7 @@ PROCESSORS: dict[str, Callable[..., DataFrame]] = {
     "otel_span_shape": enrich.otel_span_shape,
     "otel_metric_shape": enrich.otel_metric_shape,
     "otel_trace_parse": enrich.otel_trace_parse,
+    "otel_log_parse": enrich.otel_log_parse,
     "geo_cidr_lookup": enrich.geo_cidr_lookup,
     "dynamic_topic": route.dynamic_topic,
     "spl": _spl_processor,

@@ -2119,6 +2119,50 @@ def token_exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_exact_dedup(seqs.unionByName(dupes))
 
 
+@register(
+    "otel_log_records",
+    """
+    SELECT event_id,
+           CAST(event_id * 1000000000 AS VARCHAR) AS time_unix_nano,
+           CAST(9 + (user_id % 4) AS VARCHAR) AS severity_number,
+           CASE (user_id % 4) WHEN 0 THEN 'INFO' WHEN 1 THEN 'WARN'
+                              WHEN 2 THEN 'ERROR' ELSE 'DEBUG' END AS severity_text,
+           'event ' || event_type AS content,
+           '{"k":"' || regexp_extract(props, '"k": (\\d+)', 1) || '"}' AS attributes,
+           '{"host":"h' || (user_id % 20) || '"}' AS resources
+    FROM events
+    """,
+    doc="OTLP logs decode (ConvertOtlpLogV1, otlpDataToSLSProto.go:280-338): "
+        "one row per logRecord with time/severity/body/attributes/resources, "
+        "attribute objects as sorted-key JSON of stringified values",
+)
+def otel_log_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sev_num = (F.col("user_id") % 4 + 9).cast("string")
+    sev_txt = F.element_at(
+        F.array(F.lit("INFO"), F.lit("WARN"), F.lit("ERROR"), F.lit("DEBUG")),
+        (F.col("user_id") % 4).cast("int") + 1,
+    )
+    payload = F.concat(
+        F.lit('{"resourceLogs":[{"resource":{"attributes":[{"key":"host",'
+              '"value":{"stringValue":"h'),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit('"}}]},"scopeLogs":[{"logRecords":[{"timeUnixNano":"'),
+        (F.col("event_id") * 1_000_000_000).cast("string"),
+        F.lit('","severityNumber":"'), sev_num,
+        F.lit('","severityText":"'), sev_txt,
+        F.lit('","body":{"stringValue":"event '), F.col("event_type"),
+        F.lit('"},"attributes":[{"key":"k","value":{"stringValue":"'),
+        F.regexp_extract("props", r'"k": (\d+)', 1),
+        F.lit('"}}]}]}]}]}'),
+    )
+    out = enrich.otel_log_parse(
+        ev.withColumn("otlp_body", payload).select("event_id", "otlp_body"),
+        "otlp_body",
+    )
+    return out
+
+
 def _token_minhash_oracle(
     n_rows: int = 1500, n_dup: int = 300, num_hashes: int = 16,
     bands: int = 4, seed: int = 42,
@@ -2239,6 +2283,7 @@ _DRIVER_WINDOW_TAIL = [
     "quality_scores",              # text: text_quality_panel covers the panel
     "otel_metric_projection",      # otel-metric: otel_exp_histogram supersets
     "dedup_token_minhash",         # dedup+token: both families in-window
+    "otel_log_records",            # otel: trace + exp-histogram in-window
 ]
 
 

@@ -283,3 +283,31 @@ def test_otel_trace_duplicate_attrs_and_big_timestamps(spark):
     assert r.attribute == '{"k":"b"}'
     assert (r.start, r.end, r.duration) == ("1723882000000000", "1723882000000001", "1")
     assert r.name == "n"  # span field owns the conflicting column name
+
+
+def test_otel_log_parse_decode_shape(spark):
+    """ConvertOtlpLogV1 decode: per-record fields, body scalar kinds, sorted
+    attr JSON, empty attribute sets omitted (null), record-level defaults."""
+    import json
+
+    from loongcollector_spark.operators.enrich import otel_log_parse
+
+    payload = json.dumps({"resourceLogs": [{
+        "resource": {"attributes": [{"key": "svc", "value": {"stringValue": "web"}}]},
+        "scopeLogs": [{"logRecords": [
+            {"timeUnixNano": "1700000000000000000", "severityNumber": "9",
+             "severityText": "INFO", "body": {"stringValue": "hello"},
+             "attributes": [{"key": "k", "value": {"intValue": "7"}},
+                            {"key": "a", "value": {"boolValue": True}}]},
+            {"body": {"intValue": "42"}},
+        ]}]}]})
+    rows = otel_log_parse(
+        spark.createDataFrame([(1, payload)], "id int, body string"), "body"
+    ).orderBy(F.desc("time_unix_nano")).collect()
+    assert len(rows) == 2
+    full, bare = rows
+    assert (full.severity_number, full.severity_text, full.content) == ("9", "INFO", "hello")
+    assert json.loads(full.attributes) == {"a": "true", "k": "7"}
+    assert json.loads(full.resources) == {"svc": "web"}
+    assert (bare.time_unix_nano, bare.severity_number, bare.content) == ("0", "0", "42")
+    assert bare.attributes is None  # empty set -> field omitted (null)
