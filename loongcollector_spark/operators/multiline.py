@@ -147,3 +147,99 @@ def merge_by_flag(
         )
         .drop("__mls__")
     )
+
+
+def merge_multiline_rules(
+    df: DataFrame,
+    line_col: str,
+    file_col: str,
+    offset_col: str,
+    start_pattern: str | None = None,
+    continue_pattern: str | None = None,
+    end_pattern: str | None = None,
+    unmatched: str = UNMATCH_SINGLE_LINE,
+    merged_col: str | None = None,
+) -> DataFrame:
+    """The reference's full multiline rule set
+    (ProcessorSplitMultilineLogStringNative.cpp:160-300 /
+    MultilineOptions.h:29-51): blocks are delimited by any combination of
+    Start / Continue / End regexes —
+
+    - start only: a matching line OPENS a block (delegates to
+      merge_multiline, the fast path used everywhere else);
+    - end only: a matching line CLOSES the block; every line belongs to
+      some block (trailing lines form the final block, which the agent
+      would flush on timeout);
+    - continue only: a matching line EXTENDS the previous block, so a
+      non-matching line opens one; leading continuation lines are
+      unmatched;
+    - start + end: a block spans start-match .. end-match inclusive;
+      lines between an end and the next start are unmatched.
+
+    All modes are one window pass + one groupBy — same shuffle shape as
+    the start-only path. ``unmatched`` = 'single_line' (each unmatched
+    line its own event) or 'discard'."""
+    merged_col = merged_col or line_col
+    line = F.col(line_col)
+    w_incl = (
+        Window.partitionBy(file_col)
+        .orderBy(offset_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_excl = (
+        Window.partitionBy(file_col)
+        .orderBy(offset_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    if start_pattern and end_pattern:
+        start = line.rlike(start_pattern).cast("int")
+        end = line.rlike(end_pattern).cast("int")
+        sess = F.sum(start).over(w_incl)
+        end_excl = F.coalesce(F.sum(end).over(w_excl), F.lit(0))
+        df2 = df.withColumn("__mls__", sess).withColumn("__ends_before__", end_excl)
+        base = F.first("__ends_before__").over(
+            Window.partitionBy(file_col, "__mls__").orderBy(offset_col)
+        )
+        df2 = df2.withColumn("__valid__", (F.col("__mls__") > 0) & (F.col("__ends_before__") == base))
+    elif end_pattern and not continue_pattern:
+        end = line.rlike(end_pattern).cast("int")
+        sess = F.coalesce(F.sum(end).over(w_excl), F.lit(0)) + 1
+        df2 = df.withColumn("__mls__", sess).withColumn("__valid__", F.lit(True))
+    elif continue_pattern and not start_pattern and not end_pattern:
+        is_start = (~line.rlike(continue_pattern)).cast("int")
+        sess = F.sum(is_start).over(w_incl)
+        df2 = df.withColumn("__mls__", sess).withColumn("__valid__", F.col("__mls__") > 0)
+    elif start_pattern:
+        return merge_multiline(
+            df, line_col, file_col, offset_col, start_pattern,
+            unmatched=unmatched, merged_col=merged_col,
+        )
+    else:
+        raise ValueError("need at least one of start/continue/end pattern")
+
+    valid = df2.filter(F.col("__valid__"))
+    blocks = (
+        valid.groupBy(file_col, "__mls__")
+        .agg(
+            F.min(offset_col).alias(offset_col),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col(offset_col).alias("o"), F.col(line_col).alias("l"))
+                        )
+                    ),
+                    lambda s: s["l"],
+                ),
+                "\n",
+            ).alias(merged_col),
+        )
+        .select(file_col, offset_col, merged_col)
+    )
+    if unmatched == UNMATCH_DISCARD:
+        return blocks
+    singles = df2.filter(~F.col("__valid__")).select(
+        file_col, F.col(offset_col), F.col(line_col).alias(merged_col)
+    )
+    return blocks.unionByName(singles)

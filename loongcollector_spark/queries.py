@@ -2120,6 +2120,66 @@ def token_exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multiline_start_end_blocks",
+    """
+    WITH lines AS (
+      SELECT CAST(user_id % 4 AS VARCHAR) AS file, event_id AS off,
+             CASE CAST(event_id % 5 AS INTEGER)
+               WHEN 0 THEN 'BEGIN ' || event_id
+               WHEN 3 THEN 'END ' || event_id
+               WHEN 4 THEN 'noise ' || event_id
+               ELSE 'mid ' || event_id END AS content
+      FROM events
+    ),
+    tagged AS (
+      SELECT *,
+        SUM(CASE WHEN content LIKE 'BEGIN%' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY file ORDER BY off
+                ROWS UNBOUNDED PRECEDING) AS sess,
+        COALESCE(SUM(CASE WHEN content LIKE 'END%' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY file ORDER BY off
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ends_before
+      FROM lines
+    ),
+    flagged AS (
+      SELECT *,
+        (sess > 0 AND ends_before = FIRST(ends_before)
+           OVER (PARTITION BY file, sess ORDER BY off)) AS valid
+      FROM tagged
+    ),
+    blocks AS (
+      SELECT file, MIN(off) AS off,
+             string_agg(content, chr(10) ORDER BY off) AS content
+      FROM flagged WHERE valid GROUP BY file, sess
+    )
+    SELECT file, off, content FROM blocks
+    UNION ALL
+    SELECT file, off, content FROM flagged WHERE NOT valid
+    """,
+    doc="multiline Start+End rule (ProcessorSplitMultilineLogStringNative"
+        ".cpp:160-300): blocks span BEGIN..END inclusive, lines outside are "
+        "single-line events; oracle replays the window algebra in DuckDB",
+)
+def multiline_start_end_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.multiline import merge_multiline_rules
+
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(
+        (F.col("user_id") % 4).cast("string").alias("file"),
+        F.col("event_id").alias("off"),
+        F.when(F.col("event_id") % 5 == 0, F.concat(F.lit("BEGIN "), F.col("event_id")))
+        .when(F.col("event_id") % 5 == 3, F.concat(F.lit("END "), F.col("event_id")))
+        .when(F.col("event_id") % 5 == 4, F.concat(F.lit("noise "), F.col("event_id")))
+        .otherwise(F.concat(F.lit("mid "), F.col("event_id")))
+        .alias("content"),
+    )
+    return merge_multiline_rules(
+        lines, "content", "file", "off",
+        start_pattern=r"^BEGIN.*", end_pattern=r"^END.*",
+    )
+
+
+@register(
     "otel_log_records",
     """
     SELECT event_id,
@@ -2284,6 +2344,7 @@ _DRIVER_WINDOW_TAIL = [
     "otel_metric_projection",      # otel-metric: otel_exp_histogram supersets
     "dedup_token_minhash",         # dedup+token: both families in-window
     "otel_log_records",            # otel: trace + exp-histogram in-window
+    "multiline_start_end_blocks",  # multiline: merge_blocks in-window
 ]
 
 

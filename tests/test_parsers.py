@@ -615,3 +615,60 @@ def test_key_value_expand_keys(spark):
     assert {"a", "b", "c"} <= set(out.columns)
     rows = sorted((r.a, r.b, r.c) for r in out.collect())
     assert rows == [("1", "2", None), ("3", None, "4")]
+
+
+class TestMultilineRules:
+    """Start/Continue/End combos (ProcessorSplitMultilineLogStringNative
+    .cpp:160-300) — block boundaries per mode, unmatched handling."""
+
+    def _df(self, spark, *lines):
+        return spark.createDataFrame(
+            [("f", i, l) for i, l in enumerate(lines)],
+            "file string, off long, content string",
+        )
+
+    def _run(self, spark, lines, **kw):
+        from loongcollector_spark.operators.multiline import merge_multiline_rules
+
+        out = merge_multiline_rules(
+            self._df(spark, *lines), "content", "file", "off", **kw
+        )
+        return [r.content for r in out.orderBy("off").collect()]
+
+    def test_end_only(self, spark):
+        got = self._run(
+            spark, ["a", "b", "END 1", "c", "END 2", "tail"],
+            end_pattern=r"^END.*",
+        )
+        assert got == ["a\nb\nEND 1", "c\nEND 2", "tail"]
+
+    def test_continue_only(self, spark):
+        got = self._run(
+            spark, ["  lead-cont", "head1", "  c1", "  c2", "head2", "  c3"],
+            continue_pattern=r"^\s+.*",
+        )
+        # leading continuation line is unmatched -> single event
+        assert got == ["  lead-cont", "head1\n  c1\n  c2", "head2\n  c3"]
+
+    def test_start_and_end(self, spark):
+        got = self._run(
+            spark,
+            ["noise", "BEGIN x", "mid", "END x", "between", "BEGIN y", "END y"],
+            start_pattern=r"^BEGIN.*", end_pattern=r"^END.*",
+        )
+        assert got == ["noise", "BEGIN x\nmid\nEND x", "between", "BEGIN y\nEND y"]
+
+    def test_start_and_end_discard(self, spark):
+        got = self._run(
+            spark,
+            ["noise", "BEGIN x", "END x", "between"],
+            start_pattern=r"^BEGIN.*", end_pattern=r"^END.*",
+            unmatched="discard",
+        )
+        assert got == ["BEGIN x\nEND x"]
+
+    def test_start_only_delegates(self, spark):
+        got = self._run(
+            spark, ["H1", "t1", "H2", "t2"], start_pattern=r"^H\d",
+        )
+        assert got == ["H1\nt1", "H2\nt2"]
