@@ -215,6 +215,12 @@ def merge_multiline_rules(
             df, line_col, file_col, offset_col, start_pattern,
             unmatched=unmatched, merged_col=merged_col,
         )
+    elif continue_pattern and end_pattern:
+        raise NotImplementedError(
+            "continue+end without start is not implemented; use end_pattern "
+            "alone (a continue-matching line before the end already extends "
+            "the block in that mode)"
+        )
     else:
         raise ValueError("need at least one of start/continue/end pattern")
 
