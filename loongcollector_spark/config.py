@@ -261,6 +261,27 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
             "offset_col": "__offset__",
             "start_pattern": p["SplitRegex"],
         }
+    if t == "processor_split_multiline_log_string_native":
+        # the C++ inner processor InputFile inserts when Multiline is
+        # configured (InputFile.cpp:217); params are the MultilineOptions
+        # block (MultilineOptions.cpp:30-160)
+        from loongcollector_spark.sources.files import PATH_TAG
+
+        ml = p.get("Multiline", p)
+        return "merge_multiline_rules", {
+            "line_col": p.get("SourceKey", "content"),
+            "file_col": PATH_TAG,
+            "offset_col": "__offset__",
+            "start_pattern": ml.get("StartPattern") or None,
+            "continue_pattern": ml.get("ContinuePattern") or None,
+            "end_pattern": ml.get("EndPattern") or None,
+            "unmatched": (
+                "discard"
+                if str(ml.get("UnmatchedContentTreatment", "single_line"))
+                .lower() == "discard"
+                else "single_line"
+            ),
+        }
     raise KeyError(f"unsupported native processor type {t!r}")
 
 
@@ -336,6 +357,20 @@ def spec_from_native(
     for inp in doc.get("inputs", []):
         if inp.get("Type") in ("input_file", "input_static_file"):
             paths.extend(inp.get("FilePaths", []))
+            ml = inp.get("Multiline")
+            # InputFile.cpp:217 inserts the split processor only when
+            # IsMultiline() (Start or End regex present,
+            # MultilineOptions.cpp:157-159)
+            if ml and (ml.get("StartPattern") or ml.get("EndPattern")):
+                processors.insert(
+                    0,
+                    _native_processor(
+                        {
+                            "Type": "processor_split_multiline_log_string_native",
+                            "Multiline": ml,
+                        }
+                    ),
+                )
     spec = PipelineSpec(
         name=name,
         processors=processors,

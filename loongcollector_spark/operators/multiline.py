@@ -149,6 +149,85 @@ def merge_by_flag(
     )
 
 
+def _assemble_blocks(
+    tagged: DataFrame,
+    line_col: str,
+    file_col: str,
+    offset_col: str,
+    merged_col: str,
+    unmatched: str,
+) -> DataFrame:
+    """Shared emission stage for every rule mode.
+
+    ``tagged`` must carry three boolean/int helper columns:
+
+    - ``__in_block__``  — the line belongs to some block (session);
+    - ``__mls__``       — session id (meaningful where ``__in_block__``);
+    - ``__matched__``   — per-LINE matched marker; a block is emitted as
+      one merged event iff ``bool_or(__matched__)`` over its lines (the
+      reference's CreateNewEvent vs HandleUnmatchLogs split). For modes
+      where every block is matched (no end pattern) pass a literal True.
+
+    Lines outside blocks with ``__matched__`` true are emitted as
+    single-line MATCHED events (continue+end standalone end-match,
+    ProcessorSplitMultilineLogStringNative.cpp:189-194) regardless of the
+    ``unmatched`` treatment; other non-block lines and the lines of
+    non-matched blocks follow HandleUnmatchLogs (.cpp:343-383): one event
+    per line when 'single_line', dropped when 'discard'."""
+    grouped = (
+        tagged.filter(F.col("__in_block__"))
+        .groupBy(file_col, "__mls__")
+        .agg(
+            F.min(offset_col).alias("__head_off__"),
+            F.max(F.col("__matched__").cast("boolean")).alias("__ok__"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(offset_col).alias("o"), F.col(line_col).alias("l"))
+                )
+            ).alias("__lines__"),
+        )
+    )
+    emit_singles = F.lit(unmatched == UNMATCH_SINGLE_LINE)
+    blocks = (
+        grouped.select(
+            file_col,
+            F.explode(
+                F.when(
+                    F.col("__ok__"),
+                    F.array(
+                        F.struct(
+                            F.col("__head_off__").alias("o"),
+                            F.array_join(
+                                F.transform("__lines__", lambda s: s["l"]), "\n"
+                            ).alias("l"),
+                        )
+                    ),
+                ).otherwise(
+                    # un-matched block (unterminated / closed by a non-end
+                    # line): HandleUnmatchLogs replays it line by line
+                    F.when(emit_singles, F.col("__lines__")).otherwise(
+                        F.array().cast("array<struct<o:long,l:string>>")
+                    )
+                )
+            ).alias("__ev__"),
+        )
+        .select(
+            file_col,
+            F.col("__ev__.o").cast("long").alias(offset_col),
+            F.col("__ev__.l").alias(merged_col),
+        )
+    )
+    loose = tagged.filter(~F.col("__in_block__"))
+    if unmatched == UNMATCH_DISCARD:
+        loose = loose.filter(F.col("__matched__"))
+    singles = loose.select(
+        file_col,
+        F.col(offset_col).cast("long").alias(offset_col),
+        F.col(line_col).alias(merged_col),
+    )
+    return blocks.unionByName(singles)
+
+
 def merge_multiline_rules(
     df: DataFrame,
     line_col: str,
@@ -160,92 +239,193 @@ def merge_multiline_rules(
     unmatched: str = UNMATCH_SINGLE_LINE,
     merged_col: str | None = None,
 ) -> DataFrame:
-    """The reference's full multiline rule set
-    (ProcessorSplitMultilineLogStringNative.cpp:160-300 /
-    MultilineOptions.h:29-51): blocks are delimited by any combination of
-    Start / Continue / End regexes —
+    """The reference's full multiline rule set, reference-exact.
 
-    - start only: a matching line OPENS a block (delegates to
-      merge_multiline, the fast path used everywhere else);
-    - end only: a matching line CLOSES the block; every line belongs to
-      some block (trailing lines form the final block, which the agent
-      would flush on timeout);
-    - continue only: a matching line EXTENDS the previous block, so a
-      non-matching line opens one; leading continuation lines are
-      unmatched;
-    - start + end: a block spans start-match .. end-match inclusive;
-      lines between an end and the next start are unmatched.
+    Semantics follow the C++ state machine in
+    ``ProcessorSplitMultilineLogStringNative.cpp:167-310`` plus the config
+    normalization in ``MultilineOptions.cpp:125-151``:
 
-    All modes are one window pass + one groupBy — same shuffle shape as
-    the start-only path. ``unmatched`` = 'single_line' (each unmatched
-    line its own event) or 'discard'."""
+    - **start only** — a start-match OPENS a block; everything until the
+      next start-match is absorbed; leading lines are unmatched; the
+      trailing block is emitted (no end pattern to wait for).
+    - **start + continue** — a block is a start-match followed by the run
+      of continue-matches; the first line matching neither flushes the
+      block and is itself unmatched (or opens a new block if it matches
+      start); trailing open block is emitted (.cpp:253-283).
+    - **start + end** — a block spans start-match .. end-match inclusive;
+      while a block is open ONLY the end pattern is consulted, so nested
+      start-matches are absorbed (.cpp:231-250); an unterminated trailing
+      block goes through HandleUnmatchLogs (.cpp:295-308), NOT merged
+      emission; lines outside blocks are unmatched.
+    - **end only** — every line belongs to a block closed by an
+      end-match (isPartialLog sticks on, .cpp:166-170); lines after the
+      last end-match are unmatched (.cpp:295-308).
+    - **continue + end** — a block is a maximal run of continue-matches
+      plus ONE closing line: if that closer matches end the block is
+      emitted merged (closer included); otherwise the whole run and the
+      closer are unmatched line-by-line (.cpp:218-230). A standalone
+      end-match (not preceded by a continue-match) is a matched
+      single-line event (.cpp:189-194); other standalone lines are
+      unmatched. A trailing run with no closer is unmatched.
+    - **continue only** — the reference IGNORES the multiline config
+      entirely ("param Multiline.StartPattern and EndPattern are empty
+      but ContinuePattern is not: ignore multiline config",
+      MultilineOptions.cpp:125-138; the split processor is only inserted
+      when IsMultiline(), InputFile.cpp:217): every line stays its own
+      event. We warn and return the identity projection.
+    - **start + continue + end** — the reference drops ContinuePattern
+      with a warning (MultilineOptions.cpp:139-151) → start + end.
+
+    All modes are window passes + one groupBy on (file, session) — the
+    same single shuffle shape; at scale the input should already be
+    partitioned by file so AQE keeps it local.
+
+    ``unmatched`` = 'single_line' (each unmatched line its own event) or
+    'discard' (UnmatchedContentTreatment, MultilineOptions.h:32)."""
+    import warnings
+
     merged_col = merged_col or line_col
     line = F.col(line_col)
-    w_incl = (
-        Window.partitionBy(file_col)
-        .orderBy(offset_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_excl = (
-        Window.partitionBy(file_col)
-        .orderBy(offset_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    w_ord = Window.partitionBy(file_col).orderBy(offset_col)
+    w_incl = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_excl = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    if start_pattern and continue_pattern and end_pattern:
+        warnings.warn(
+            "Start+Continue+End all set: ContinuePattern ignored "
+            "(MultilineOptions.cpp:139-151)", stacklevel=2,
+        )
+        continue_pattern = None
+
+    if continue_pattern and not start_pattern and not end_pattern:
+        warnings.warn(
+            "ContinuePattern without Start/End: multiline config ignored "
+            "(MultilineOptions.cpp:125-138)", stacklevel=2,
+        )
+        return df.select(
+            file_col,
+            F.col(offset_col).cast("long").alias(offset_col),
+            F.col(line_col).alias(merged_col),
+        )
 
     if start_pattern and end_pattern:
-        start = line.rlike(start_pattern).cast("int")
-        end = line.rlike(end_pattern).cast("int")
-        sess = F.sum(start).over(w_incl)
-        end_excl = F.coalesce(F.sum(end).over(w_excl), F.lit(0))
-        df2 = df.withColumn("__mls__", sess).withColumn("__ends_before__", end_excl)
-        base = F.first("__ends_before__").over(
-            Window.partitionBy(file_col, "__mls__").orderBy(offset_col)
+        # Open/close automaton. Lines matching BOTH patterns toggle the
+        # state (outside: start-check opens, .cpp:180-183; inside: the
+        # end-check closes, .cpp:231-238), so the in-block state before
+        # row i is (last pure start/end symbol) XOR (parity of
+        # both-matching lines since it).
+        p = line.rlike(start_pattern)
+        q = line.rlike(end_pattern)
+        t0 = (
+            df.withColumn("__p__", p)
+            .withColumn("__q__", q)
+            .withColumn("__pb__", p & q)
         )
-        df2 = df2.withColumn("__valid__", (F.col("__mls__") > 0) & (F.col("__ends_before__") == base))
+        t1 = t0.withColumn("__cb__", F.sum(F.col("__pb__").cast("int")).over(w_incl))
+        pure = (F.col("__p__") | F.col("__q__")) & ~F.col("__pb__")
+        t2 = (
+            t1.withColumn(
+                "__lsym__",
+                F.last(F.when(pure, F.col("__p__").cast("int")), ignorenulls=True).over(w_excl),
+            )
+            .withColumn(
+                "__lcb__",
+                F.last(F.when(pure, F.col("__cb__")), ignorenulls=True).over(w_excl),
+            )
+            .withColumn(
+                "__cbx__",
+                F.coalesce(F.sum(F.col("__pb__").cast("int")).over(w_excl), F.lit(0)),
+            )
+        )
+        state = (
+            F.coalesce(F.col("__lsym__"), F.lit(0))
+            + (F.col("__cbx__") - F.coalesce(F.col("__lcb__"), F.lit(0))) % 2
+        ) % 2
+        t3 = t2.withColumn("__open__", state == 1)
+        head = F.col("__p__") & ~F.col("__open__")
+        t4 = (
+            t3.withColumn("__head__", head)
+            .withColumn("__close__", F.col("__q__") & F.col("__open__"))
+            .withColumn("__in_block__", head | F.col("__open__"))
+        )
+        tagged = t4.withColumn(
+            "__mls__", F.sum(F.col("__head__").cast("int")).over(w_incl)
+        ).withColumn("__matched__", F.col("__close__"))
     elif end_pattern and not continue_pattern:
-        end = line.rlike(end_pattern).cast("int")
-        sess = F.coalesce(F.sum(end).over(w_excl), F.lit(0)) + 1
-        df2 = df.withColumn("__mls__", sess).withColumn("__valid__", F.lit(True))
-    elif continue_pattern and not start_pattern and not end_pattern:
-        is_start = (~line.rlike(continue_pattern)).cast("int")
-        sess = F.sum(is_start).over(w_incl)
-        df2 = df.withColumn("__mls__", sess).withColumn("__valid__", F.col("__mls__") > 0)
+        # end-only: isPartialLog from the first line; a block closes at
+        # each end-match; trailing lines after the last end-match are
+        # unmatched (HandleUnmatchLogs at EOF, .cpp:295-308).
+        e = line.rlike(end_pattern).cast("int")
+        t0 = df.withColumn("__e__", e)
+        tagged = (
+            t0.withColumn(
+                "__mls__",
+                F.coalesce(F.sum("__e__").over(w_excl), F.lit(0)) + 1,
+            )
+            .withColumn("__tot__", F.sum("__e__").over(w_all))
+            .withColumn("__in_block__", F.col("__mls__") <= F.col("__tot__"))
+            .withColumn("__matched__", F.col("__in_block__"))
+        )
+    elif continue_pattern and end_pattern:
+        # continue+end: state_before(i) == line i-1 matched continue.
+        # Blocks = run of continue-matches + one closer line; matched iff
+        # the closer matches end. Standalone end-match = matched single.
+        c = line.rlike(continue_pattern)
+        e = line.rlike(end_pattern)
+        t0 = df.withColumn("__c__", c).withColumn("__e__", e)
+        t1 = t0.withColumn(
+            "__open__", F.coalesce(F.lag("__c__").over(w_ord), F.lit(False))
+        )
+        head = F.col("__c__") & ~F.col("__open__")
+        t2 = t1.withColumn("__head__", head).withColumn(
+            "__in_block__", F.col("__c__") | F.col("__open__")
+        )
+        tagged = t2.withColumn(
+            "__mls__", F.sum(F.col("__head__").cast("int")).over(w_incl)
+        ).withColumn(
+            # inside a run: only the closer (non-continue) line can match
+            # the block; outside: an end-match emits as a matched single
+            "__matched__",
+            F.when(F.col("__in_block__"), ~F.col("__c__") & F.col("__e__"))
+            .otherwise(F.col("__e__")),
+        )
+    elif start_pattern and continue_pattern:
+        # start+continue: in_block(i) = start(i) OR (cont(i) AND
+        # in_block(i-1)); closed form: a start-match at or after the last
+        # non-continue line (.cpp:198-205,253-283). A start absorbed by an
+        # open run (matches continue too) does NOT split the block
+        # (continue is checked first, .cpp:207-211).
+        s = line.rlike(start_pattern)
+        c = line.rlike(continue_pattern)
+        t0 = df.withColumn("__s__", s).withColumn("__c__", c)
+        off = F.col(offset_col)
+        t1 = (
+            t0.withColumn("__ln__", F.max(F.when(~F.col("__c__"), off)).over(w_incl))
+            .withColumn("__ls__", F.max(F.when(F.col("__s__"), off)).over(w_incl))
+            .withColumn("__lnx__", F.max(F.when(~F.col("__c__"), off)).over(w_excl))
+            .withColumn("__lsx__", F.max(F.when(F.col("__s__"), off)).over(w_excl))
+        )
+        in_block = F.col("__ls__").isNotNull() & (
+            F.col("__ln__").isNull() | (F.col("__ls__") >= F.col("__ln__"))
+        )
+        in_block_prev = F.col("__lsx__").isNotNull() & (
+            F.col("__lnx__").isNull() | (F.col("__lsx__") >= F.col("__lnx__"))
+        )
+        t2 = t1.withColumn("__in_block__", in_block).withColumn(
+            "__head__", F.col("__s__") & (~F.col("__c__") | ~in_block_prev)
+        )
+        tagged = t2.withColumn(
+            "__mls__", F.sum(F.col("__head__").cast("int")).over(w_incl)
+        ).withColumn("__matched__", F.col("__in_block__"))
     elif start_pattern:
         return merge_multiline(
             df, line_col, file_col, offset_col, start_pattern,
             unmatched=unmatched, merged_col=merged_col,
         )
-    elif continue_pattern and end_pattern:
-        raise NotImplementedError(
-            "continue+end without start is not implemented; use end_pattern "
-            "alone (a continue-matching line before the end already extends "
-            "the block in that mode)"
-        )
     else:
         raise ValueError("need at least one of start/continue/end pattern")
 
-    valid = df2.filter(F.col("__valid__"))
-    blocks = (
-        valid.groupBy(file_col, "__mls__")
-        .agg(
-            F.min(offset_col).alias(offset_col),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(F.col(offset_col).alias("o"), F.col(line_col).alias("l"))
-                        )
-                    ),
-                    lambda s: s["l"],
-                ),
-                "\n",
-            ).alias(merged_col),
-        )
-        .select(file_col, offset_col, merged_col)
+    return _assemble_blocks(
+        tagged, line_col, file_col, offset_col, merged_col, unmatched
     )
-    if unmatched == UNMATCH_DISCARD:
-        return blocks
-    singles = df2.filter(~F.col("__valid__")).select(
-        file_col, F.col(offset_col), F.col(line_col).alias(merged_col)
-    )
-    return blocks.unionByName(singles)

@@ -70,6 +70,7 @@ PROCESSORS: dict[str, Callable[..., DataFrame]] = {
     "split_string": split_string,
     "split_to_rows": split_to_rows,
     "merge_multiline": multiline.merge_multiline,
+    "merge_multiline_rules": multiline.merge_multiline_rules,
     "filter_expression": filters.filter_expression,
     "filter_rule": filters.filter_rule,
     "filter_include_exclude": filters.filter_include_exclude,

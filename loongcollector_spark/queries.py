@@ -2131,34 +2131,65 @@ def token_exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE 'mid ' || event_id END AS content
       FROM events
     ),
-    tagged AS (
-      SELECT *,
-        SUM(CASE WHEN content LIKE 'BEGIN%' THEN 1 ELSE 0 END)
-          OVER (PARTITION BY file ORDER BY off
-                ROWS UNBOUNDED PRECEDING) AS sess,
-        COALESCE(SUM(CASE WHEN content LIKE 'END%' THEN 1 ELSE 0 END)
-          OVER (PARTITION BY file ORDER BY off
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ends_before
+    m AS (
+      SELECT *, (content LIKE 'BEGIN%') AS p, (content LIKE 'END%') AS q,
+             ((content LIKE 'BEGIN%') AND (content LIKE 'END%')) AS pb
       FROM lines
     ),
-    flagged AS (
+    c1 AS (
+      SELECT *, SUM(CASE WHEN pb THEN 1 ELSE 0 END) OVER
+          (PARTITION BY file ORDER BY off ROWS UNBOUNDED PRECEDING) AS cb
+      FROM m
+    ),
+    c2 AS (
       SELECT *,
-        (sess > 0 AND ends_before = FIRST(ends_before)
-           OVER (PARTITION BY file, sess ORDER BY off)) AS valid
-      FROM tagged
+        last_value(CASE WHEN (p OR q) AND NOT pb THEN CAST(p AS INT) END
+                   IGNORE NULLS) OVER
+          (PARTITION BY file ORDER BY off
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lsym,
+        last_value(CASE WHEN (p OR q) AND NOT pb THEN cb END IGNORE NULLS)
+          OVER (PARTITION BY file ORDER BY off
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lcb,
+        COALESCE(SUM(CASE WHEN pb THEN 1 ELSE 0 END) OVER
+          (PARTITION BY file ORDER BY off
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cbx
+      FROM c1
+    ),
+    c3 AS (
+      SELECT *,
+        ((COALESCE(lsym, 0) + (cbx - COALESCE(lcb, 0)) % 2) % 2 = 1) AS open
+      FROM c2
+    ),
+    c4 AS (
+      SELECT *, (p AND NOT open) AS head, (q AND open) AS close,
+             ((p AND NOT open) OR open) AS in_block
+      FROM c3
+    ),
+    c5 AS (
+      SELECT *, SUM(CASE WHEN head THEN 1 ELSE 0 END) OVER
+          (PARTITION BY file ORDER BY off ROWS UNBOUNDED PRECEDING) AS sess
+      FROM c4
     ),
     blocks AS (
       SELECT file, MIN(off) AS off,
-             string_agg(content, chr(10) ORDER BY off) AS content
-      FROM flagged WHERE valid GROUP BY file, sess
+             string_agg(content, chr(10) ORDER BY off) AS content,
+             bool_or(close) AS ok,
+             list(off ORDER BY off) AS os, list(content ORDER BY off) AS ls
+      FROM c5 WHERE in_block GROUP BY file, sess
     )
-    SELECT file, off, content FROM blocks
+    SELECT file, off, content FROM blocks WHERE ok
     UNION ALL
-    SELECT file, off, content FROM flagged WHERE NOT valid
+    SELECT file, UNNEST(os) AS off, UNNEST(ls) AS content
+    FROM blocks WHERE NOT ok
+    UNION ALL
+    SELECT file, off, content FROM c5 WHERE NOT in_block
     """,
     doc="multiline Start+End rule (ProcessorSplitMultilineLogStringNative"
-        ".cpp:160-300): blocks span BEGIN..END inclusive, lines outside are "
-        "single-line events; oracle replays the window algebra in DuckDB",
+        ".cpp:167-310): blocks span BEGIN..END inclusive; while open only "
+        "End is consulted (nested BEGINs absorbed); unterminated trailing "
+        "blocks replay line-by-line through the unmatched path; the oracle "
+        "replays the open/close automaton (incl. both-match parity) in "
+        "DuckDB windows",
 )
 def multiline_start_end_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loongcollector_spark.operators.multiline import merge_multiline_rules
@@ -2176,6 +2207,157 @@ def multiline_start_end_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_multiline_rules(
         lines, "content", "file", "off",
         start_pattern=r"^BEGIN.*", end_pattern=r"^END.*",
+    )
+
+
+_ML_CE_LINES = """
+      SELECT CAST(user_id % 4 AS VARCHAR) AS file, event_id AS off,
+             CASE CAST(event_id % 7 AS INTEGER)
+               WHEN 0 THEN '  cont ' || event_id
+               WHEN 1 THEN '  cont ' || event_id
+               WHEN 2 THEN 'END ' || event_id
+               WHEN 4 THEN '  cont ' || event_id
+               WHEN 5 THEN 'END ' || event_id
+               ELSE 'noise ' || event_id END AS content
+      FROM events
+"""
+
+
+@register(
+    "multiline_continue_end_blocks",
+    f"""
+    WITH lines AS ({_ML_CE_LINES}),
+    m AS (
+      SELECT *, (content LIKE '  %') AS c, (content LIKE 'END%') AS e
+      FROM lines
+    ),
+    t1 AS (
+      SELECT *, COALESCE(lag(c) OVER (PARTITION BY file ORDER BY off),
+                         FALSE) AS open
+      FROM m
+    ),
+    t2 AS (
+      SELECT *, (c AND NOT open) AS head, (c OR open) AS in_block,
+             CASE WHEN (c OR open) THEN (NOT c AND e) ELSE e END AS matched
+      FROM t1
+    ),
+    t3 AS (
+      SELECT *, SUM(CASE WHEN head THEN 1 ELSE 0 END) OVER
+          (PARTITION BY file ORDER BY off ROWS UNBOUNDED PRECEDING) AS sess
+      FROM t2
+    ),
+    blocks AS (
+      SELECT file, MIN(off) AS off,
+             string_agg(content, chr(10) ORDER BY off) AS content,
+             bool_or(matched) AS ok,
+             list(off ORDER BY off) AS os, list(content ORDER BY off) AS ls
+      FROM t3 WHERE in_block GROUP BY file, sess
+    )
+    SELECT file, off, content FROM blocks WHERE ok
+    UNION ALL
+    SELECT file, UNNEST(os) AS off, UNNEST(ls) AS content
+    FROM blocks WHERE NOT ok
+    UNION ALL
+    SELECT file, off, content FROM t3 WHERE NOT in_block
+    """,
+    doc="multiline Continue+End rule (ProcessorSplitMultilineLogString"
+        "Native.cpp:189-230): a block is a maximal run of continue-matches "
+        "plus one closer line, merged iff the closer matches End; "
+        "standalone End-matches are matched singles; trailing runs and "
+        "non-End closers replay line-by-line; DuckDB replays the lag-based "
+        "state machine",
+)
+def multiline_continue_end_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.multiline import merge_multiline_rules
+
+    ev = load_table(spark, sf_dir, "events")
+    mod7 = (F.col("event_id") % 7).cast("int")
+    lines = ev.select(
+        (F.col("user_id") % 4).cast("string").alias("file"),
+        F.col("event_id").alias("off"),
+        F.when(mod7.isin(0, 1, 4), F.concat(F.lit("  cont "), F.col("event_id")))
+        .when(mod7.isin(2, 5), F.concat(F.lit("END "), F.col("event_id")))
+        .otherwise(F.concat(F.lit("noise "), F.col("event_id")))
+        .alias("content"),
+    )
+    return merge_multiline_rules(
+        lines, "content", "file", "off",
+        continue_pattern=r"^\s+.*", end_pattern=r"^END.*",
+    )
+
+
+@register(
+    "multiline_start_continue_blocks",
+    """
+    WITH lines AS (
+      SELECT CAST(user_id % 4 AS VARCHAR) AS file, event_id AS off,
+             CASE CAST(event_id % 6 AS INTEGER)
+               WHEN 0 THEN 'HEAD ' || event_id
+               WHEN 1 THEN '  cont ' || event_id
+               WHEN 2 THEN '  cont ' || event_id
+               WHEN 4 THEN 'HEAD ' || event_id
+               ELSE 'noise ' || event_id END AS content
+      FROM events
+    ),
+    m AS (
+      SELECT *, (content LIKE 'HEAD%') AS s, (content LIKE '  %') AS c
+      FROM lines
+    ),
+    t1 AS (
+      SELECT *,
+        MAX(CASE WHEN NOT c THEN off END) OVER
+          (PARTITION BY file ORDER BY off ROWS UNBOUNDED PRECEDING) AS ln,
+        MAX(CASE WHEN s THEN off END) OVER
+          (PARTITION BY file ORDER BY off ROWS UNBOUNDED PRECEDING) AS ls,
+        MAX(CASE WHEN NOT c THEN off END) OVER
+          (PARTITION BY file ORDER BY off
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lnx,
+        MAX(CASE WHEN s THEN off END) OVER
+          (PARTITION BY file ORDER BY off
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lsx
+      FROM m
+    ),
+    t2 AS (
+      SELECT *,
+        (ls IS NOT NULL AND (ln IS NULL OR ls >= ln)) AS in_block,
+        (s AND (NOT c OR NOT
+          (lsx IS NOT NULL AND (lnx IS NULL OR lsx >= lnx)))) AS head
+      FROM t1
+    ),
+    t3 AS (
+      SELECT *, SUM(CASE WHEN head THEN 1 ELSE 0 END) OVER
+          (PARTITION BY file ORDER BY off ROWS UNBOUNDED PRECEDING) AS sess
+      FROM t2
+    )
+    SELECT file, MIN(off) AS off,
+           string_agg(content, chr(10) ORDER BY off) AS content
+    FROM t3 WHERE in_block GROUP BY file, sess
+    UNION ALL
+    SELECT file, off, content FROM t3 WHERE NOT in_block
+    """,
+    doc="multiline Start+Continue rule (ProcessorSplitMultilineLogString"
+        "Native.cpp:253-283): a block is a start-match plus the run of "
+        "continue-matches; a line matching neither flushes the block and is "
+        "itself unmatched; trailing open blocks are emitted (no End "
+        "pattern); DuckDB replays the last-non-continue/last-start window "
+        "closed form",
+)
+def multiline_start_continue_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.multiline import merge_multiline_rules
+
+    ev = load_table(spark, sf_dir, "events")
+    mod6 = (F.col("event_id") % 6).cast("int")
+    lines = ev.select(
+        (F.col("user_id") % 4).cast("string").alias("file"),
+        F.col("event_id").alias("off"),
+        F.when(mod6.isin(0, 4), F.concat(F.lit("HEAD "), F.col("event_id")))
+        .when(mod6.isin(1, 2), F.concat(F.lit("  cont "), F.col("event_id")))
+        .otherwise(F.concat(F.lit("noise "), F.col("event_id")))
+        .alias("content"),
+    )
+    return merge_multiline_rules(
+        lines, "content", "file", "off",
+        start_pattern=r"^HEAD.*", continue_pattern=r"^\s+.*",
     )
 
 
@@ -2345,6 +2527,8 @@ _DRIVER_WINDOW_TAIL = [
     "dedup_token_minhash",         # dedup+token: both families in-window
     "otel_log_records",            # otel: trace + exp-histogram in-window
     "multiline_start_end_blocks",  # multiline: merge_blocks in-window
+    "multiline_start_continue_blocks",  # multiline: continue_end in-window
+    "spl_multi_route",             # spl: spl_parse_json_keys in-window
 ]
 
 

@@ -116,6 +116,49 @@ def test_multiline_java_stack_yaml(spark, tmp_path):
     assert stack == "\n".join(lines[:3])
 
 
+def test_input_level_multiline_block(spark, tmp_path):
+    """input_file's own Multiline block (StartPattern+EndPattern) inserts
+    the split processor up front, mirroring InputFile.cpp:217; reference-
+    exact Start+End semantics: nested starts absorbed, unterminated
+    trailing block replayed line-by-line through the unmatched path."""
+    from loongcollector_spark.config import spec_from_native
+    from loongcollector_spark.pipeline import run_pipeline
+    from loongcollector_spark.sources.files import read_log_files
+
+    out = str(tmp_path / "ml_out")
+    doc = {
+        "inputs": [
+            {
+                "Type": "input_file",
+                "FilePaths": ["/ignored/*.log"],
+                "Multiline": {
+                    "Mode": "custom",
+                    "StartPattern": r"^BEGIN.*",
+                    "EndPattern": r"^END.*",
+                },
+            }
+        ],
+        "flushers": [
+            {"Type": "flusher_file", "FilePath": out},
+        ],
+    }
+    spec, paths = spec_from_native(
+        doc, sink_overrides={"file": {"format": "parquet", "path": out}}
+    )
+    assert spec.processors[0][0] == "merge_multiline_rules"
+    log_dir = tmp_path / "logs"
+    log_dir.mkdir()
+    (log_dir / "a.log").write_text(
+        "BEGIN tx\nBEGIN nested\nmid\nEND tx\nBEGIN dangling\ntail\n"
+    )
+    df = read_log_files(spark, str(log_dir), line_offset=True)
+    run_pipeline(df, spec)
+    contents = sorted(r.content for r in spark.read.parquet(out).collect())
+    assert contents == sorted(
+        ["BEGIN tx\nBEGIN nested\nmid\nEND tx", "BEGIN dangling", "tail"]
+    )
+
+
 def test_stdout_flusher_maps_to_console_and_fanout_delivers_all(spark, tmp_path):
     # every flusher gets every event: the sls parquet twin and the stdout
     # console sink both report delivery

@@ -636,19 +636,37 @@ class TestMultilineRules:
         return [r.content for r in out.orderBy("off").collect()]
 
     def test_end_only(self, spark):
+        # trailing lines after the last end-match are UNMATCHED, emitted
+        # line-by-line (HandleUnmatchLogs at EOF,
+        # ProcessorSplitMultilineLogStringNative.cpp:295-308)
         got = self._run(
-            spark, ["a", "b", "END 1", "c", "END 2", "tail"],
+            spark, ["a", "b", "END 1", "c", "END 2", "tail1", "tail2"],
             end_pattern=r"^END.*",
         )
-        assert got == ["a\nb\nEND 1", "c\nEND 2", "tail"]
+        assert got == ["a\nb\nEND 1", "c\nEND 2", "tail1", "tail2"]
 
-    def test_continue_only(self, spark):
+    def test_end_only_discard_drops_trailing(self, spark):
         got = self._run(
-            spark, ["  lead-cont", "head1", "  c1", "  c2", "head2", "  c3"],
-            continue_pattern=r"^\s+.*",
+            spark, ["a", "END 1", "tail1", "tail2"],
+            end_pattern=r"^END.*", unmatched="discard",
         )
-        # leading continuation line is unmatched -> single event
-        assert got == ["  lead-cont", "head1\n  c1\n  c2", "head2\n  c3"]
+        assert got == ["a\nEND 1"]
+
+    def test_continue_only_is_ignored(self, spark):
+        # StartPattern and EndPattern empty but ContinuePattern set →
+        # the reference ignores the multiline config entirely
+        # (MultilineOptions.cpp:125-138; the split processor is only
+        # inserted when IsMultiline(), InputFile.cpp:217)
+        import warnings as _w
+
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            got = self._run(
+                spark, ["  lead-cont", "head1", "  c1", "  c2"],
+                continue_pattern=r"^\s+.*",
+            )
+        assert got == ["  lead-cont", "head1", "  c1", "  c2"]
+        assert any("ignore" in str(x.message) for x in rec)
 
     def test_start_and_end(self, spark):
         got = self._run(
@@ -657,6 +675,94 @@ class TestMultilineRules:
             start_pattern=r"^BEGIN.*", end_pattern=r"^END.*",
         )
         assert got == ["noise", "BEGIN x\nmid\nEND x", "between", "BEGIN y\nEND y"]
+
+    def test_start_and_end_nested_start_absorbed(self, spark):
+        # while a block is open only the End pattern is consulted
+        # (.cpp:231-250): a second BEGIN inside the block does NOT split
+        got = self._run(
+            spark,
+            ["BEGIN a", "BEGIN b", "mid", "END a"],
+            start_pattern=r"^BEGIN.*", end_pattern=r"^END.*",
+        )
+        assert got == ["BEGIN a\nBEGIN b\nmid\nEND a"]
+
+    def test_start_and_end_unterminated_is_unmatched(self, spark):
+        # trailing open block goes through HandleUnmatchLogs
+        # (.cpp:295-308): line-by-line, not merged
+        got = self._run(
+            spark,
+            ["BEGIN a", "END a", "BEGIN b", "dangling"],
+            start_pattern=r"^BEGIN.*", end_pattern=r"^END.*",
+        )
+        assert got == ["BEGIN a\nEND a", "BEGIN b", "dangling"]
+        got = self._run(
+            spark,
+            ["BEGIN a", "END a", "BEGIN b", "dangling"],
+            start_pattern=r"^BEGIN.*", end_pattern=r"^END.*",
+            unmatched="discard",
+        )
+        assert got == ["BEGIN a\nEND a"]
+
+    def test_start_and_end_both_match_toggles(self, spark):
+        # a line matching BOTH patterns opens when closed and closes when
+        # open (start checked outside, end checked inside a block)
+        got = self._run(
+            spark,
+            ["XBOTHX 1", "mid", "XBOTHX 2", "noise", "BEGIN z", "XBOTHX 3"],
+            start_pattern=r"BOTH|^BEGIN", end_pattern=r"BOTH|^END",
+        )
+        assert got == ["XBOTHX 1\nmid\nXBOTHX 2", "noise", "BEGIN z\nXBOTHX 3"]
+
+    def test_start_and_continue(self, spark):
+        # block = start-match + run of continue-matches; a line matching
+        # neither flushes the block and is itself unmatched; a start-match
+        # flushes and opens a new block (.cpp:253-283); trailing open
+        # block is emitted (no end pattern, .cpp:297-303)
+        got = self._run(
+            spark,
+            ["noise", "H1", "  c1", "  c2", "tail", "H2", "H3", "  c3"],
+            start_pattern=r"^H\d", continue_pattern=r"^\s+.*",
+        )
+        assert got == ["noise", "H1\n  c1\n  c2", "tail", "H2", "H3\n  c3"]
+
+    def test_start_continue_end_drops_continue(self, spark):
+        # all three set → ContinuePattern ignored with a warning
+        # (MultilineOptions.cpp:139-151) → start+end semantics
+        import warnings as _w
+
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            got = self._run(
+                spark,
+                ["BEGIN a", "zzz", "END a"],
+                start_pattern=r"^BEGIN.*", continue_pattern=r"^\s+.*",
+                end_pattern=r"^END.*",
+            )
+        assert got == ["BEGIN a\nzzz\nEND a"]
+        assert any("ContinuePattern ignored" in str(x.message) for x in rec)
+
+    def test_continue_and_end(self, spark):
+        # block = run of continue-matches + one closer; matched iff the
+        # closer matches end (.cpp:218-230); a standalone end-match is a
+        # matched single (.cpp:189-194); trailing run unmatched
+        got = self._run(
+            spark,
+            ["  c1", "  c2", "END 1", "noise", "END solo", "  c3", "bad",
+             "  c4"],
+            continue_pattern=r"^\s+.*", end_pattern=r"^END.*",
+        )
+        assert got == ["  c1\n  c2\nEND 1", "noise", "END solo", "  c3",
+                       "bad", "  c4"]
+
+    def test_continue_and_end_discard(self, spark):
+        # discard drops unmatched lines but KEEPS matched singles
+        got = self._run(
+            spark,
+            ["  c1", "END 1", "noise", "END solo", "  c3", "bad"],
+            continue_pattern=r"^\s+.*", end_pattern=r"^END.*",
+            unmatched="discard",
+        )
+        assert got == ["  c1\nEND 1", "END solo"]
 
     def test_start_and_end_discard(self, spark):
         got = self._run(
