@@ -397,17 +397,33 @@ _OTLP_SDP = (
     f"array<struct<attributes:{_OTLP_ATTRS},timeUnixNano:string,sum:double,"
     "count:string,quantileValues:array<struct<quantile:double,value:double>>>>"
 )
-_OTLP_METRICS_SCHEMA = (
-    "struct<resourceMetrics:array<struct<"
-    f"resource:struct<attributes:{_OTLP_ATTRS}>,"
-    "scopeMetrics:array<struct<metrics:array<struct<"
-    f"name:string,gauge:struct<dataPoints:{_OTLP_DP}>,"
-    f"sum:struct<dataPoints:{_OTLP_DP},isMonotonic:boolean>,"
-    f"histogram:struct<dataPoints:{_OTLP_HDP}>,"
-    f"summary:struct<dataPoints:{_OTLP_SDP}>,"
-    f"exponentialHistogram:struct<dataPoints:{_OTLP_EHDP}>"
-    ">>>>>>>"  # metric struct, metrics array, scopeMetrics struct+array, resourceMetrics struct+array, outer struct
-)
+_OTLP_BRANCH_DDL = {
+    "gauge": f"gauge:struct<dataPoints:{_OTLP_DP}>",
+    "sum": f"sum:struct<dataPoints:{_OTLP_DP},isMonotonic:boolean>",
+    "histogram": f"histogram:struct<dataPoints:{_OTLP_HDP}>",
+    "summary": f"summary:struct<dataPoints:{_OTLP_SDP}>",
+    "exponential_histogram":
+        f"exponentialHistogram:struct<dataPoints:{_OTLP_EHDP}>",
+}
+_OTLP_BRANCHES = tuple(_OTLP_BRANCH_DDL)
+
+
+def _otlp_metrics_schema(branches: tuple[str, ...]) -> str:
+    """Metric-payload DDL narrowed to the requested metric families — the
+    from_json JSON tokenizer still scans the whole payload but skips
+    materializing (and shredding into Tungsten rows) every family the
+    caller doesn't read, which is the bulk of the parse cost for the big
+    nested branches."""
+    fields = ",".join(_OTLP_BRANCH_DDL[b] for b in _OTLP_BRANCHES if b in branches)
+    return (
+        "struct<resourceMetrics:array<struct<"
+        f"resource:struct<attributes:{_OTLP_ATTRS}>,"
+        f"scopeMetrics:array<struct<metrics:array<struct<name:string,{fields}"
+        ">>>>>>>"  # metric struct, metrics array, scopeMetrics struct+array, resourceMetrics struct+array, outer struct
+    )
+
+
+_OTLP_METRICS_SCHEMA = _otlp_metrics_schema(_OTLP_BRANCHES)
 _REC_T = "array<struct<name:string,labels:array<string>,t:long,v:double>>"
 
 
@@ -441,7 +457,11 @@ def _otlp_attr_kv(attrs: Column) -> Column:
     return F.coalesce(kv, F.array().cast("array<string>"))
 
 
-def otel_metric_shape(df: DataFrame, source_key: str) -> DataFrame:
+def otel_metric_shape(
+    df: DataFrame,
+    source_key: str,
+    branches: "tuple[str, ...] | list[str] | None" = None,
+) -> DataFrame:
     """processor_otel_metric, 'json' format (processor_otel_metric.go:75-90 →
     ConvertOtlpMetricV1 / otlp_metric_parser.go): one OTLP metrics payload
     expands to one SLS metric row per data point — gauge/sum scalar points,
@@ -462,10 +482,28 @@ def otel_metric_shape(df: DataFrame, source_key: str) -> DataFrame:
 
     Spark-first: ONE from_json + a flatten/explode chain of pure column
     expressions — no Python in the row path; the protobuf Format would ride
-    a mapInPandas decode slot instead (gated: no otlp wheel in container)."""
+    a mapInPandas decode slot instead (gated: no otlp wheel in container).
+
+    ``branches`` narrows the parse to a subset of the five metric families
+    (``gauge``/``sum``/``histogram``/``summary``/``exponential_histogram``):
+    the from_json schema drops the unrequested branches entirely, so their
+    (deeply nested) structs are never materialized, and the corresponding
+    record generators are skipped. Default None = all families (the
+    reference parser's behavior). Rows whose payload carries only pruned
+    families produce no output records — same as the reference seeing an
+    unset oneof."""
+    if branches is None:
+        branches = _OTLP_BRANCHES
+    branches = tuple(branches)
+    unknown = set(branches) - set(_OTLP_BRANCHES)
+    if unknown:
+        raise ValueError(
+            f"unknown otel metric branches {sorted(unknown)}; "
+            f"valid: {list(_OTLP_BRANCHES)}"
+        )
     empty = F.array().cast(_REC_T)
 
-    parsed = F.from_json(F.col(source_key), _OTLP_METRICS_SCHEMA)
+    parsed = F.from_json(F.col(source_key), _otlp_metrics_schema(branches))
     rm = df.withColumn("__rm__", F.explode(parsed["resourceMetrics"]))
     rm = rm.withColumn("__res_labels__", _otlp_attr_kv(F.col("__rm__.resource.attributes")))
     m = rm.withColumn("__sm__", F.explode("__rm__.scopeMetrics")).withColumn(
@@ -525,12 +563,18 @@ def otel_metric_shape(df: DataFrame, source_key: str) -> DataFrame:
 
         return F.coalesce(F.flatten(F.transform(dps, one)), empty)
 
-    gauge = scalar_recs(F.col("__m__.gauge.dataPoints"), None)
-    mono = F.concat(
-        F.lit("otlp.metric.ismonotonic="),
-        F.coalesce(F.col("__m__.sum.isMonotonic"), F.lit(False)).cast("string"),
+    gauge = (
+        scalar_recs(F.col("__m__.gauge.dataPoints"), None)
+        if "gauge" in branches else empty
     )
-    summ = scalar_recs(F.col("__m__.sum.dataPoints"), mono)
+    if "sum" in branches:
+        mono = F.concat(
+            F.lit("otlp.metric.ismonotonic="),
+            F.coalesce(F.col("__m__.sum.isMonotonic"), F.lit(False)).cast("string"),
+        )
+        summ = scalar_recs(F.col("__m__.sum.dataPoints"), mono)
+    else:
+        summ = empty
 
     def hist_recs(dp: Column) -> Column:
         labels = F.concat(base, _otlp_attr_kv(dp["attributes"]))
@@ -575,8 +619,12 @@ def otel_metric_shape(df: DataFrame, source_key: str) -> DataFrame:
             buckets,
         )
 
-    hist = F.coalesce(
-        F.flatten(F.transform(F.col("__m__.histogram.dataPoints"), hist_recs)), empty
+    hist = (
+        F.coalesce(
+            F.flatten(F.transform(F.col("__m__.histogram.dataPoints"), hist_recs)),
+            empty,
+        )
+        if "histogram" in branches else empty
     )
 
     def exp_hist_recs(dp: Column) -> Column:
@@ -649,11 +697,16 @@ def otel_metric_shape(df: DataFrame, source_key: str) -> DataFrame:
             side(dp["negative"], False),
         )
 
-    exp_hist = F.coalesce(
-        F.flatten(
-            F.transform(F.col("__m__.exponentialHistogram.dataPoints"), exp_hist_recs)
-        ),
-        empty,
+    exp_hist = (
+        F.coalesce(
+            F.flatten(
+                F.transform(
+                    F.col("__m__.exponentialHistogram.dataPoints"), exp_hist_recs
+                )
+            ),
+            empty,
+        )
+        if "exponential_histogram" in branches else empty
     )
 
     def summary_recs(dp: Column) -> Column:
@@ -682,8 +735,12 @@ def otel_metric_shape(df: DataFrame, source_key: str) -> DataFrame:
             quantiles,
         )
 
-    summary = F.coalesce(
-        F.flatten(F.transform(F.col("__m__.summary.dataPoints"), summary_recs)), empty
+    summary = (
+        F.coalesce(
+            F.flatten(F.transform(F.col("__m__.summary.dataPoints"), summary_recs)),
+            empty,
+        )
+        if "summary" in branches else empty
     )
 
     out = m.withColumn(

@@ -688,7 +688,9 @@ def otel_metric_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("}]}}]}]}]}"),
     )
     out = enrich.otel_metric_shape(
-        ev.withColumn("otlp_body", payload).select("event_id", "otlp_body"), "otlp_body"
+        ev.withColumn("otlp_body", payload).select("event_id", "otlp_body"),
+        "otlp_body",
+        branches=["sum"],  # schema pruned to the family the query reads
     )
     return out.select("event_id", "__name__", "__labels__", "__time_nano__", "__value__")
 
@@ -2076,6 +2078,7 @@ def otel_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = enrich.otel_metric_shape(
         ev.withColumn("otlp_body", payload).select("event_id", "otlp_body"),
         "otlp_body",
+        branches=["exponential_histogram"],  # pruned from_json schema
     )
     return out.select("event_id", "__name__", "__labels__", "__time_nano__", "__value__")
 

@@ -218,6 +218,47 @@ def test_otel_metric_shape_histogram_and_summary(spark):
     assert len(rows) == 10
 
 
+def test_otel_metric_branch_pruning(spark):
+    """branches= narrows the from_json schema to the requested metric
+    families: selected families produce identical rows to the full parse,
+    pruned families vanish, bad names raise."""
+    import pytest as _pt
+
+    from loongcollector_spark.operators.enrich import (
+        _OTLP_BRANCHES,
+        _otlp_metrics_schema,
+        otel_metric_shape,
+    )
+
+    # every pruned DDL stays bracket-balanced and Spark-parsable
+    from pyspark.sql.types import StructType
+
+    for b in _OTLP_BRANCHES:
+        ddl = _otlp_metrics_schema((b,))
+        assert ddl.count("<") == ddl.count(">")
+        StructType.fromDDL(ddl)
+
+    payload = (
+        '{"resourceMetrics":[{"resource":{"attributes":[{"key":"host","value":{"stringValue":"h1"}}]},'
+        '"scopeMetrics":[{"metrics":['
+        '{"name":"lat","histogram":{"dataPoints":[{"attributes":[],"timeUnixNano":"1000","sum":6.5,'
+        '"count":"4","explicitBounds":[0.5,1.0],"bucketCounts":["1","2","1"]}]}},'
+        '{"name":"up","gauge":{"dataPoints":[{"attributes":[],"timeUnixNano":"3000","asInt":"7"}]}}'
+        "]}]}]}"
+    )
+    df = spark.createDataFrame([(payload,)], "body string")
+    full = {(r["__name__"], r["__labels__"]): (r["__time_nano__"], r["__value__"])
+            for r in otel_metric_shape(df, "body").collect()}
+    only_hist = {(r["__name__"], r["__labels__"]): (r["__time_nano__"], r["__value__"])
+                 for r in otel_metric_shape(df, "body", branches=["histogram"]).collect()}
+    assert only_hist == {k: v for k, v in full.items() if k[0].startswith("lat")}
+    only_gauge = {r["__name__"] for r in
+                  otel_metric_shape(df, "body", branches=["gauge"]).collect()}
+    assert only_gauge == {"up"}
+    with _pt.raises(ValueError, match="unknown otel metric branches"):
+        otel_metric_shape(df, "body", branches=["bogus"])
+
+
 def test_otel_metric_omitted_attributes(spark):
     # proto3 JSON omits empty arrays: missing attributes must yield the
     # resource labels (or empty labels), never null
