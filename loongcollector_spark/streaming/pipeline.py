@@ -23,32 +23,18 @@ from loongcollector_spark.pipeline import PipelineSpec, compile_pipeline
 from loongcollector_spark.sinks import SinkSpec, write_sink
 
 
-def run_streaming_pipeline(
-    spark: SparkSession,
-    input_path: str,
-    schema: str,
+def start_fanout_query(
+    stream: DataFrame,
     spec: PipelineSpec,
     output_base: str,
     checkpoint_dir: str,
     *,
-    input_format: str = "parquet",
-    max_files_per_trigger: int | None = None,
     available_now: bool = True,
     timeout_sec: float | None = 300.0,
 ) -> dict[str, Any]:
-    """Run the pipeline as a Structured Streaming query over a file source.
-
-    ``available_now=True`` drains everything present then stops (the batch-
-    equivalent trigger, used by tests); otherwise the query keeps tailing
-    ``input_path`` like the reference's file watcher and must be stopped by
-    the caller.
-    """
-    reader = spark.readStream.format(input_format).schema(schema)
-    if max_files_per_trigger:
-        # bounded process queue analogue (BoundedProcessQueue.h): cap work per trigger
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.load(input_path)
-
+    """foreachBatch fan-out over an already-built streaming DataFrame:
+    compile the processor chain per micro-batch, persist the routed frame
+    once, write each sink's slice with replay-idempotent batch directories."""
     sink_names = list(dict.fromkeys(r.sink for r in spec.routes))
     if (
         spec.default_sink
@@ -116,6 +102,74 @@ def run_streaming_pipeline(
     }
 
 
+def run_streaming_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    schema: str,
+    spec: PipelineSpec,
+    output_base: str,
+    checkpoint_dir: str,
+    *,
+    input_format: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    timeout_sec: float | None = 300.0,
+) -> dict[str, Any]:
+    """Run the pipeline as a Structured Streaming query over a file source.
+
+    ``available_now=True`` drains everything present then stops (the batch-
+    equivalent trigger, used by tests); otherwise the query keeps tailing
+    ``input_path`` like the reference's file watcher and must be stopped by
+    the caller.
+    """
+    reader = spark.readStream.format(input_format).schema(schema)
+    if max_files_per_trigger:
+        # bounded process queue analogue (BoundedProcessQueue.h): cap work per trigger
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(input_path)
+    return start_fanout_query(
+        stream, spec, output_base, checkpoint_dir,
+        available_now=available_now, timeout_sec=timeout_sec,
+    )
+
+
+def _streaming_file_lines(spark: SparkSession, input_path: str) -> DataFrame:
+    """Text file stream → one row per line with (PATH_TAG, __offset__,
+    content), the same shape batch read_log_files(line_offset=True) yields.
+
+    Reads each file as ONE row (``wholetext``) then posexplodes the lines,
+    so per-file line numbers are exact regardless of how the scan splits —
+    the reference's LogFileReader also walks a file sequentially. The final
+    trailing newline is discarded (LogFileReader contract, noted in
+    ProcessorSplitMultilineLogStringNative.cpp "Presumption" comment); a
+    whole log file per row bounds memory at max-file-size per task, fine
+    for rotated log files (the wholetext option exists for exactly this)."""
+    from loongcollector_spark.sources.files import PATH_TAG
+
+    whole = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .load(input_path)
+        .select(
+            F.col("value"),
+            F.col("_metadata.file_path").alias(PATH_TAG),
+        )
+    )
+    lines = F.split(F.col("value"), "\n")
+    lines = F.when(
+        F.element_at(lines, -1) == "", F.slice(lines, 1, F.size(lines) - 1)
+    ).otherwise(lines)
+    return (
+        whole.withColumn("__lines__", lines)
+        .select(PATH_TAG, F.posexplode("__lines__").alias("__offset__", "content"))
+        .select(
+            F.col(PATH_TAG),
+            F.col("__offset__").cast("long").alias("__offset__"),
+            "content",
+        )
+    )
+
+
 def run_native_streaming(
     spark: SparkSession,
     config_path: str,
@@ -123,6 +177,7 @@ def run_native_streaming(
     output_base: str,
     checkpoint_dir: str,
     sink_overrides: dict | None = None,
+    flush_timeout_ms: int = 5_000,
     **kwargs: Any,
 ) -> dict[str, Any]:
     """Run an UNMODIFIED reference pipeline YAML as a streaming query: the
@@ -132,20 +187,69 @@ def run_native_streaming(
     fan-out above — the closest Spark shape to the reference's
     file-watcher → processor thread-group → flusher chain.
 
+    Multiline YAMLs (processor_split_log_regex, or a start-pattern
+    Multiline block) run through the stateful cross-batch operator
+    (streaming/multiline.py): the file stream becomes per-line rows with
+    exact per-file offsets, streaming_merge_multiline holds each file's
+    pending block in GroupState (flushed by the next start line, the
+    ``flush_timeout_ms`` timer, or the availableNow drain), and the merged
+    blocks feed the remaining processor chain. Continue/End rule modes
+    have no streaming state machine yet and raise.
+
     ``input_path`` overrides the YAML's FilePaths (those point at the
     reference host's /home/test-log); pass the directory/glob to tail."""
     import dataclasses
 
     from loongcollector_spark.config import load_native_config
+    from loongcollector_spark.sources.files import PATH_TAG
+    from loongcollector_spark.streaming.multiline import streaming_merge_multiline
 
     spec, _ = load_native_config(config_path, sink_overrides=sink_overrides)
-    if any(name == "merge_multiline" for name, _ in spec.processors):
-        raise NotImplementedError(
-            "processor_split_log_regex needs per-file line offsets, which a "
-            "text stream does not carry; use streaming_merge_multiline (the "
-            "stateful cross-batch operator) or the batch runner "
-            "(read_log_files(line_offset=True) + run_pipeline)"
+
+    ml_idx = next(
+        (i for i, (name, _) in enumerate(spec.processors)
+         if name in ("merge_multiline", "merge_multiline_rules")),
+        None,
+    )
+    if ml_idx is not None:
+        name, params = spec.processors[ml_idx]
+        if name == "merge_multiline_rules" and (
+            params.get("continue_pattern") or params.get("end_pattern")
+        ):
+            raise NotImplementedError(
+                "streaming multiline supports the Start-pattern mode only; "
+                "Continue/End rule combos need a cross-batch state machine "
+                "(use the batch runner: read_log_files(line_offset=True) + "
+                "run_pipeline)"
+            )
+        if ml_idx != 0:
+            raise NotImplementedError(
+                "a multiline processor after other processors is not "
+                "supported in streaming (the reference inserts it first, "
+                "InputFile.cpp:217)"
+            )
+        lines = _streaming_file_lines(spark, input_path)
+        merged = streaming_merge_multiline(
+            lines,
+            params.get("line_col", "content"),
+            PATH_TAG,
+            params.get("offset_col", "__offset__"),
+            params["start_pattern"],
+            flush_timeout_ms=flush_timeout_ms,
         )
+        # back to the batch shape the remaining processors address
+        stream = merged.select(
+            F.col("file").alias(PATH_TAG),
+            F.col("offset").alias("__offset__"),
+            F.col("block").alias(params.get("line_col", "content")),
+        )
+        spec = dataclasses.replace(
+            spec, processors=list(spec.processors[1:])
+        )
+        return start_fanout_query(
+            stream, spec, output_base, checkpoint_dir, **kwargs
+        )
+
     # the text stream delivers lines as `value`; the reference's processors
     # address the raw line as `content` — prepend the rename
     spec = dataclasses.replace(

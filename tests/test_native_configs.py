@@ -367,13 +367,65 @@ def test_native_gotime_translation(spark):
     assert out.euro == "17/02/2024 10:11"
 
 
-def test_native_streaming_refuses_multiline(spark, tmp_path):
+def test_native_streaming_multiline_across_restart(spark, tmp_path):
+    """multiline_java_stack_trace-split_log_regex.yaml runs in STREAMING:
+    the stateful cross-batch merge (streaming/multiline.py) sessionizes the
+    line stream, and the streaming checkpoint makes a restart process only
+    the new file — merged-block counts add up with no duplicates."""
     from loongcollector_spark.streaming.pipeline import run_native_streaming
 
-    with pytest.raises(NotImplementedError, match="streaming_merge_multiline"):
-        run_native_streaming(
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    hdr1 = ("2022-08-09 14:47:17 [ main:1 ] - [ ERROR ] com.aliyun."
+            "NullPointerTest.main(NullPointerTest.java:13) Param Error")
+    hdr2 = "2022-08-09 14:47:18 [ main:1 ] - [ INFO ] done"
+    hdr3 = "2022-08-09 14:47:19 [ main:1 ] - [ WARN ] later"
+    (logs / "a.log").write_text(
+        hdr1 + "\njava.lang.NullPointerException\n\tat com.aliyun."
+        "NullPointerTest.main(NullPointerTest.java:11)\n" + hdr2 + "\n"
+    )
+
+    def run():
+        return run_native_streaming(
             spark,
             f"{REF_DIR}/multiline_java_stack_trace-split_log_regex.yaml",
+            str(logs), out, ckpt,
+            sink_overrides={"sls": {"format": "parquet", "path": out}},
+            timeout_sec=120.0,
+        )
+
+    run()
+    rows1 = spark.read.parquet(out).collect()
+    assert len(rows1) == 2  # two headers -> two merged events
+    stack = next(r.content for r in rows1 if "NullPointerException" in r.content)
+    assert stack.count("\n") == 2  # header + 2 stack lines merged
+
+    # restart with a NEW file: checkpoint skips a.log, merges only b.log
+    (logs / "b.log").write_text(hdr3 + "\n\tat one.more(Line.java:1)\n")
+    run()
+    rows2 = spark.read.parquet(out).collect()
+    assert len(rows2) == 3  # +1 merged block, no duplicates of batch 0
+    assert any(r.content == hdr3 + "\n\tat one.more(Line.java:1)" for r in rows2)
+
+
+def test_native_streaming_refuses_continue_end_multiline(spark, tmp_path):
+    """Continue/End rule combos have no streaming state machine: the runner
+    must say so instead of silently running start-only semantics."""
+    import yaml
+
+    from loongcollector_spark.streaming.pipeline import run_native_streaming
+
+    cfg = tmp_path / "ml.yaml"
+    cfg.write_text(yaml.safe_dump({
+        "inputs": [{"Type": "input_file", "FilePaths": ["/x/*.log"],
+                    "Multiline": {"StartPattern": "^B", "EndPattern": "^E"}}],
+        "flushers": [{"Type": "flusher_stdout"}],
+    }))
+    with pytest.raises(NotImplementedError, match="Start-pattern mode only"):
+        run_native_streaming(
+            spark, str(cfg),
             str(tmp_path), str(tmp_path / "o"), str(tmp_path / "c"),
         )
 
