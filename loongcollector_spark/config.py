@@ -199,12 +199,21 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
             begin, content = "^", ".*"
         else:
             begin, content = p.get("RegexBegin", ""), p.get("RegexContent", ".*")
+        method = p.get("Method", "const")
+        if method == "const" and not p.get("ReplaceString"):
+            # the reference refuses to load this config at Init
+            # (processor_desensitize.go:65-66: "parameter ReplaceString
+            # should not be empty when Method is const")
+            raise ValueError(
+                "processor_desensitize: ReplaceString must be non-empty "
+                "when Method is 'const' (processor_desensitize.go:65-66)"
+            )
         return "desensitize", {
             "source_key": src,
             "regex_begin": begin,
             "regex_content": content,
-            "method": p.get("Method", "const"),
-            "replacement": p.get("ReplaceString", "********"),
+            "method": method,
+            "replacement": p.get("ReplaceString", ""),
         }
     if t == "processor_filter_regex":
         return "filter_include_exclude", {

@@ -59,15 +59,26 @@ def parse_key_value(
     out = df.withColumn(map_column, m)
     project = list(keys or [])
     if expand_keys and not project:
-        src_keys = out.select(map_column)
-        if sample_rows:
-            src_keys = src_keys.limit(sample_rows)
-        project = sorted(
-            r.k
-            for r in src_keys.select(
-                F.explode(F.map_keys(F.col(map_column))).alias("k")
-            ).distinct().collect()
-        )
+        project = discover_keys(out, map_column, sample_rows)
     for k in project:
         out = out.withColumn(k, F.try_element_at(F.col(map_column), F.lit(k)))
     return out
+
+
+def discover_keys(
+    df: DataFrame, map_column: str = "kv", sample_rows: int | None = None
+) -> list[str]:
+    """Plan-time distinct-scan of the map keys (sorted). Exposed so callers
+    that compile repeatedly over the same spec — the streaming foreachBatch
+    runner — can discover ONCE and freeze the projected column set instead
+    of re-discovering per micro-batch (which would give each batch=<id>
+    output directory its own schema)."""
+    src_keys = df.select(map_column)
+    if sample_rows:
+        src_keys = src_keys.limit(sample_rows)
+    return sorted(
+        r.k
+        for r in src_keys.select(
+            F.explode(F.map_keys(F.col(map_column))).alias("k")
+        ).distinct().collect()
+    )

@@ -138,6 +138,27 @@ def compile_pipeline(
         kwargs = dict(params)
         if "options" in kwargs and isinstance(kwargs["options"], Mapping):
             kwargs["options"] = ParserOptions(**kwargs["options"])
+        if (
+            proc_name == "parse_key_value"
+            and kwargs.get("expand_keys")
+            and not kwargs.get("keys")
+            and isinstance(params, dict)
+        ):
+            # Freeze dynamic key discovery on the spec: foreachBatch
+            # re-compiles the chain per micro-batch, and per-batch
+            # discovery would give each batch=<id> directory its own
+            # column set. Discover against THIS frame once, then write
+            # the list back so every later compile projects identically.
+            from loongcollector_spark.operators.parse_kv import discover_keys
+
+            probe = PROCESSORS[proc_name](
+                out, **{**kwargs, "expand_keys": False}
+            )
+            frozen = discover_keys(
+                probe, kwargs.get("map_column", "kv"), kwargs.get("sample_rows")
+            )
+            params["keys"] = frozen
+            kwargs["keys"] = frozen
         out = PROCESSORS[proc_name](out, **kwargs)
 
     # tag injection (processor_tag_native / ProcessorTag)

@@ -346,6 +346,13 @@ def test_native_desensitize_full_match_default(spark):
     )
     got = PROCESSORS[name](df, **kwargs).first().content
     assert got == hashlib.md5(b"secret-value").hexdigest()
+    # Method=const (the default) with no ReplaceString is an Init error in
+    # the reference (processor_desensitize.go:65-66) — refuse to load it
+    # instead of fabricating a mask
+    with pytest.raises(ValueError, match="ReplaceString must be non-empty"):
+        _native_processor(
+            {"Type": "processor_desensitize", "SourceKey": "content"}
+        )
 
 
 def test_native_gotime_translation(spark):

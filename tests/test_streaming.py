@@ -391,3 +391,47 @@ def test_syslog_tagless_line_still_parses(spark):
     assert r.hostname == "web02"
     assert r.content == "starting up now"
     assert r.pid is None
+
+
+def test_streaming_kv_expand_keys_frozen_schema(spark, tmp_path):
+    """expand_keys discovery freezes on the FIRST micro-batch: a later batch
+    carrying a brand-new key still writes the same projected column set
+    (per-batch re-discovery would give each batch=<id> directory its own
+    schema; ADVICE r3)."""
+    from loongcollector_spark.streaming import run_streaming_pipeline
+    from loongcollector_spark.sinks import SinkSpec
+
+    src = tmp_path / "kv_in"
+    src.mkdir()
+    pd.DataFrame({"line": ["a=1;b=2", "a=3;b=4"], "source": ["s1", "s1"]}
+                 ).to_parquet(str(src / "b1.parquet"))
+    pd.DataFrame({"line": ["a=5;z=9"], "source": ["s2"]}
+                 ).to_parquet(str(src / "b2.parquet"))
+
+    out = str(tmp_path / "kv_out")
+    spec = PipelineSpec(
+        name="kvfreeze",
+        processors=[
+            ("parse_key_value", {"source_key": "line", "pair_delimiter": ";",
+                                 "kv_separator": "=", "expand_keys": True}),
+            ("drop", {"keys": ["kv"]}),  # parquet sink: drop the map col
+        ],
+        routes=[Route("all", None)],
+        route_mode="fanout",
+        shard_keys=(),
+        sinks={"all": SinkSpec(name="all", path=out)},
+    )
+    run_streaming_pipeline(
+        spark, str(src), "line string, source string", spec, str(tmp_path / "base"),
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    # the spec now carries the frozen key list (first-compile write-back)
+    assert spec.processors[0][1]["keys"] == ["a", "b"]
+    import glob
+    import pyarrow.parquet as pq
+
+    dirs = sorted(glob.glob(out + "/batch=*"))
+    assert len(dirs) >= 2
+    schemas = {tuple(sorted(pq.read_schema(f).names))
+               for d in dirs for f in glob.glob(d + "/*.parquet")}
+    assert schemas == {("a", "b", "line", "source")}  # novel key z not projected
