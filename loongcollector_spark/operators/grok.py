@@ -341,11 +341,42 @@ def _parse_grok_arrow(
     return out.drop("__grok_win__")
 
 
+def translate_onigmo(body: str) -> str:
+    """Translate the Onigmo/Ruby-only constructs that appear in third-party
+    pattern bundles into equivalents both our engines (Java regex via Spark,
+    Python ``re``) accept, preserving Onigmo SEMANTICS:
+
+    - ``\\h`` / ``\\H`` are HEX-digit classes in Onigmo (not PCRE horizontal
+      whitespace) → ``[0-9a-fA-F]`` / ``[^0-9a-fA-F]``;
+    - Ruby's ``(?m)`` flag means DOTALL (Python/Java ``s``, not multiline)
+      and applies from its position to the end of the enclosing group →
+      rewrite the remainder as a scoped ``(?s:...)`` group, which is legal
+      mid-pattern in both engines (Python rejects a bare global flag that
+      is not at the very start).
+
+    Escaped forms (``\\\\h``) and ``(?m)`` inside character classes are left
+    alone; only a top-level occurrence is rewritten."""
+    import re as _re
+
+    # \h / \H outside character classes and not escaped
+    def _sub_hex(m: "_re.Match[str]") -> str:
+        return "[0-9a-fA-F]" if m.group(1) == "h" else "[^0-9a-fA-F]"
+
+    body = _re.sub(r"(?<!\\)\\([hH])", _sub_hex, body)
+
+    idx = body.find("(?m)")
+    if idx >= 0 and body.count("(?m)") == 1:
+        head, rest = body[:idx], body[idx + 4:]
+        body = f"{head}(?s:{rest})"
+    return body
+
+
 def load_pattern_file(path: str) -> dict[str, str]:
     """Parse one grok pattern file in the reference's on-disk format
     (processor_grok.go addPatternsFromPath, lines 176-208): each non-empty
     line not starting with '\"' is ``NAME<space>body``; quote-prefixed lines
-    are comments."""
+    are comments. Onigmo-only syntax is translated (see translate_onigmo)
+    so the full reference bundle compiles under both engines."""
     out: dict[str, str] = {}
     with open(path) as fh:
         for line in fh:
@@ -354,7 +385,7 @@ def load_pattern_file(path: str) -> dict[str, str]:
                 continue
             name, _, body = line.partition(" ")
             if name and body:
-                out[name] = body
+                out[name] = translate_onigmo(body)
     return out
 
 

@@ -553,10 +553,10 @@ def test_apsara_ordered_duplicate_keys(spark):
 def test_grok_pattern_dir_loads_reference_bundle(spark):
     """CustomPatternDir parity: the reference's own shipped pattern files
     (example_config/processor_grok_patterns) load in their on-disk format
-    and >= 310 of the 318 names compile under BOTH regex dialects; the only
-    incompatibles are Onigmo-exclusive syntax (\\h, mid-pattern (?m)),
-    asserted by name so a regression shows up as a diff here. A loaded
-    pattern then actually parses a line end-to-end."""
+    and ALL 318 names compile under BOTH regex dialects — Onigmo-exclusive
+    syntax (\\h hex class, mid-pattern (?m) dotall) is translated at load
+    time by translate_onigmo. A loaded pattern then actually parses a line
+    end-to-end."""
     import os
 
     ref_dir = "/root/reference/example_config/processor_grok_patterns"
@@ -576,7 +576,7 @@ def test_grok_pattern_dir_loads_reference_bundle(spark):
             compile_grok_full("%{" + name + "}", dictionary=pats)
         except Exception:
             bad.append(name)
-    assert set(bad) <= {"RAILS3", "RAILS3HEAD", "RUUID"}, bad
+    assert bad == [], bad
 
     # end-to-end with the REFERENCE's own SQUID3 definition
     df = lines_df(
@@ -586,6 +586,45 @@ def test_grok_pattern_dir_loads_reference_bundle(spark):
     )
     r = parse_grok(df, "content", match=["%{SQUID3}"], dictionary=pats).first()
     assert (r["cache_result"], r["status_code"]) == ("TCP_MISS", "200")
+
+
+def test_grok_onigmo_translation_semantics(spark):
+    """The load-time Onigmo translation preserves SEMANTICS, not just
+    compilability: \\h is Onigmo's HEX class (rails RUUID `\\h{32}` must
+    match 32 hex digits and must NOT match PCRE horizontal whitespace),
+    and Ruby's mid-pattern (?m) means DOTALL (rails RAILS3HEAD) so the
+    multi-line RAILS3 composite matches a real Rails request block."""
+    import os
+    import re
+
+    ref_dir = "/root/reference/example_config/processor_grok_patterns"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference checkout not present")
+    from loongcollector_spark.operators.grok import (
+        load_pattern_dir,
+        parse_grok,
+        translate_onigmo,
+    )
+
+    # unit: the translation itself
+    assert translate_onigmo(r"\h{2}") == "[0-9a-fA-F]{2}"
+    assert translate_onigmo(r"\H+") == "[^0-9a-fA-F]+"
+    assert translate_onigmo(r"\\h") == r"\\h"  # escaped backslash-h untouched
+    assert translate_onigmo(r"(?m)a.b") == "(?s:a.b)"
+    assert re.fullmatch(translate_onigmo(r"(?m)a.b"), "a\nb")
+
+    pats = load_pattern_dir(ref_dir)
+    assert re.fullmatch(pats["RUUID"], "0123456789abcdefABCDEF0123456789")
+    assert not re.fullmatch(pats["RUUID"], " " * 32)
+
+    rails = (
+        'Started GET "/users/1" for 192.0.2.77 at 2024-01-15 10:00:00 +0000\n'
+        "Processing by UsersController#show as HTML\n"
+        "Completed 200 OK in 12ms (Views: 7.0ms | ActiveRecord: 2.1ms)"
+    )
+    df = spark.createDataFrame([(rails,)], "content string")
+    r = parse_grok(df, "content", match=["%{RAILS3}"], dictionary=pats).first()
+    assert (r["verb"], r["clientip"], r["response"]) == ("GET", "192.0.2.77", "200")
 
 
 def test_grok_pattern_path_accepts_single_file():
