@@ -320,11 +320,22 @@ def simhash_near_dups(
     max_hamming: int = 3,
     prefix_bits: int = 16,
     gram_hash: Callable[[Column], Column] = F.xxhash64,
+    n_rotations: int = 1,
 ) -> DataFrame:
-    """SimHash near-dup pairs: bucket on signature prefix (LSH over the
-    leading ``prefix_bits``), compare within buckets by Hamming distance.
-    At scale, run over 64/prefix_bits rotations for full recall; one rotation
-    here keeps the test graph simple."""
+    """SimHash near-dup pairs: bucket on a ``prefix_bits``-wide block of the
+    signature (LSH), compare within buckets by Hamming distance.
+
+    ``n_rotations`` banding blocks are probed (block r covers bits
+    ``[64-(r+1)*prefix_bits, 64-r*prefix_bits)``; candidates are the union
+    over blocks, deduped on the pair). Pigeonhole guarantee: with
+    ``n_rotations >= max_hamming + 1`` and ``n_rotations * prefix_bits == 64``
+    every pair within ``max_hamming`` collides in at least one block —
+    recall 1.0 (e.g. the defaults max_hamming=3 with n_rotations=4 x 16
+    bits). One rotation keeps the single-bucket behavior. The union is one
+    equi-join on (rotation, block) — never all-pairs — so cost grows
+    linearly in rotations, not quadratically in rows."""
+    if n_rotations < 1 or n_rotations * prefix_bits > 64:
+        raise ValueError("need 1 <= n_rotations and n_rotations*prefix_bits <= 64")
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     grams = df.select(
         F.col(id_col).alias("id"),
@@ -334,12 +345,18 @@ def simhash_near_dups(
     sig = _track_persist(
         grams.select("id", simhash_from_hashes("gram_hashes").alias("sig"))
     )
-    bucketed = sig.withColumn(
-        "bucket", F.shiftrightunsigned("sig", 64 - prefix_bits)
+    mask = (1 << prefix_bits) - 1
+    blocks = F.array(
+        *[
+            F.shiftrightunsigned("sig", 64 - (r + 1) * prefix_bits)
+            .bitwiseAND(F.lit(mask))
+            for r in range(n_rotations)
+        ]
     )
+    bucketed = sig.select("id", "sig", F.posexplode(blocks).alias("rot", "bucket"))
     pairs = (
         bucketed.alias("a")
-        .join(bucketed.alias("b"), "bucket")
+        .join(bucketed.alias("b"), ["rot", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
@@ -348,4 +365,6 @@ def simhash_near_dups(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    if n_rotations > 1:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return pairs

@@ -126,30 +126,41 @@ def embedding_near_dups(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    n_rotations: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, bucketed — the dedup-family
-    member over vectors. Random-hyperplane LSH assigns each vector ONE
-    bucket (plan-time plane constants → pure column expression); candidate
-    pairs come from a bucket equi-self-join (never all-pairs), then the
-    exact cosine filter keeps pairs >= threshold. Recall trades with
-    ``n_planes`` (more planes = smaller buckets = faster + lower recall);
-    at corpus scale run a few seeded rotations and union, like the SimHash
-    path. The bucketed relation is persisted (both join sides) — call
+    member over vectors. Random-hyperplane LSH assigns each vector one
+    bucket PER ROTATION (rotation r draws its planes from ``seed + r``;
+    plane constants are plan-time → pure column expressions); candidate
+    pairs come from a (rotation, bucket) equi-self-join (never all-pairs),
+    then the exact cosine filter keeps pairs >= threshold. Per-rotation
+    collision probability for angle theta is ``(1 - theta/pi)**n_planes``,
+    so recall is ``1 - (1 - p)**n_rotations`` — more rotations buy recall
+    linearly in cost, more planes buy speed at recall's expense. Surviving
+    pairs are deduped on (id_a, id_b) after the threshold filter. The
+    bucketed relation is persisted (both join sides) — call
     dedup.release_persisted() after materializing."""
     from loongcollector_spark.functions.dedup import _track_persist
 
-    planes = _hyperplanes(dim, n_planes, seed)
+    if n_rotations < 1:
+        raise ValueError("n_rotations must be >= 1")
     vec = F.col(vec_col).cast("array<double>")
+    buckets = F.array(
+        *[
+            lsh_bucket(vec, _hyperplanes(dim, n_planes, seed + r))
+            for r in range(n_rotations)
+        ]
+    )
     b = _track_persist(
         df.select(
             F.col(id_col).alias("id"),
             vec.alias("v"),
-            lsh_bucket(vec, planes).alias("bucket"),
+            F.posexplode(buckets).alias("rot", "bucket"),
         )
     )
-    return (
+    pairs = (
         b.alias("a")
-        .join(b.alias("b"), "bucket")
+        .join(b.alias("b"), ["rot", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
@@ -158,6 +169,12 @@ def embedding_near_dups(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+    if n_rotations > 1:
+        # dedup AFTER the threshold filter: the shuffle moves only the
+        # surviving (id, id, cos) triples, never vector payloads; the cosine
+        # is re-evaluated per colliding rotation, which is cheap JVM work
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs
 
 
 def ivf_topk(

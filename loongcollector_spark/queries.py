@@ -1507,6 +1507,60 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_multirot_oracle_sql(
+    n: int = 2, max_hamming: int = 3, prefix_bits: int = 16, n_rotations: int = 4
+) -> str:
+    """DuckDB replay of the multi-rotation banding: block r covers bits
+    [64-(r+1)*pb, 64-r*pb); candidates union over blocks, DISTINCT on the
+    pair. With n_rotations >= max_hamming+1 covering all 64 bits the result
+    IS the exact hamming<=max_hamming pair set (pigeonhole)."""
+    gh = _MD5H60.format(g="g")
+    mask = (1 << prefix_bits) - 1
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS l
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(l) >= {n}
+                  THEN list_distinct(list_transform(range(1, len(l) - {n - 2}),
+                                     i -> array_to_string(l[i:i+{n - 1}], ' ')))
+                  ELSE [] END AS grams
+      FROM toks),
+    gh AS (SELECT doc_id, list_transform(grams, g -> {gh}) AS h FROM sh),
+    sig AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(64), j ->
+               CASE WHEN 2 * len(list_filter(h, x -> (x >> j) & 1 = 1)) > len(h)
+                    THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS sig
+      FROM gh),
+    bucketed AS (
+      SELECT doc_id, sig, t.rot AS rot,
+             (sig >> (64 - (t.rot + 1) * {prefix_bits})) & {mask} AS bucket
+      FROM sig, (SELECT unnest(range({n_rotations})) AS rot) t)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sig, b.sig))::INT AS hamming
+    FROM bucketed a
+    JOIN bucketed b ON a.rot = b.rot AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+@register(
+    "dedup_simhash_multirot",
+    _simhash_multirot_oracle_sql(),
+    doc="multi-rotation SimHash banding (4 x 16-bit blocks, max_hamming=3): "
+        "pigeonhole-complete recall — the result equals the exact "
+        "hamming<=3 pair set; oracle replays the block union in DuckDB",
+)
+def dedup_simhash_multirot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(
+        docs, "text", "doc_id", n=2, max_hamming=3,
+        gram_hash=dedup.md5_hash60, n_rotations=4,
+    )
+
+
 @register(
     "token_count_stats",
     """
@@ -1749,6 +1803,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.embedding_near_dups(
         emb, "embedding", "vec_id", threshold=0.4, n_planes=4, dim=64
+    )
+    return out.withColumn("cos_sim", F.round("cos_sim", 4))
+
+
+def _embedding_multirot_oracle(
+    dim: int = 64,
+    n_planes: int = 4,
+    threshold: float = 0.4,
+    seed: int = 42,
+    n_rotations: int = 4,
+) -> str:
+    # Rotation r draws its plane constants from seed+r exactly like
+    # embedding_near_dups; candidates union over rotations via the
+    # (rot, bucket) join, DISTINCT on the pair after the cosine filter.
+    rot_selects = []
+    for r in range(n_rotations):
+        planes = similarity._hyperplanes(dim, n_planes, seed + r)
+        bucket = " + ".join(
+            "(CASE WHEN list_inner_product(v, ["
+            + ", ".join(repr(float(x)) for x in p)
+            + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        rot_selects.append(f"SELECT vec_id, v, {r} AS rot, {bucket} AS bucket FROM v")
+    union = "\n      UNION ALL\n      ".join(rot_selects)
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS ({union})
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+    FROM b a JOIN b b ON a.rot = b.rot AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+    """
+
+
+@register(
+    "dedup_embedding_multirot",
+    _embedding_multirot_oracle(),
+    doc="multi-rotation hyperplane-LSH embedding near-dup pairs: 4 seeded "
+        "rotations union candidates ((rot, bucket) equi-join, never "
+        "all-pairs), pair-deduped after the cosine filter; oracle replays "
+        "every rotation's plane constants in DuckDB",
+)
+def dedup_embedding_multirot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.embedding_near_dups(
+        emb, "embedding", "vec_id", threshold=0.4, n_planes=4, dim=64, n_rotations=4
     )
     return out.withColumn("cos_sim", F.round("cos_sim", 4))
 
@@ -2532,6 +2633,8 @@ _DRIVER_WINDOW_TAIL = [
     "multiline_start_end_blocks",  # multiline: merge_blocks in-window
     "multiline_start_continue_blocks",  # multiline: continue_end in-window
     "spl_multi_route",             # spl: spl_parse_json_keys in-window
+    "dedup_simhash_multirot",      # dedup: dedup_simhash in-window
+    "dedup_embedding_multirot",    # dedup: dedup_embedding_cosine in-window
 ]
 
 

@@ -226,6 +226,88 @@ def test_resize_media_stub_shapes(spark):
         assert bytes(r.payload) == expect
 
 
+def test_simhash_multirot_pigeonhole_recall(spark):
+    """n_rotations=4 x prefix_bits=16 covers all 64 signature bits, so by
+    pigeonhole every pair within max_hamming=3 collides in >=1 block:
+    the multi-rotation result must EQUAL the exact hamming<=3 pair set
+    (recall 1.0), while a single rotation may miss pairs."""
+    from loongcollector_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    grams = docs.select(
+        F.col("doc_id").alias("id"),
+        F.transform(dedup.shingles(F.col("text"), 2), lambda g: F.xxhash64(g)).alias("gh"),
+    )
+    sigs = grams.select("id", dedup.simhash_from_hashes("gh").alias("sig")).collect()
+    sig = {r.id: r.sig & 0xFFFFFFFFFFFFFFFF for r in sigs}
+    ids = sorted(sig)
+    exact = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    assert exact, "fixture must contain hamming<=3 near-dups"
+
+    multi = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_near_dups(
+            docs, "text", "doc_id", n=2, max_hamming=3, n_rotations=4
+        ).collect()
+    }
+    single = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_near_dups(
+            docs, "text", "doc_id", n=2, max_hamming=3, n_rotations=1
+        ).collect()
+    }
+    dedup.release_persisted()
+    assert multi == exact          # pigeonhole: full recall, no false positives
+    assert single <= multi         # single rotation is a subset
+
+
+def test_embedding_multirot_recall(spark):
+    """Recall evidence at the operator's design point (cos>=0.9 planted
+    near-dups): 4 seeded rotations must recover >=0.8 of the true pairs
+    where one rotation recovers materially fewer, while still scanning
+    <5% of all pairs (measured via the threshold=-1 candidate count)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(200, 64)
+    dup = base[:100] + rng.randn(100, 64) * 0.35
+    M = np.vstack([base, dup])
+    n = len(M)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    iu = np.triu_indices(n, 1)
+    exact = {(int(i), int(j)) for i, j in zip(*[x[S[iu] >= 0.9] for x in iu])}
+    assert len(exact) >= 80
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    def pairs(n_rotations, threshold=0.9):
+        out = {
+            (r.id_a, r.id_b)
+            for r in similarity.embedding_near_dups(
+                df, "embedding", "vec_id", threshold=threshold,
+                n_planes=8, dim=64, n_rotations=n_rotations,
+            ).collect()
+        }
+        dedup.release_persisted()
+        return out
+
+    r1 = len(pairs(1) & exact) / len(exact)
+    r4 = len(pairs(4) & exact) / len(exact)
+    scanned = len(pairs(4, threshold=-1.0))
+    scan_frac = scanned / (n * (n - 1) / 2)
+    assert r4 >= 0.8, (r1, r4, scan_frac)
+    assert r4 > r1, (r1, r4)
+    assert scan_frac < 0.05, scan_frac
+
+
 def test_ann_recall_vs_brute_force(spark):
     """Quality evidence for the ANN scale paths, averaged over 5 queries on
     the real embeddings table: both pruned paths must beat the random-scan
