@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -29,6 +30,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
     sf = _sf_of(sf_dir)
+    # Host-noise guard: this sandbox has documented 2-3x swings when another
+    # JVM shares the box (r2 vs r3 driver records). Annotate the load average
+    # so a reader can discount a contended record instead of mistaking it for
+    # a regression; the headline is a MEDIAN of 3 warm runs for the same
+    # reason (a single sample here is not a measurement).
+    load_avg = list(os.getloadavg())
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")  # cache holds token arrays
     from loongcollector_spark.session import get_spark
@@ -65,6 +72,10 @@ def main() -> None:
         "sf": sf,
         "pipeline": pipeline_stats,
         "cpus": int(cpus),
+        "load_avg": [round(x, 2) for x in load_avg],
+        "host_busy": load_avg[0] > max(int(cpus) // 2, 4),
+        "runs": pipeline_stats["runs"],
+        "median": pipeline_stats["elapsed_sec"],
     }
     # two-parallelism scaling evidence (north rule): produced by
     # tools/bench_scaling.py --scaling; surfaced here so the per-round bench
@@ -147,17 +158,19 @@ def _bench_pipeline(spark, n_rows: int) -> dict:
 
     # Cold run warms Python UDF workers + JIT-compiles the codegen'd stages
     # (the reference's steady-state claims likewise exclude agent startup);
-    # steady state = best of two warm runs (the sandbox host is noisy-neighbor
-    # contended, so a single sample can be 2-3x off).
+    # steady state = MEDIAN of three warm runs (the sandbox host is
+    # noisy-neighbor contended, so a single sample can be 2-3x off and a
+    # best-of hides contention instead of flagging it).
     t0 = time.time()
     res = run_pipeline(render_lines(seqs), spec, checkpoint=False)
     cold = time.time() - t0
 
-    elapsed = float("inf")
-    for _ in range(2):
+    warm_runs = []
+    for _ in range(3):
         t0 = time.time()
         res = run_pipeline(render_lines(seqs), spec, checkpoint=False)
-        elapsed = min(elapsed, time.time() - t0)
+        warm_runs.append(round(time.time() - t0, 3))
+    elapsed = statistics.median(warm_runs)
 
     tokens = sum(r["tokens"] for r in res["metrics_rollup"])
     rows = sum(r["rows"] for r in res["metrics_rollup"])
@@ -174,15 +187,18 @@ def _bench_pipeline(spark, n_rows: int) -> dict:
         sinks=spec.sinks,
     )
     run_pipeline(_token_native_parse(seqs), native_spec, checkpoint=False)  # warm
-    native_elapsed = float("inf")
-    for _ in range(2):
+    native_runs = []
+    for _ in range(3):
         t0 = time.time()
         run_pipeline(_token_native_parse(seqs), native_spec, checkpoint=False)
-        native_elapsed = min(native_elapsed, time.time() - t0)
+        native_runs.append(round(time.time() - t0, 3))
+    native_elapsed = statistics.median(native_runs)
 
     return {
         "rows": rows,
         "tokens": int(tokens),
+        "runs": warm_runs,
+        "token_native_runs": native_runs,
         "elapsed_sec": round(elapsed, 3),
         "cold_elapsed_sec": round(cold, 3),
         "sequences_per_sec": round(rows / elapsed, 1),
