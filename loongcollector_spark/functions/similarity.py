@@ -177,6 +177,28 @@ def embedding_near_dups(
     return pairs
 
 
+def train_ivf_centroids(
+    df: DataFrame, vec_col: str, id_col: str, n_cells: int = 16
+) -> list[list[float]]:
+    """The IVF 'train' step as a standalone artifact: a deterministic
+    n_cells-row sample keyed on a multiplicative integer hash of the id
+    (integer arithmetic an external oracle can replay exactly; TakeOrdered
+    keeps it per-partition top-k, no full sort shuffle). Train ONCE, persist
+    the returned list wherever convenient (it is plain JSON-able data), and
+    pass it to repeated ivf_topk calls via ``centroids=`` so each query
+    builds zero extra jobs."""
+    sample = (
+        df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(
+            F.pmod(F.col(id_col).cast("long") * F.lit(2654435761), F.lit(2147483647)),
+            F.col(id_col),
+        )
+        .limit(n_cells)
+        .collect()
+    )
+    return [list(r.v) for r in sample]
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,
@@ -187,22 +209,15 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     exclude_id: int | None = None,
+    centroids: Sequence[Sequence[float]] | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: centroids = a seeded sample of row vectors (one cheap
-    collect at plan time — the 'train' step); rows are assigned to their
-    nearest centroid with a pure expression; the query scans nprobe cells."""
-    # deterministic 'train' sample, keyed on the id with a multiplicative
-    # hash — integer arithmetic an external oracle can replay exactly
-    sample = (
-        df.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(
-            F.pmod(F.col(id_col).cast("long") * F.lit(2654435761), F.lit(2147483647)),
-            F.col(id_col),
-        )
-        .limit(n_cells)
-        .collect()
-    )
-    centroids = [list(r.v) for r in sample]
+    """IVF-style ANN: centroids = a seeded sample of row vectors (the
+    'train' step — one collect at plan time, or NONE when a pre-trained
+    ``centroids=`` list is supplied); rows are assigned to their nearest
+    centroid with a pure expression; the query scans nprobe cells."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, vec_col, id_col, n_cells)
+    centroids = [list(c) for c in centroids]
     vec = F.col(vec_col).cast("array<double>")
 
     # Assignment evaluates each centroid similarity exactly ONCE: one dot per

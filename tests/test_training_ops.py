@@ -111,6 +111,31 @@ def test_ivf_topk_runs(vectors):
     assert got[0].similarity >= got[-1].similarity
 
 
+def test_ivf_pretrained_centroids_zero_jobs(spark, vectors):
+    """Train-once/reuse: a centroid-supplied ivf_topk must build its plan
+    WITHOUT running any Spark job (the self-training path runs one collect
+    per build), and return exactly the self-trained results."""
+    q = list(vectors.filter("vec_id = 0").first().embedding)
+    cents = similarity.train_ivf_centroids(vectors, "embedding", "vec_id", n_cells=8)
+    assert len(cents) == 8 and all(len(c) == len(q) for c in cents)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("ivf_plan_build", "plan build must be job-free")
+    plan = similarity.ivf_topk(
+        vectors, "embedding", "vec_id", q, k=5, n_cells=8, nprobe=4, centroids=cents
+    )
+    jobs = sc.statusTracker().getJobIdsForGroup("ivf_plan_build")
+    sc.setJobGroup(None, None)
+    assert list(jobs) == [], jobs  # zero jobs during plan build
+
+    trained = similarity.ivf_topk(
+        vectors, "embedding", "vec_id", q, k=5, n_cells=8, nprobe=4
+    ).collect()
+    assert [(r.id, round(r.similarity, 9)) for r in plan.collect()] == [
+        (r.id, round(r.similarity, 9)) for r in trained
+    ]
+
+
 # --- text analysis ----------------------------------------------------------------
 
 def test_token_count_and_ratios(spark):
