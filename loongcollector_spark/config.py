@@ -261,6 +261,14 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
             "dest_timezone": _loc("DestLocation"),
             "keep_source": bool(p.get("KeepSource", True)),
         }
+    if t == "processor_spl":
+        from loongcollector_spark.operators.spl import validate_spl_config
+
+        # Init-time validation per ProcessorSPL.cpp:35-101 (mandatory
+        # Script, query-size cap, warn-default quota params); the quota
+        # values are normalized but carry no per-operator runtime in Spark
+        # (see the mapping table in operators/spl.py)
+        return "spl", {"script": validate_spl_config(dict(p))["script"]}
     if t == "processor_split_log_regex":
         from loongcollector_spark.sources.files import PATH_TAG
 

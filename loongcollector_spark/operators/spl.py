@@ -63,6 +63,47 @@ else passes through F.expr — Spark SQL's function surface covers the rest.
 (group, partial) rows shuffle. ``sort by`` is a TOTAL order (Spark range
 partitions + shuffles); prefer ``stats ... | sort`` on the already-reduced
 result, as the reference engine's own stats-then-sort idiom does.
+
+Error / quota contract (ProcessorSPL::Init, ProcessorSPL.cpp:35-101 +
+ProcessorSPL.h:33-34 defaults; mapping enforced by
+:func:`validate_spl_config`):
+
+    ======================  =====================  ==========================
+    reference knob           reference behavior     here
+    ======================  =====================  ==========================
+    Script (mandatory)       missing -> Init fails  SplError at init
+    logtail_spl_query_max_   script > 65536 B ->    SplError at init AND at
+    size flag (65536)        Init fails             every compile_spl* call
+    invalid script           Init fails ("failed    SplError at compile (plan
+                             to parse spl")         build — Spark plans lazily,
+                                                    so init validates shape/
+                                                    size, the stage grammar
+                                                    errors on first compile)
+    TimeoutMilliSeconds      non-uint -> warn +     normalized to default
+    (default 1000)           default; runtime       1000; per-OPERATOR wall
+                             abort + timeout        clocks don't exist in
+                             counter                Spark's execution model —
+                                                    the cluster-side analogue
+                                                    is job-group cancellation
+                                                    (sc.cancelJobGroup) /
+                                                    spark.task.reaper.*, and
+                                                    structured streaming
+                                                    trigger intervals bound
+                                                    per-batch latency
+    MaxMemoryBytes           non-uint -> warn +     normalized to default
+    (default 50 MiB)         default; runtime       50 MiB; per-operator
+                             abort + mem counter    memory caps are replaced
+                                                    by executor memory +
+                                                    spill-to-disk (Tungsten),
+                                                    so exceeding it degrades
+                                                    to spill, never an abort
+    logtail_spl_pipeline_    16 concurrent SPL      N/A — Spark's scheduler
+    quota flag               pipelines per agent    pools own concurrency
+    error counters           proc_spl_*_count       SplError raised to the
+                             metrics                caller; pipeline-level
+                                                    fail counts via observe()
+                                                    metrics (metrics.py)
+    ======================  =====================  ==========================
 """
 
 from __future__ import annotations
@@ -76,6 +117,53 @@ from pyspark.sql import functions as F
 
 class SplError(ValueError):
     pass
+
+
+# ProcessorSPL.cpp:26-27 flag defaults + ProcessorSPL.h:33-34 member inits
+SPL_QUERY_MAX_SIZE = 65536
+SPL_DEFAULT_TIMEOUT_MILLS = 1000
+SPL_DEFAULT_MAX_MEMORY_BYTES = 50 * 1024 * 1024
+
+
+def _uint_or_default(value, default: int) -> int:
+    """GetOptionalUIntParam semantics (ParamExtractor): absent -> default;
+    present but not a non-negative integer -> WARN + default (the reference
+    logs PARAM_WARNING_DEFAULT and keeps going, never aborts)."""
+    if value is None:
+        return default
+    if isinstance(value, bool):
+        return default
+    if isinstance(value, int) and value >= 0:
+        return value
+    if isinstance(value, str) and value.isdigit():
+        return int(value)
+    return default
+
+
+def validate_spl_config(config: dict) -> dict:
+    """Replicate ProcessorSPL::Init's config validation (see the module-doc
+    mapping table): Script is mandatory and capped at SPL_QUERY_MAX_SIZE
+    bytes (both Init failures -> SplError, i.e. the config is rejected);
+    TimeoutMilliSeconds / MaxMemoryBytes normalize to their defaults when
+    invalid (the reference warns and keeps the default). Returns the
+    normalized {script, timeout_mills, max_memory_bytes}."""
+    script = config.get("Script")
+    if not isinstance(script, str) or not script.strip():
+        raise SplError("processor_spl: mandatory string param Script is missing")
+    if len(script.encode()) > SPL_QUERY_MAX_SIZE:
+        raise SplError(
+            f"processor_spl: Script exceeds logtail_spl_query_max_size "
+            f"({len(script.encode())} > {SPL_QUERY_MAX_SIZE} bytes)"
+        )
+    return {
+        "script": script,
+        "timeout_mills": _uint_or_default(
+            config.get("TimeoutMilliSeconds"), SPL_DEFAULT_TIMEOUT_MILLS
+        ),
+        "max_memory_bytes": _uint_or_default(
+            config.get("MaxMemoryBytes"), SPL_DEFAULT_MAX_MEMORY_BYTES
+        ),
+    }
 
 
 def _split_top(s: str, sep: str) -> list[str]:
@@ -434,6 +522,10 @@ def compile_spl(
     """Compile one linear SPL pipeline into a DataFrame (see module doc for
     the supported subset). ``sample_rows`` bounds dynamic-key discovery for
     parse-json / parse-kv stages without an explicit ``as`` key list."""
+    if len(script.encode()) > SPL_QUERY_MAX_SIZE:
+        raise SplError(
+            f"spl query too large ({len(script.encode())} > {SPL_QUERY_MAX_SIZE} bytes)"
+        )
     script = script.strip()
     statements = [s for s in _split_top(script, ";") if s.strip()]
     if len(statements) > 1:
@@ -462,6 +554,10 @@ def compile_spl_multi(
     Bindings stay lazy logical plans — emitting N branches re-evaluates the
     shared prefix N times unless the caller persists the input (the routed
     write path in pipeline.py materializes once before fan-out)."""
+    if len(script.encode()) > SPL_QUERY_MAX_SIZE:
+        raise SplError(
+            f"spl query too large ({len(script.encode())} > {SPL_QUERY_MAX_SIZE} bytes)"
+        )
     bindings: dict[str, DataFrame] = {}
     results: list[tuple[str, DataFrame]] = []
     for stmt in (s.strip() for s in _split_top(script.strip(), ";")):

@@ -223,3 +223,60 @@ def test_spl_stats_errors(spark):
         compile_spl(df, "* | stats count() by content")
     with pytest.raises(SplError, match="sort"):
         compile_spl(df, "* | sort")
+
+
+def test_spl_init_quota_contract(spark):
+    """ProcessorSPL::Init fidelity (ProcessorSPL.cpp:35-101): Script
+    mandatory + query-size cap reject the config; TimeoutMilliSeconds /
+    MaxMemoryBytes warn-and-default on invalid values (never abort)."""
+    from loongcollector_spark.operators.spl import (
+        SPL_DEFAULT_MAX_MEMORY_BYTES,
+        SPL_DEFAULT_TIMEOUT_MILLS,
+        SPL_QUERY_MAX_SIZE,
+        compile_spl_multi,
+        validate_spl_config,
+    )
+
+    with pytest.raises(SplError, match="Script is missing"):
+        validate_spl_config({})
+    with pytest.raises(SplError, match="Script is missing"):
+        validate_spl_config({"Script": "   "})
+    with pytest.raises(SplError, match="query_max_size"):
+        validate_spl_config({"Script": "* | where " + "x" * SPL_QUERY_MAX_SIZE})
+
+    # warn-default semantics: invalid quota values normalize, never raise
+    got = validate_spl_config(
+        {"Script": "* | limit 1", "TimeoutMilliSeconds": "abc", "MaxMemoryBytes": -5}
+    )
+    assert got["timeout_mills"] == SPL_DEFAULT_TIMEOUT_MILLS
+    assert got["max_memory_bytes"] == SPL_DEFAULT_MAX_MEMORY_BYTES
+    got = validate_spl_config(
+        {"Script": "* | limit 1", "TimeoutMilliSeconds": 250, "MaxMemoryBytes": "1024"}
+    )
+    assert (got["timeout_mills"], got["max_memory_bytes"]) == (250, 1024)
+
+    # the size cap also guards direct compile entry points
+    df = lines(spark, "x")
+    big = "* | where content != '" + "y" * SPL_QUERY_MAX_SIZE + "'"
+    with pytest.raises(SplError, match="too large"):
+        compile_spl(df, big)
+    with pytest.raises(SplError, match="too large"):
+        compile_spl_multi(df, big)
+
+
+def test_spl_native_config_translation(spark):
+    """A reference processor_spl block translates through the native table
+    (Init-validated) and runs; a Script-less block is rejected at load."""
+    from loongcollector_spark.config import _native_processor
+
+    name, params = _native_processor(
+        {"Type": "processor_spl", "Script": "* | extend up = upper(content)"}
+    )
+    assert name == "spl"
+    from loongcollector_spark.pipeline import PROCESSORS
+
+    out = PROCESSORS[name](lines(spark, "abc"), **params)
+    assert out.first().up == "ABC"
+
+    with pytest.raises(SplError):
+        _native_processor({"Type": "processor_spl"})
