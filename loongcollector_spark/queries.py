@@ -1111,6 +1111,102 @@ def rate_limit_first_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# epoch seconds as double, TZ-independent over TIMESTAMP_NTZ — the exact
+# Spark twin of DuckDB's epoch_us(ts)/1000000.0 (integer microseconds, one
+# double division in both engines)
+_EPOCH_SECONDS = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) / 1000000.0"
+)
+
+
+def _token_bucket_oracle_sql(limit: str = "2/h", key: str = "event_type") -> str:
+    """DuckDB replay of the streaming token bucket's admit set: a recursive
+    CTE drains each key's event-time-ordered history through the identical
+    float recurrence (streaming/rate_limit.py _drain_bucket). Every literal
+    is ::DOUBLE — DuckDB types bare decimal literals as DECIMAL, whose
+    arithmetic diverges from the engine's IEEE doubles at admit boundaries."""
+    from loongcollector_spark.streaming.rate_limit import parse_limit
+
+    burst, rate = parse_limit(limit)
+    B, R = f"{burst!r}::DOUBLE", f"{rate!r}::DOUBLE"
+    refill = f"least({B}, s.tokens + greatest(e.t - s.last_t, 0.0::DOUBLE) * {R})"
+    return f"""
+    WITH RECURSIVE ev AS (
+      SELECT {key}, event_id, epoch_us(ts)/1000000.0 AS t,
+             row_number() OVER (PARTITION BY {key} ORDER BY ts, event_id) AS rn
+      FROM events),
+    sim AS (
+      SELECT {key}, event_id, rn, t, t AS last_t,
+             CASE WHEN {B} >= 1.0 THEN {B} - 1.0 ELSE {B} END AS tokens,
+             {B} >= 1.0 AS keep
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.{key}, e.event_id, e.rn, e.t,
+             greatest(s.last_t, e.t),
+             CASE WHEN {refill} >= 1.0 THEN {refill} - 1.0 ELSE {refill} END,
+             {refill} >= 1.0
+      FROM ev e JOIN sim s ON e.{key} = s.{key} AND e.rn = s.rn + 1)
+    SELECT event_id, {key} FROM sim WHERE keep
+    """
+
+
+@register(
+    "rate_limit_token_bucket",
+    _token_bucket_oracle_sql(),
+    doc="streaming token-bucket rate limit (processor_rate_limit, "
+        "token_bucket.go refill algebra): batch replay of the admit set — "
+        "the streaming operator admits the same rows across any micro-batch "
+        "split (state carries over; asserted in test_streaming.py); oracle "
+        "is a DuckDB recursive-CTE drain of the identical recurrence",
+)
+def rate_limit_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.streaming.rate_limit import token_bucket_admit
+
+    ev = load_table(spark, sf_dir, "events").withColumn("__t__", F.expr(_EPOCH_SECONDS))
+    out = token_bucket_admit(ev, ["event_type"], "2/h", ts_col="__t__")
+    return out.select("event_id", "event_type")
+
+
+def _dedup_admit_oracle_sql(delay_sec: float = 86400.0) -> str:
+    return f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts)/1000000.0 AS t,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    sim AS (
+      SELECT user_id, event_type, event_id, rn, t, t AS last_adm, TRUE AS keep
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_type, e.event_id, e.rn, e.t,
+             CASE WHEN e.t - s.last_adm > {delay_sec!r}::DOUBLE
+                  THEN e.t ELSE s.last_adm END,
+             e.t - s.last_adm > {delay_sec!r}::DOUBLE
+      FROM ev e JOIN sim s
+        ON e.user_id = s.user_id AND e.event_type = s.event_type
+       AND e.rn = s.rn + 1)
+    SELECT event_id, user_id, event_type FROM sim WHERE keep
+    """
+
+
+@register(
+    "streaming_dedup_admit",
+    _dedup_admit_oracle_sql(),
+    doc="watermark-bounded streaming dedup (dropDuplicatesWithinWatermark "
+        "twin): admit iff the gap from the last ADMITTED row of the key "
+        "exceeds the delay — the event-by-event limit of the streaming "
+        "state eviction; oracle replays the recurrence as a recursive CTE",
+)
+def streaming_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.streaming.dedup import time_bounded_dedup_admit
+
+    ev = load_table(spark, sf_dir, "events").withColumn("__t__", F.expr(_EPOCH_SECONDS))
+    out = time_bounded_dedup_admit(
+        ev, ["user_id", "event_type"], ts_col="__t__", delay_sec=86400.0
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
 # =============================================================================
 # Enrichment
 # =============================================================================
@@ -2635,6 +2731,8 @@ _DRIVER_WINDOW_TAIL = [
     "spl_multi_route",             # spl: spl_parse_json_keys in-window
     "dedup_simhash_multirot",      # dedup: dedup_simhash in-window
     "dedup_embedding_multirot",    # dedup: dedup_embedding_cosine in-window
+    "rate_limit_token_bucket",     # rate-limit: rate_limit_first_n in-window
+    "streaming_dedup_admit",       # dedup-family: dedup_exact in-window
 ]
 
 

@@ -38,3 +38,42 @@ def streaming_exact_dedup(
         .dropDuplicatesWithinWatermark([hash_col])
     )
     return out if keep_hash else out.drop(hash_col)
+
+
+def time_bounded_dedup_admit(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    delay_sec: float,
+) -> DataFrame:
+    """BATCH replay of watermark-bounded dedup's admit set: per key, in
+    event-time order, a row is admitted iff it arrives more than
+    ``delay_sec`` after the LAST ADMITTED row of the same key (the first
+    arrival always admits). This is the event-by-event limit of
+    ``dropDuplicatesWithinWatermark`` — streaming state for a key holds the
+    admitted row's event time and evicts once the watermark
+    (max-event-time - delay) passes it, so a duplicate re-admits exactly
+    when its gap from the previous admission exceeds the delay. The
+    streaming operator reaches this answer as micro-batches shrink
+    (watermarks only advance between batches); the replay is the
+    deterministic algebra an external oracle can verify. ``ts_col`` must be
+    epoch seconds (double), like the token bucket's. Scale shape: one
+    shuffle on the key columns, then a per-group ordered scan."""
+    import pandas as pd
+
+    out_schema = df.schema
+
+    def replay(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col)
+        ts = pdf[ts_col].to_numpy(dtype="float64")
+        keep = []
+        last_admitted = float("-inf")
+        for t in ts:
+            if t - last_admitted > delay_sec:
+                last_admitted = t
+                keep.append(True)
+            else:
+                keep.append(False)
+        return pdf[pd.Series(keep, index=pdf.index)]
+
+    return df.groupBy(*key_cols).applyInPandas(replay, schema=out_schema)

@@ -32,6 +32,25 @@ def parse_limit(limit: str) -> Tuple[float, float]:
     return burst, burst / seconds
 
 
+def _drain_bucket(ts, burst: float, rate: float, tokens_left: float, last_refill: float):
+    """The bucket drain recurrence over event-time-sorted timestamps —
+    shared by the streaming limiter and the batch replay twin so the admit
+    algebra cannot drift between them. Bucket updates are order-dependent;
+    groups are small per micro-batch, and the arithmetic stays in C floats."""
+    keep = []
+    for t in ts:
+        if last_refill == float("-inf"):
+            last_refill = t
+        tokens_left = min(burst, tokens_left + max(t - last_refill, 0.0) * rate)
+        last_refill = max(last_refill, t)
+        if tokens_left >= 1.0:
+            tokens_left -= 1.0
+            keep.append(True)
+        else:
+            keep.append(False)
+    return keep, tokens_left, last_refill
+
+
 def streaming_rate_limit(
     df: DataFrame,
     fields: list[str],
@@ -59,18 +78,9 @@ def streaming_rate_limit(
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(ts_col)
             ts = pdf[ts_col].to_numpy(dtype="float64")
-            keep = []
-            for t in ts:  # bucket updates are order-dependent; groups are
-                # small per micro-batch, and the arithmetic stays in C floats
-                if last_refill == float("-inf"):
-                    last_refill = t
-                tokens_left = min(burst, tokens_left + max(t - last_refill, 0.0) * rate)
-                last_refill = max(last_refill, t)
-                if tokens_left >= 1.0:
-                    tokens_left -= 1.0
-                    keep.append(True)
-                else:
-                    keep.append(False)
+            keep, tokens_left, last_refill = _drain_bucket(
+                ts, burst, rate, tokens_left, last_refill
+            )
             yield pdf[pd.Series(keep, index=pdf.index)]
         state.update((float(tokens_left), float(last_refill)))
 
@@ -81,3 +91,30 @@ def streaming_rate_limit(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def token_bucket_admit(
+    df: DataFrame,
+    fields: list[str],
+    limit: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """BATCH replay of the token bucket's admit set: each key's full history
+    drains through the exact streaming recurrence (_drain_bucket) in one
+    applyInPandas group — the oracle-comparable twin of streaming_rate_limit
+    (a stream split into micro-batches admits the same rows because the
+    bucket state carries across batches; asserted in test_streaming.py).
+    ``ts_col`` must be epoch seconds (double). Scale shape: one shuffle on
+    the key columns, then a per-group sequential drain — the recurrence is
+    inherently ordered, so parallelism comes from key count, exactly like
+    the reference's per-key bucket map."""
+    burst, rate = parse_limit(limit)
+    out_schema = df.schema
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        ts = pdf[ts_col].to_numpy(dtype="float64")
+        keep, _, _ = _drain_bucket(ts, burst, rate, burst, float("-inf"))
+        return pdf[pd.Series(keep, index=pdf.index)]
+
+    return df.groupBy(*fields).applyInPandas(replay, schema=out_schema)

@@ -435,3 +435,79 @@ def test_streaming_kv_expand_keys_frozen_schema(spark, tmp_path):
     schemas = {tuple(sorted(pq.read_schema(f).names))
                for d in dirs for f in glob.glob(d + "/*.parquet")}
     assert schemas == {("a", "b", "line", "source")}  # novel key z not projected
+
+
+def test_token_bucket_batch_replay_matches_streaming(spark, tmp_path):
+    """The oracle-paired batch twin (token_bucket_admit) and the stateful
+    streaming operator admit the SAME rows when the stream is split into
+    multiple micro-batches: bucket state carries across batches, so the
+    admit set is a property of the event history, not the batching."""
+    from loongcollector_spark.streaming.rate_limit import token_bucket_admit
+
+    rows = [
+        {"k": key, "ts": float(t), "n": i}
+        for key in ("a", "b")
+        for i, t in enumerate(
+            [0.0, 0.2, 0.4, 0.6, 2.0, 2.1, 2.2, 7.0, 7.1, 7.2, 7.3, 30.0]
+        )
+    ]
+    src = tmp_path / "rp_in"
+    src.mkdir()
+    # three files -> three micro-batches (maxFilesPerTrigger=1), event time
+    # strictly increasing across files so state continuity is what's tested
+    import pandas as _pd
+
+    for fi in range(3):
+        _pd.DataFrame(rows[len(rows) * fi // 3 : len(rows) * (fi + 1) // 3]).to_parquet(
+            str(src / f"p{fi}.parquet")
+        )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("k string, ts double, n long")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    limited = streaming_rate_limit(stream, ["k"], "2/s", ts_col="ts")
+    out = str(tmp_path / "rp_out")
+    q = (
+        limited.writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "rp_ckpt"))
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {(r.k, r.n) for r in spark.read.parquet(out).collect()}
+
+    batch_df = spark.createDataFrame(
+        [(r["k"], r["ts"], r["n"]) for r in rows], "k string, ts double, n long"
+    )
+    replayed = {
+        (r.k, r.n)
+        for r in token_bucket_admit(batch_df, ["k"], "2/s", ts_col="ts").collect()
+    }
+    assert streamed == replayed
+    assert 0 < len(replayed) < len(rows)  # the limit actually dropped rows
+
+
+def test_time_bounded_dedup_admit_algebra(spark):
+    """time_bounded_dedup_admit: first arrival admits; duplicates within
+    the delay of the LAST ADMITTED row drop; a re-delivery later than the
+    delay re-admits and restarts the clock."""
+    from loongcollector_spark.streaming.dedup import time_bounded_dedup_admit
+
+    rows = [
+        ("x", 0.0, 0),    # admit (first)
+        ("x", 5.0, 1),    # drop (5 <= 10 after 0)
+        ("x", 9.0, 2),    # drop (9 <= 10 after 0)
+        ("x", 11.0, 3),   # admit (11 > 10 after 0)
+        ("x", 20.0, 4),   # drop (9 after 11)
+        ("x", 22.0, 5),   # admit (11 after 11)
+        ("y", 1.0, 6),    # admit (first of its key)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts double, n long")
+    got = {
+        r.n
+        for r in time_bounded_dedup_admit(df, ["k"], ts_col="ts", delay_sec=10.0).collect()
+    }
+    assert got == {0, 3, 5, 6}
