@@ -368,3 +368,96 @@ def simhash_near_dups(
     if n_rotations > 1:
         pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return pairs
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → ``(id, cluster_id)`` with
+    ``cluster_id = min(id)`` in the component. The missing last step of a
+    dedup pipeline: pair finders (MinHash/SimHash/embedding LSH) emit edges;
+    clustering turns them into keep/drop decisions that are CONSISTENT
+    across transitive chains (a~b, b~c must collapse to one keeper even when
+    (a,c) was never a candidate pair).
+
+    Algorithm: min-label propagation. Labels start as the id; each round
+    every node takes the min of its own and its neighbors' labels; stop when
+    a round changes nothing. Each round is one shuffle (edge-label join +
+    groupBy min); rounds needed = component diameter, which for near-dup
+    graphs is tiny (dup sets are near-cliques — 2-3 rounds in practice, the
+    reason plain propagation beats the alternating-star constructions here).
+    The edge list is persisted across rounds; each round's labels are
+    localCheckpoint'ed — iterative joins otherwise nest the previous round's
+    plan twice per round and the logical tree grows 2^rounds (a driver OOM
+    long before any data is big; on a multi-node cluster use a reliable
+    checkpoint dir instead of localCheckpoint for executor-loss tolerance).
+    Driver work is O(iterations) counts, never row data."""
+    edges = _track_persist(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_keepers(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-document keep/drop decision from a near-dup pair list: every doc
+    gets its transitive ``cluster_id`` (docs in no pair are their own
+    singleton cluster) and ``is_keeper`` = (id == min id of the cluster).
+    Downstream filters ``is_keeper`` to materialize the deduped corpus.
+    The component relation is tiny (only docs that appear in some pair), so
+    the join back to the corpus is a broadcast in practice; the corpus
+    itself is never shuffled."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    return (
+        df.join(comp, df[id_col] == comp.id, "left")
+        .select(
+            df[id_col],
+            F.coalesce(F.col("cluster_id"), df[id_col]).alias("cluster_id"),
+        )
+        .withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
+    )

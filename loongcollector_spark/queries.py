@@ -1642,6 +1642,65 @@ def _simhash_multirot_oracle_sql(
     """
 
 
+def _cluster_keepers_oracle_sql(n: int = 2, max_hamming: int = 3) -> str:
+    """Pairs = the exact hamming<=max_hamming set (what the multirot banding
+    provably returns); clusters = transitive closure via a recursive CTE;
+    keeper = min doc_id per component; singletons keep themselves."""
+    gh = _MD5H60.format(g="g")
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS l
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(l) >= {n}
+                  THEN list_distinct(list_transform(range(1, len(l) - {n - 2}),
+                                     i -> array_to_string(l[i:i+{n - 1}], ' ')))
+                  ELSE [] END AS grams
+      FROM toks),
+    gh AS (SELECT doc_id, list_transform(grams, g -> {gh}) AS h FROM sh),
+    sig AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(64), j ->
+               CASE WHEN 2 * len(list_filter(h, x -> (x >> j) & 1 = 1)) > len(h)
+                    THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS sig
+      FROM gh),
+    pairs AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}),
+    edges AS (
+      SELECT ida AS src, idb AS dst FROM pairs
+      UNION SELECT idb, ida FROM pairs),
+    reach AS (
+      SELECT src AS id, src AS root FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_keeper
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """
+
+
+@register(
+    "dedup_cluster_keepers",
+    _cluster_keepers_oracle_sql(),
+    doc="connected-components dedup clustering: multirot SimHash pairs -> "
+        "min-label propagation components -> per-doc keeper decision "
+        "(transitively consistent keep/drop); oracle computes the closure "
+        "with a recursive CTE over the exact hamming pair set",
+)
+def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dups(
+        docs, "text", "doc_id", n=2, max_hamming=3,
+        gram_hash=dedup.md5_hash60, n_rotations=4,
+    )
+    return dedup.dedup_keepers(docs, pairs, "doc_id")
+
+
 @register(
     "dedup_simhash_multirot",
     _simhash_multirot_oracle_sql(),
@@ -2733,6 +2792,7 @@ _DRIVER_WINDOW_TAIL = [
     "dedup_embedding_multirot",    # dedup: dedup_embedding_cosine in-window
     "rate_limit_token_bucket",     # rate-limit: rate_limit_first_n in-window
     "streaming_dedup_admit",       # dedup-family: dedup_exact in-window
+    "dedup_cluster_keepers",       # dedup: clustering over in-window pairs
 ]
 
 

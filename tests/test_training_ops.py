@@ -364,3 +364,37 @@ def test_ann_recall_vs_brute_force(spark):
         ivf_r.append(len(set(exact) & set(ivf)) / 10)
     assert statistics.mean(lsh_r) >= 0.35, lsh_r   # baseline ~0.25, measured ~0.48
     assert statistics.mean(ivf_r) >= 0.40, ivf_r   # baseline ~0.25, measured ~0.60
+
+
+def test_connected_components_and_keepers(spark):
+    """Min-label propagation handles transitive chains (a~b, b~c collapse
+    to one component even though (a,c) was never a pair), disjoint
+    components, and singleton docs; keeper = min id per component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (7, 9)], "id_a long, id_b long"
+    )
+    comp = {(r.id, r.cluster_id) for r in dedup.connected_components(pairs).collect()}
+    assert comp == {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (7, 7), (8, 7), (9, 7)}
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    got = {
+        r.doc_id: (r.cluster_id, r.is_keeper)
+        for r in dedup.dedup_keepers(docs, pairs, "doc_id").collect()
+    }
+    dedup.release_persisted()
+    assert got[2] == (1, False) and got[3] == (1, False) and got[1] == (1, True)
+    assert got[4] == (4, True)  # singleton keeps itself
+    assert got[9] == (7, False) and got[7] == (7, True)
+    assert sum(1 for c, k in got.values() if k) == 5  # 3 clusters + 2 singletons
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A path graph exercises multi-round propagation (diameter >> 1)."""
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    comp = dedup.connected_components(pairs).collect()
+    dedup.release_persisted()
+    assert {r.cluster_id for r in comp} == {0}
+    assert len(comp) == n + 1
