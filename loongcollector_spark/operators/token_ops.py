@@ -95,13 +95,19 @@ def token_subseq_find(
             hit &= flat[j : j + valid] == pat[j]
         ends = np.cumsum(lengths)
         starts = ends - lengths  # row i's tokens = flat[starts[i]:ends[i]]
-        for i in range(n_rows):
-            if lengths[i] < m:
-                continue
-            seg = hit[starts[i] : ends[i] - m + 1]
-            pos = np.flatnonzero(seg)
-            if len(pos):
-                out[i] = int(pos[0])
+        # whole-batch hit→row attribution (no per-row loop): a window at
+        # global start p belongs to the row whose [start, end) contains p,
+        # and is real only if it doesn't cross into the next row (p+m<=end)
+        p = np.flatnonzero(hit)
+        if len(p):
+            row_of = np.searchsorted(ends, p, side="right")
+            in_row = p + m <= ends[row_of]
+            p, row_of = p[in_row], row_of[in_row]
+            if len(p):
+                # p ascending & row_of non-decreasing → unique() keeps the
+                # FIRST window of each row
+                rows_u, first_i = np.unique(row_of, return_index=True)
+                out[rows_u] = (p[first_i] - starts[rows_u]).astype(np.int32)
         return pd.Series(out)
 
     return df.withColumn(dest, find(F.col(tokens_col)))
