@@ -103,3 +103,110 @@ def fingerprint(col: Column) -> Column:
 def content_hash(col: Column) -> Column:
     """64-bit content hash for digests and shard keys."""
     return F.xxhash64(col)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (Rae et al. 2021, "Scaling Language Models",
+# Table A1): duplicate-line fraction, duplicate-line character fraction, and
+# the character mass of the most frequent word n-gram. Standard quality gates
+# for pretraining corpora — docs dominated by boilerplate repetition get cut.
+# ---------------------------------------------------------------------------
+
+
+def _nonempty_lines(col: Column) -> Column:
+    return F.filter(F.split(col, r"\n"), lambda l: F.trim(l) != "")
+
+
+def dup_line_frac(col: Column) -> Column:
+    """Fraction of lines that are repeats of an earlier line:
+    (n_lines - n_distinct) / n_lines. Pure array expressions — per-doc, no
+    shuffle, fuses into the scan stage."""
+    lines = _nonempty_lines(col)
+    n = F.size(lines)
+    return ((n - F.size(F.array_distinct(lines))) / F.greatest(n, F.lit(1))).cast("double")
+
+
+def dup_line_char_frac(col: Column) -> Column:
+    """Fraction of characters sitting in repeat occurrences of a line:
+    sum over distinct lines of (count-1)*len(line), over total line chars.
+    O(distinct_lines * lines) per doc — documents have tens-to-hundreds of
+    lines, so this stays cheaper than an explode + (doc,line) groupBy shuffle
+    until ~10^4 lines/doc; docs are independent, so the cost is embarrassingly
+    parallel and shuffle-free at any corpus size."""
+    lines = _nonempty_lines(col)
+    total = F.aggregate(lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l))
+    dup_chars = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + (F.size(F.filter(lines, lambda y: y == x)) - 1) * F.length(x),
+    )
+    return (dup_chars / F.greatest(total, F.lit(1))).cast("double")
+
+
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    """Space-joined word n-grams of the whitespace tokenization (array of
+    strings; empty when the doc has < n words)."""
+    ws = words(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " ")
+    )
+    return F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_char_frac(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """Per-doc fraction of characters covered by the most frequent word
+    n-gram: max over grams of count*len(gram) / len(text).
+
+    Scale shape: explode -> partial-agg groupBy on (doc_id, gram) -> per-doc
+    max — linear in corpus size, one shuffle keyed by (doc_id, gram) (grams of
+    one doc never all meet, so no per-doc hotspot), then a cheap doc-keyed
+    rollup. The O(G^2) per-doc array alternative is wrong for long docs.
+    Returns (id_col, top_ngram_chars, text_chars)."""
+    grams = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("text_chars"),
+        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    per_gram = grams.groupBy(id_col, "text_chars", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_gram.groupBy(id_col, "text_chars").agg(
+        F.max(
+            F.when(F.col("gram").isNotNull(), F.col("cnt") * F.length("gram"))
+            .otherwise(F.lit(0))
+            .cast("long")
+        ).alias("top_ngram_chars")
+    ).select(
+        F.col(id_col),
+        F.col("top_ngram_chars"),
+        F.col("text_chars").cast("long").alias("text_chars"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+    buckets: int = 10000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling to target mix proportions (the
+    static domain-reweighting step of a pretraining data recipe): a row is
+    kept iff md5(id) mod `buckets` < rate(stratum) * buckets.
+
+    Hash-gated, not random: reproducible across runs/engines, needs no seed
+    state, and is a pure per-row filter — no shuffle, pushes past the scan at
+    100 TB. md5 (not xxhash64) so external engines can replay the exact
+    admit set (DuckDB: ('0x' || substr(md5(id),1,15))::BIGINT)."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long") % buckets
+    rate: Column = F.lit(float(default_rate))
+    for k in sorted(rates):  # deterministic plan
+        rate = F.when(F.col(strata_col) == k, F.lit(float(rates[k]))).otherwise(rate)
+    return df.filter(bucket < (rate * buckets).cast("long"))

@@ -176,6 +176,110 @@ def token_gram_hashes(
     )
 
 
+def token_subseq_find_multi(
+    df: DataFrame,
+    tokens_col: str,
+    patterns: Sequence[Sequence[int]],
+    dest: str = "match_pos",
+) -> DataFrame:
+    """First occurrence of EACH of K token-id subsequences per row, as an
+    ``array<int>`` aligned with ``patterns`` (-1 where absent) — the
+    benchmark-decontamination primitive: one Arrow transfer of the token
+    column serves every pattern (vs K transfers for K single-pattern calls),
+    and the flatten/offset bookkeeping is shared; per pattern the scan is
+    one vectorized rolling compare over the whole batch."""
+    pats = [np.asarray(list(p), dtype=np.int64) for p in patterns]
+    if not pats or any(len(p) == 0 for p in pats):
+        raise ValueError("need at least one non-empty pattern")
+    n_pat = len(pats)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def find(tok: pd.Series) -> pd.Series:
+        lengths = tok.map(lambda v: 0 if v is None else len(v)).to_numpy(dtype=np.int64)
+        n_rows = len(tok)
+        res = np.full((n_rows, n_pat), -1, dtype=np.int32)
+        if lengths.sum() == 0:
+            return pd.Series(list(res))
+        flat = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v in tok if v is not None and len(v)]
+        )
+        ends = np.cumsum(lengths)
+        starts = ends - lengths
+        for k, pat in enumerate(pats):
+            m = len(pat)
+            valid = len(flat) - m + 1
+            if valid <= 0:
+                continue
+            hit = np.ones(valid, dtype=bool)
+            for j in range(m):
+                hit &= flat[j : j + valid] == pat[j]
+            p = np.flatnonzero(hit)
+            if not len(p):
+                continue
+            row_of = np.searchsorted(ends, p, side="right")
+            in_row = p + m <= ends[row_of]
+            p, row_of = p[in_row], row_of[in_row]
+            if len(p):
+                rows_u, first_i = np.unique(row_of, return_index=True)
+                res[rows_u, k] = (p[first_i] - starts[rows_u]).astype(np.int32)
+        return pd.Series(list(res))
+
+    return df.withColumn(dest, find(F.col(tokens_col)))
+
+
+def token_pack_chunks(
+    df: DataFrame,
+    chunk_len: int = 2048,
+    id_col: str = "doc_id",
+    n_tok_col: str = "n_tok",
+    partition_by: str | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end to end in a
+    deterministic order and cut the stream every ``chunk_len`` tokens — the
+    standard pretraining packing step (each chunk becomes one fixed-length
+    training sequence; a document straddling a cut contributes a slice to
+    each side).
+
+    Returns one row per (document x chunk it overlaps):
+    ``(pack_key?, chunk_id, doc_id, slice_tokens)`` rolled up by the caller,
+    or aggregate per chunk via the companion query.
+
+    Scale shape: the cumulative offset is a window sum. With
+    ``partition_by`` (the production path) packing runs INDEPENDENTLY per
+    pack key (shard/source/worker), so the sort is per-key inside a hash
+    shuffle — no global total order, no skew beyond the key's own mass, and
+    the layout matches how a 1000-executor job would pack: each executor
+    packs its shard. ``partition_by=None`` gives the single-stream layout
+    (global range sort — fine for one shard, not the 100 TB default)."""
+    from pyspark.sql.window import Window
+
+    order = order_col or id_col
+    w = (
+        Window.partitionBy(partition_by).orderBy(order)
+        if partition_by
+        else Window.orderBy(order)
+    )
+    n = F.col(n_tok_col).cast("long")
+    end = F.sum(n).over(w)
+    rows = (
+        df.filter(n > 0)
+        .withColumn("_end", end)
+        .withColumn("_start", F.col("_end") - n)
+    )
+    first_c = F.floor(F.col("_start") / chunk_len)
+    last_c = F.floor((F.col("_end") - 1) / chunk_len)
+    spans = rows.withColumn("chunk_id", F.explode(F.sequence(first_c, last_c)))
+    lo = F.greatest(F.col("_start"), F.col("chunk_id") * chunk_len)
+    hi = F.least(F.col("_end"), (F.col("chunk_id") + 1) * chunk_len)
+    out = spans.withColumn("slice_tokens", (hi - lo).cast("long")).drop(
+        "_start", "_end"
+    )
+    return out
+
+
 def token_minhash_lsh(
     df: DataFrame,
     tokens_col: str = "tokens",

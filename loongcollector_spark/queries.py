@@ -2755,6 +2755,235 @@ def dedup_token_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAM_ROWS = (0, 77, 350)
+_CONTAM_N = 500
+
+
+def _contamination_oracle() -> str:
+    from loongcollector_spark.sources.sql_oracle import (
+        benchmark_patterns, contamination_oracle,
+    )
+
+    return contamination_oracle(
+        _CONTAM_N, benchmark_patterns(list(_CONTAM_ROWS), m=3)
+    )
+
+
+@register(
+    "contamination_token_hits",
+    _contamination_oracle(),
+    doc="benchmark decontamination over token arrays: find training "
+        "sequences containing any benchmark token-subsequence "
+        "(token_subseq_find — one vectorized rolling compare per pattern "
+        "per Arrow batch, no per-row Python; K patterns = K column scans of "
+        "the same cached batch). The DuckDB oracle regenerates EVERY token "
+        "of every sequence from seed (f1_tokens_cte) and replays the "
+        "first-occurrence scan as a short-circuit list lambda",
+)
+def contamination_token_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.token_ops import token_subseq_find_multi
+    from loongcollector_spark.sources.sql_oracle import benchmark_patterns
+    from loongcollector_spark.sources.synthetic import generate_sequences
+
+    pats = benchmark_patterns(list(_CONTAM_ROWS), m=3)
+    seqs = generate_sequences(spark, _CONTAM_N, partitions=8)
+    found = token_subseq_find_multi(seqs, "tokens", pats, dest="positions")
+    exploded = found.select(
+        "doc_id", F.posexplode("positions").alias("pattern_id", "match_pos")
+    )
+    return exploded.filter(F.col("match_pos") >= 0).select(
+        "pattern_id", "doc_id", "match_pos"
+    )
+
+
+@register(
+    "repetition_panel",
+    """
+    WITH docs2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || chr(10) || substr(text, 1, 50)
+                            || chr(10) || substr(text, 1, 50)
+                  ELSE text END AS text
+      FROM documents),
+    base AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+      FROM docs2),
+    linestats AS (
+      SELECT doc_id, text,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS dup_lines,
+        CAST(COALESCE(list_aggregate(list_transform(lines, l -> length(l)),
+                                     'sum'), 0) AS BIGINT) AS line_chars,
+        CAST(COALESCE(list_aggregate(list_transform(list_distinct(lines),
+             x -> (len(list_filter(lines, y -> y = x)) - 1) * length(x)),
+             'sum'), 0) AS BIGINT) AS dup_line_chars
+      FROM base),
+    ws AS (
+      SELECT doc_id, length(text) AS text_chars,
+             list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS w
+      FROM base),
+    grams AS (
+      SELECT doc_id, text_chars,
+             unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM ws),
+    per AS (
+      SELECT doc_id, text_chars, gram, COUNT(*) AS cnt
+      FROM grams GROUP BY 1, 2, 3),
+    top AS (
+      SELECT doc_id, CAST(MAX(cnt * length(gram)) AS BIGINT) AS top_ngram_chars
+      FROM per GROUP BY doc_id)
+    SELECT l.doc_id, l.n_lines, l.dup_lines, l.dup_line_chars, l.line_chars,
+           COALESCE(t.top_ngram_chars, 0) AS top_ngram_chars,
+           CAST(length(l.text) AS BIGINT) AS text_chars,
+           CAST(CASE WHEN l.dup_line_chars * 5 > l.line_chars
+                       OR COALESCE(t.top_ngram_chars, 0) * 5 > length(l.text)
+                     THEN 1 ELSE 0 END AS INT) AS flagged
+    FROM linestats l LEFT JOIN top t USING (doc_id)
+    """,
+    doc="Gopher-style repetition filters (Rae et al. 2021 Table A1): "
+        "duplicate-line fraction and duplicate-line char mass as per-doc "
+        "array expressions (shuffle-free, fuse into the scan), most-frequent "
+        "word-2-gram char mass via explode -> (doc,gram) partial-agg groupBy "
+        "(linear, no per-doc hotspot); integer numerators/denominators so "
+        "the flag threshold (frac > 0.2) is exact cross-engine arithmetic",
+)
+def repetition_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.functions.text import (
+        _nonempty_lines, top_ngram_char_frac,
+    )
+
+    raw = load_table(spark, sf_dir, "documents")
+    # a third of the fixture docs get a deterministic duplicated trailing
+    # line so the dup-line path is exercised (the parquet docs are 1-line)
+    dup_line = F.substring("text", 1, 50)
+    docs = raw.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat_ws("\n", F.col("text"), dup_line, dup_line),
+        ).otherwise(F.col("text")),
+    )
+    lines = _nonempty_lines(F.col("text"))
+    distinct = F.array_distinct(lines)
+    base = docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(distinct)).cast("long").alias("dup_lines"),
+        F.aggregate(
+            lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+        ).alias("line_chars"),
+        F.aggregate(
+            distinct,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + (F.size(F.filter(lines, lambda y: y == x)) - 1) * F.length(x),
+        ).alias("dup_line_chars"),
+    )
+    top = top_ngram_char_frac(docs, "text", "doc_id", n=2)
+    joined = base.join(top, "doc_id")
+    flagged = (
+        (F.col("dup_line_chars") * 5 > F.col("line_chars"))
+        | (F.col("top_ngram_chars") * 5 > F.col("text_chars"))
+    )
+    return joined.select(
+        "doc_id", "n_lines", "dup_lines", "dup_line_chars", "line_chars",
+        "top_ngram_chars", "text_chars",
+        flagged.cast("int").alias("flagged"),
+    )
+
+
+def _pack_chunks_oracle(n_rows: int = 2000, chunk_len: int = 2048) -> str:
+    from loongcollector_spark.sources.sql_oracle import f1_cte
+
+    return f"""
+WITH {f1_cte(n_rows, 42, (0,))},
+docs AS (
+  SELECT source || '-' || lpad(CAST(i AS VARCHAR), 12, '0') AS doc_id,
+         source, n_tok
+  FROM f1 WHERE n_tok > 0),
+cum AS (
+  SELECT source, doc_id, n_tok,
+         SUM(CAST(n_tok AS BIGINT)) OVER
+           (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS e
+  FROM docs),
+spans AS (SELECT source, doc_id, e - n_tok AS s, e FROM cum),
+chunks AS (
+  SELECT source, doc_id, s, e,
+         UNNEST(generate_series(CAST(floor(s / {chunk_len}.0) AS BIGINT),
+                                CAST(floor((e - 1) / {chunk_len}.0) AS BIGINT)))
+           AS chunk_id
+  FROM spans)
+SELECT source, chunk_id, COUNT(*) AS n_docs,
+       CAST(SUM(LEAST(e, (chunk_id + 1) * {chunk_len})
+                - GREATEST(s, chunk_id * {chunk_len})) AS BIGINT)
+         AS chunk_tokens
+FROM chunks GROUP BY source, chunk_id
+"""
+
+
+@register(
+    "token_pack_chunks",
+    _pack_chunks_oracle(),
+    doc="concat-and-chunk sequence packing (the pretraining packing step): "
+        "documents laid end to end per pack key, stream cut every 2048 "
+        "tokens, one row per chunk with doc count and exact token mass. "
+        "partition_by='source' is the production layout — packing runs "
+        "independently per shard inside a hash shuffle (per-key window "
+        "sort, no global total order); DuckDB replays the cumulative-offset "
+        "window and the span explode",
+)
+def token_pack_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.token_ops import token_pack_chunks
+    from loongcollector_spark.sources.synthetic import generate_sequences_head
+
+    seqs = generate_sequences_head(spark, 2000, head=1)
+    spans = token_pack_chunks(seqs, chunk_len=2048, partition_by="source")
+    return spans.groupBy("source", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("slice_tokens").alias("chunk_tokens"),
+    )
+
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125}
+_MIX_DEFAULT = 0.0625  # exact binary fractions: rate*buckets is integral
+
+
+@register(
+    "stratified_sample_mix",
+    f"""
+    SELECT source, COUNT(*) AS kept_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 10000 <
+          CAST((CASE source
+                  WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                  WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.125
+                  ELSE 0.0625 END) * 10000 AS BIGINT)
+    GROUP BY source
+    """,
+    doc="deterministic stratified domain sampling (static data-mix "
+        "reweighting): keep iff md5(id) mod 10k < rate(stratum)*10k — a "
+        "pure per-row hash gate, reproducible across engines/runs, no "
+        "shuffle, pushes past the scan; rates are exact binary fractions "
+        "so the admit threshold is integral in both engines",
+)
+def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.functions.text import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "source", _MIX_RATES, "doc_id", default_rate=_MIX_DEFAULT
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
 # =============================================================================
 # Driver-window ordering
 # =============================================================================
@@ -2793,6 +3022,11 @@ _DRIVER_WINDOW_TAIL = [
     "rate_limit_token_bucket",     # rate-limit: rate_limit_first_n in-window
     "streaming_dedup_admit",       # dedup-family: dedup_exact in-window
     "dedup_cluster_keepers",       # dedup: clustering over in-window pairs
+    # round 4: demoted to admit the new training-data families in-window
+    "orders_customer_revenue",     # SQL-rollup demo: lineitem_pricing in-window
+    "embedding_norms",             # embeddings: ann_* + dedup_embedding in-window
+    "multimodal_frame_plan",       # multimodal: multimodal_features in-window
+    "fingerprint_normalized",      # text: text_quality_panel + lang_id in-window
 ]
 
 

@@ -91,6 +91,93 @@ f1 AS (SELECT i,
 FROM g2)"""
 
 
+def f1_tokens_cte(n_rows: int, seed: int = 42) -> str:
+    """WITH-clause SQL producing ``f1t(i, doc_id, source, n_tok, tokens)``
+    with the FULL token list per row — token j (0-based) is
+    splitmix64(row_key + j + 1) % VOCAB_SIZE, replayed inside a DuckDB list
+    lambda. The strongest oracle form: the verifier regenerates every token
+    of every sequence from seed alone and then re-runs the operator's
+    semantics over them in SQL."""
+    cum = np.cumsum(SOURCE_WEIGHTS)
+    cum_sql = "[" + ", ".join(repr(float(c)) for c in cum) + "]"
+    src_salt = 0xA5A5A5A5 + seed
+    ntok_salt = 0x5EED5EED + seed
+    keymul = seed * 0x10001
+    tok_j = splitmix64_sql(f"(row_key + j + 1) % {_M64}")
+    return f"""
+ids AS (SELECT CAST(range AS HUGEINT) AS i FROM range({n_rows})),
+g AS (SELECT i,
+  {splitmix64_sql(_xor_const('i', src_salt))} AS src_h,
+  {splitmix64_sql(_xor_const('i', ntok_salt))} AS ntok_h,
+  {splitmix64_sql(f'(i + {keymul}) % {_M64}')} AS row_key
+FROM ids),
+g2 AS (SELECT i, row_key,
+  len(list_filter({cum_sql}, c -> c <= CAST(src_h AS DOUBLE) / 18446744073709551616.0)) AS src_idx_raw,
+  CAST({MIN_TOK} + floor(({MAX_TOK} - {MIN_TOK}) * power(CAST(ntok_h AS DOUBLE) / 18446744073709551616.0, 3)) AS INT) AS n_tok
+FROM g),
+g3 AS (SELECT i, row_key, n_tok,
+  {_sql_str_array(SOURCES)}[least(src_idx_raw, {len(SOURCES) - 1}) + 1] AS source
+FROM g2),
+f1t AS MATERIALIZED (SELECT i,
+  source || '-' || lpad(CAST(i AS VARCHAR), 12, '0') AS doc_id,
+  source, n_tok,
+  list_transform(range(0, n_tok), j -> CAST({tok_j} % {VOCAB_SIZE} AS INT)) AS tokens
+FROM g3)"""
+
+
+def contamination_oracle(
+    n_rows: int, patterns: list[list[int]], seed: int = 42
+) -> str:
+    """Oracle for queries.contamination_token_hits: regenerate the full token
+    streams, then find the FIRST occurrence (0-based) of each benchmark
+    pattern via a list-lambda scan (DuckDB list slices are 1-based inclusive:
+    tokens[i : i+m-1] is the m-token window starting at i)."""
+    m = len(patterns[0])
+    if any(len(p) != m for p in patterns):
+        raise ValueError("all patterns must share one length")
+    # per-pattern branch with an element-wise conjunction (no slice allocs;
+    # the AND short-circuits on the first token, so the scan is ~one integer
+    # compare per position instead of an m-slice equality)
+    branches = []
+    for k, p in enumerate(patterns):
+        cond = " AND ".join(f"f.tokens[i + {j}] = {t}" for j, t in enumerate(p))
+        branches.append(
+            f"""SELECT {k} AS pattern_id, f.doc_id,
+         CAST(list_filter(range(1, len(f.tokens) - {m} + 2),
+                          i -> {cond})[1] - 1 AS INT) AS match_pos
+  FROM f1t f"""
+        )
+    union = "\n  UNION ALL\n  ".join(branches)
+    return f"""
+WITH {f1_tokens_cte(n_rows, seed)},
+hits AS (
+  {union})
+SELECT pattern_id, doc_id, match_pos
+FROM hits WHERE match_pos IS NOT NULL
+"""
+
+
+def benchmark_patterns(
+    rows: list[int], m: int = 3, seed: int = 42
+) -> list[list[int]]:
+    """Deterministic 'benchmark set' for the decontamination fixture: the
+    first m tokens of the given row indices (numpy replay of the generator —
+    each pattern provably occurs in its origin row at position 0)."""
+    from loongcollector_spark.sources.synthetic import _row_key, _splitmix64
+
+    out = []
+    for r in rows:
+        key = _row_key(np.array([r], dtype=np.int64), seed)[0]
+        with np.errstate(over="ignore"):
+            toks = [
+                int(_splitmix64(np.array([key + np.uint64(j + 1)], dtype=np.uint64))[0]
+                    % np.uint64(VOCAB_SIZE))
+                for j in range(m)
+            ]
+        out.append(toks)
+    return out
+
+
 def token_native_rollup_oracle(n_rows: int = 5000, seed: int = 42) -> str:
     """Oracle for queries.token_native_parse_rollup: route on status/level
     extracted straight from header tokens, roll up per (source, sink)."""

@@ -146,3 +146,71 @@ def test_token_gram_hashes_and_minhash(spark):
     assert ("a", "b") in pairs
     assert pairs[("a", "b")] > 0.5
     assert all(a < b for a, b in pairs)
+
+
+def test_token_pack_chunks_spans(spark):
+    from loongcollector_spark.operators.token_ops import token_pack_chunks
+
+    df = spark.createDataFrame(
+        [("d1", 5, "s"), ("d2", 3, "s"), ("d3", 4, "s"), ("d0", 0, "s")],
+        "doc_id string, n_tok int, source string",
+    )
+    spans = token_pack_chunks(df, chunk_len=4, partition_by="source")
+    got = {
+        (r.doc_id, r.chunk_id): r.slice_tokens for r in spans.collect()
+    }
+    # layout (order d1,d2,d3 after the empty doc drops): d1 [0,5) d2 [5,8) d3 [8,12)
+    assert got == {
+        ("d1", 0): 4, ("d1", 1): 1, ("d2", 1): 3, ("d3", 2): 4,
+    }
+    per_chunk = {
+        (r.chunk_id): (r.n_docs, r.toks)
+        for r in spans.groupBy("chunk_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("slice_tokens").alias("toks"))
+        .collect()
+    }
+    assert per_chunk == {0: (1, 4), 1: (2, 4), 2: (1, 4)}
+
+
+def test_token_pack_chunks_partition_independence(spark):
+    from loongcollector_spark.operators.token_ops import token_pack_chunks
+
+    df = spark.createDataFrame(
+        [("a1", 3, "a"), ("a2", 3, "a"), ("b1", 3, "b")],
+        "doc_id string, n_tok int, source string",
+    )
+    spans = token_pack_chunks(df, chunk_len=4, partition_by="source")
+    rows = {(r.source, r.doc_id, r.chunk_id) for r in spans.collect()}
+    # each source packs from offset 0 independently
+    assert ("b", "b1", 0) in rows
+    assert ("a", "a1", 0) in rows and ("a", "a2", 0) in rows and ("a", "a2", 1) in rows
+
+
+def test_token_subseq_find_multi_matches_single(spark):
+    from loongcollector_spark.operators.token_ops import (
+        token_subseq_find, token_subseq_find_multi,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1, 2, 3, 4, 5]),
+            ("b", [9, 9, 1, 2, 9]),
+            ("c", []),
+            ("d", [2, 3]),
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    pats = [[1, 2], [3, 4, 5], [7]]
+    multi = {
+        r.doc_id: list(r.positions)
+        for r in token_subseq_find_multi(df, "tokens", pats, "positions").collect()
+    }
+    for k, p in enumerate(pats):
+        single = {
+            r.doc_id: r.pos
+            for r in token_subseq_find(df, "tokens", p, "pos").collect()
+        }
+        assert {d: v[k] for d, v in multi.items()} == single
+    assert multi["a"] == [0, 2, -1]
+    assert multi["b"] == [2, -1, -1]
+    assert multi["c"] == [-1, -1, -1]

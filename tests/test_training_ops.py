@@ -398,3 +398,90 @@ def test_connected_components_long_chain_converges(spark):
     dedup.release_persisted()
     assert {r.cluster_id for r in comp} == {0}
     assert len(comp) == n + 1
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition filters + stratified sampling (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_dup_line_metrics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b\nc d\na b\nunique line"),  # 'a b' appears twice
+            (2, "x y\nz w"),                     # no repeats
+            (3, ""),                             # degenerate
+        ],
+        "id long, text string",
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            tx.dup_line_frac(F.col("text")).alias("dlf"),
+            tx.dup_line_char_frac(F.col("text")).alias("dlcf"),
+        ).collect()
+    }
+    assert rows[1].dlf == pytest.approx(0.25)          # 4 lines, 3 distinct
+    assert rows[1].dlcf == pytest.approx(3 / 20)       # one extra 'a b' = 3 chars
+    assert rows[2].dlf == 0.0 and rows[2].dlcf == 0.0
+    assert rows[3].dlf == 0.0 and rows[3].dlcf == 0.0
+
+
+def test_word_ngrams_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo"), (3, "x y")], "id long, text string"
+    )
+    got = {
+        r.id: r.g
+        for r in df.select(
+            "id", tx.word_ngrams(F.col("text"), 2).alias("g")
+        ).collect()
+    }
+    assert got[1] == ["a b", "b c"]
+    assert got[2] == []
+    assert got[3] == ["x y"]
+
+
+def test_top_ngram_char_frac(spark):
+    df = spark.createDataFrame(
+        [(1, "t t t t t t"), (2, "all words here differ fully"), (3, "w")],
+        "id long, text string",
+    )
+    out = {r.id: r for r in tx.top_ngram_char_frac(df, "text", "id", 2).collect()}
+    # doc1: gram 't t' occurs 5x, len 3 -> 15 covered chars of 11 total
+    assert out[1].top_ngram_chars == 15 and out[1].text_chars == 11
+    # doc2: every 2-gram unique -> max is the longest gram's length
+    assert out[2].top_ngram_chars == max(
+        len(a) + 1 + len(b)
+        for a, b in zip("all words here differ fully".split(),
+                        "words here differ fully".split())
+    )
+    # doc3: fewer than n words -> zero coverage, row still present
+    assert out[3].top_ngram_chars == 0
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(200)],
+        "doc_id long, src string",
+    )
+    kept = tx.stratified_sample(df, "src", {"a": 1.0, "b": 0.0}, "doc_id")
+    rows = kept.collect()
+    assert all(r.src == "a" for r in rows)
+    assert len(rows) == 100  # rate 1.0 keeps every 'a'
+    half = tx.stratified_sample(df, "src", {"a": 0.5}, "doc_id", default_rate=0.25)
+    c1 = sorted(r.doc_id for r in half.collect())
+    c2 = sorted(r.doc_id for r in half.collect())
+    assert c1 == c2  # hash gate, not RNG: identical admit set every run
+    n_a = sum(1 for i in c1 if i % 2 == 0)
+    n_b = len(c1) - n_a
+    assert 30 <= n_a <= 70 and 10 <= n_b <= 40  # ~50 and ~25 of each
+
+
+def test_stratified_sample_is_scan_side_filter(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, src string")
+    plan = tx.stratified_sample(
+        df, "src", {"a": 0.5}, "doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure per-row filter, no shuffle
