@@ -176,6 +176,64 @@ def token_gram_hashes(
     )
 
 
+def token_window_hashes(
+    tokens: Column, w: int, base: int = 1_000_003, mod: int = (1 << 31) - 1
+) -> Column:
+    """Polynomial hash of every w-token window (``array<long>``) — the
+    primitive for cross-document exact-substring detection (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better': repeated
+    ≥w-token spans across docs are the unit of substring dedup).
+
+    Pure JVM (slice + aggregate fold, whole-stage codegen), no UDF. Exact
+    arithmetic: acc < mod < 2^31 and base ~2^20, so acc*base + t < 2^52 —
+    no overflow under ANSI. O(n·w) per row; at w=32+ a production variant
+    would carry the O(n) rolling form (subtract-leading-term), but the
+    windows stay per-row either way so the cost is scan-side and
+    shuffle-free."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - w, F.lit(0)))
+    hashes = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(tokens, i + 1, w),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.pmod(acc * base + x.cast("long"), F.lit(mod)),
+        ),
+    )
+    return F.when(F.size(tokens) >= w, hashes).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def token_repeated_substrings(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    w: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated token substrings: every w-token window that
+    appears in ≥ ``min_docs`` distinct documents, as ``(gram_hash, n_docs)``.
+
+    The inverted-index shape shared with the shingle dedup engine: windows
+    are hashed per row (scan-side, JVM), de-duplicated WITHIN the row
+    (``array_distinct`` — a doc repeating its own phrase doesn't inflate
+    df), then exploded into a (hash → doc-count) groupBy whose partial
+    aggregation runs map-side, so only (hash, count) pairs cross the
+    shuffle — never the windows or payloads. The df distribution this
+    emits is exactly the evidence the df-cut policy needs at corpus scale."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(token_window_hashes(F.col(tokens_col), w))
+        ).alias("gram_hash"),
+    )
+    return (
+        grams.groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def token_subseq_find_multi(
     df: DataFrame,
     tokens_col: str,

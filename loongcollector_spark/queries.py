@@ -2984,6 +2984,60 @@ def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _repeated_substring_oracle(
+    n_rows: int = 1500, n_dup: int = 300, w: int = 4
+) -> str:
+    from loongcollector_spark.sources.sql_oracle import VOCAB_SIZE, f1_cte
+
+    base, mod = 1_000_003, (1 << 31) - 1
+    toks = "[" + ", ".join(f"CAST(t{j} AS BIGINT)" for j in range(8)) + "]"
+    return f"""
+WITH {f1_cte(n_rows, 42, tuple(range(8)))},
+base AS (
+  SELECT i, {toks} AS toks FROM f1),
+unioned AS (
+  SELECT toks FROM base
+  UNION ALL
+  SELECT list_prepend(CAST((toks[1] + 1) % {VOCAB_SIZE} AS BIGINT),
+                      toks[2:8]) AS toks
+  FROM base WHERE i < {n_dup}),
+hashed AS (
+  SELECT list_distinct(list_transform(range(1, {8 - w + 2}),
+    i -> list_reduce(toks[i : i + {w - 1}],
+                     (a, b) -> (a * {base} + b) % {mod}))) AS hs
+  FROM unioned),
+exploded AS (SELECT UNNEST(hs) AS gram_hash FROM hashed)
+SELECT gram_hash, COUNT(*) AS n_docs
+FROM exploded GROUP BY gram_hash HAVING COUNT(*) >= 2
+"""
+
+
+@register(
+    "token_repeated_substrings",
+    _repeated_substring_oracle(),
+    doc="cross-document exact-substring detection (Lee et al. 2022 substring "
+        "dedup unit): polynomial hash of every w-token window (pure JVM "
+        "fold), per-doc distinct, inverted-index groupBy — only (hash, "
+        "count) partials shuffle; DuckDB replays the same fold via "
+        "list_reduce over the seed-regenerated header tokens",
+)
+def token_repeated_substrings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.token_ops import token_repeated_substrings
+    from loongcollector_spark.sources.synthetic import VOCAB_SIZE, generate_sequences_head
+
+    seqs = generate_sequences_head(spark, 1500, head=8)
+    dupes = seqs.filter(
+        F.substring_index("doc_id", "-", -1).cast("long") < 300
+    ).withColumn("doc_id", F.concat("doc_id", F.lit("-copy"))).withColumn(
+        "tokens",
+        F.transform(
+            "tokens",
+            lambda x, i: F.when(i == 0, (x + 1) % VOCAB_SIZE).otherwise(x),
+        ),
+    )
+    return token_repeated_substrings(seqs.unionByName(dupes), w=4)
+
+
 # =============================================================================
 # Driver-window ordering
 # =============================================================================
@@ -3022,6 +3076,7 @@ _DRIVER_WINDOW_TAIL = [
     "rate_limit_token_bucket",     # rate-limit: rate_limit_first_n in-window
     "streaming_dedup_admit",       # dedup-family: dedup_exact in-window
     "dedup_cluster_keepers",       # dedup: clustering over in-window pairs
+    "token_repeated_substrings",   # dedup+token: token_exact_dedup in-window
     # round 4: demoted to admit the new training-data families in-window
     "orders_customer_revenue",     # SQL-rollup demo: lineitem_pricing in-window
     "embedding_norms",             # embeddings: ann_* + dedup_embedding in-window

@@ -214,3 +214,48 @@ def test_token_subseq_find_multi_matches_single(spark):
     assert multi["a"] == [0, 2, -1]
     assert multi["b"] == [2, -1, -1]
     assert multi["c"] == [-1, -1, -1]
+
+
+def test_token_window_hashes_and_repeated_substrings(spark):
+    from loongcollector_spark.operators.token_ops import (
+        token_repeated_substrings, token_window_hashes,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1, 2, 3, 4, 5]),     # windows: 1234, 2345
+            ("b", [9, 2, 3, 4, 5]),     # shares 2345 with a
+            ("c", [7, 7]),              # too short for w=3... w=3 windows: none? len2<3
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    hs = {
+        r.doc_id: list(r.h)
+        for r in df.select(
+            "doc_id", token_window_hashes(F.col("tokens"), 3).alias("h")
+        ).collect()
+    }
+    B, M = 1_000_003, (1 << 31) - 1
+
+    def poly(ts):
+        acc = 0
+        for t in ts:
+            acc = (acc * B + t) % M
+        return acc
+
+    assert hs["a"] == [poly([1, 2, 3]), poly([2, 3, 4]), poly([3, 4, 5])]
+    assert hs["b"][1:] == hs["a"][1:]
+    assert hs["c"] == []
+    rep = {r.gram_hash: r.n_docs
+           for r in token_repeated_substrings(df, w=3).collect()}
+    assert rep == {poly([2, 3, 4]): 2, poly([3, 4, 5]): 2}
+
+
+def test_repeated_substrings_within_doc_repeat_not_counted(spark):
+    from loongcollector_spark.operators.token_ops import token_repeated_substrings
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 1, 2, 1, 2])], "doc_id string, tokens array<int>"
+    )
+    # doc repeats its own phrase; df stays 1 -> no output
+    assert token_repeated_substrings(df, w=2).count() == 0
