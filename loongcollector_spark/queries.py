@@ -1202,7 +1202,8 @@ def streaming_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").withColumn("__t__", F.expr(_EPOCH_SECONDS))
     out = time_bounded_dedup_admit(
-        ev, ["user_id", "event_type"], ts_col="__t__", delay_sec=86400.0
+        ev, ["user_id", "event_type"], ts_col="__t__", delay_sec=86400.0,
+        tiebreak_cols=["event_id"],
     )
     return out.select("event_id", "user_id", "event_type")
 

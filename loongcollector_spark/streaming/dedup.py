@@ -45,6 +45,7 @@ def time_bounded_dedup_admit(
     key_cols: list[str],
     ts_col: str,
     delay_sec: float,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """BATCH replay of watermark-bounded dedup's admit set: per key, in
     event-time order, a row is admitted iff it arrives more than
@@ -57,23 +58,35 @@ def time_bounded_dedup_admit(
     streaming operator reaches this answer as micro-batches shrink
     (watermarks only advance between batches); the replay is the
     deterministic algebra an external oracle can verify. ``ts_col`` must be
-    epoch seconds (double), like the token bucket's. Scale shape: one
-    shuffle on the key columns, then a per-group ordered scan."""
-    import pandas as pd
+    epoch seconds (double), like the token bucket's.
 
+    Scale shape: one hash shuffle on the key columns, a per-partition sort
+    on (keys, ts, tiebreaks), then ONE ``mapInPandas`` pass per partition —
+    the per-key state lives in a dict that carries across the partition's
+    Arrow batches. (The obvious ``groupBy().applyInPandas`` form makes one
+    Python call per group — at millions of tiny keys that is millions of
+    UDF invocations; this form makes one generator per partition.)
+    ``tiebreak_cols`` pins the within-timestamp order so the admit set is
+    deterministic under equal timestamps."""
+    import numpy as np
+
+    parts = df.repartition(*[F.col(k) for k in key_cols]).sortWithinPartitions(
+        *key_cols, ts_col, *(tiebreak_cols or [])
+    )
     out_schema = df.schema
 
-    def replay(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(ts_col)
-        ts = pdf[ts_col].to_numpy(dtype="float64")
-        keep = []
-        last_admitted = float("-inf")
-        for t in ts:
-            if t - last_admitted > delay_sec:
-                last_admitted = t
-                keep.append(True)
-            else:
-                keep.append(False)
-        return pdf[pd.Series(keep, index=pdf.index)]
+    def scan(batches):
+        last: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = list(zip(*[pdf[k] for k in key_cols]))
+            ts = pdf[ts_col].to_numpy(dtype="float64")
+            keep = np.zeros(len(pdf), dtype=bool)
+            for i, (k, t) in enumerate(zip(keys, ts)):
+                if t - last.get(k, float("-inf")) > delay_sec:
+                    last[k] = t
+                    keep[i] = True
+            yield pdf[keep]
 
-    return df.groupBy(*key_cols).applyInPandas(replay, schema=out_schema)
+    return parts.mapInPandas(scan, schema=out_schema)
