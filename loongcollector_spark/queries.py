@@ -2985,6 +2985,134 @@ def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_curation_pipeline",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text, source, n_chars,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+      FROM documents),
+    q AS (
+      SELECT *, len(ws) AS nw,
+             len(list_filter(ws, x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                                            'that','on','for','with','as','at','by','this'))) AS swh,
+             len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+      FROM base),
+    g1 AS (
+      SELECT * FROM q
+      WHERE nw BETWEEN 10 AND 5000 AND swh * 20 > nw AND swh * 5 < nw * 3
+            AND np * 5 < len(text)),
+    langed AS (
+      SELECT *,
+        len(list_filter(ws, x -> x IN ('der','die','und','ist','das'))) AS h_de,
+        len(list_filter(ws, x -> x IN ('the','and','of','to','is'))) AS h_en,
+        len(list_filter(ws, x -> x IN ('el','la','de','que','es'))) AS h_es,
+        len(list_filter(ws, x -> x IN ('le','la','et','est','les'))) AS h_fr
+      FROM g1),
+    g2 AS (
+      SELECT * FROM langed
+      WHERE greatest(h_de, h_en, h_es, h_fr) > 0
+        AND h_en = greatest(h_de, h_en, h_es, h_fr)
+        AND h_de <> greatest(h_de, h_en, h_es, h_fr)),
+    lines AS (
+      SELECT doc_id, list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
+      FROM g2),
+    linestats AS (
+      SELECT doc_id,
+        CAST(COALESCE(list_aggregate(list_transform(ls, l -> length(l)), 'sum'), 0)
+             AS BIGINT) AS line_chars,
+        CAST(COALESCE(list_aggregate(list_transform(list_distinct(ls),
+             x -> (len(list_filter(ls, y -> y = x)) - 1) * length(x)), 'sum'), 0)
+             AS BIGINT) AS dup_line_chars
+      FROM lines),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram
+      FROM g2),
+    per AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2),
+    top AS (SELECT doc_id, CAST(MAX(cnt * length(gram)) AS BIGINT) AS tng
+            FROM per GROUP BY doc_id),
+    g3 AS (
+      SELECT g2.* FROM g2
+      JOIN linestats USING (doc_id) LEFT JOIN top USING (doc_id)
+      WHERE NOT (dup_line_chars * 5 > line_chars
+                 OR COALESCE(tng, 0) * 5 > length(g2.text))),
+    ded AS (
+      SELECT * FROM g3
+      QUALIFY row_number() OVER (
+        PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        ORDER BY doc_id) = 1),
+    samp AS (
+      SELECT * FROM ded
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 10000 < 5000)
+    SELECT source, COUNT(*) AS kept_docs, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM samp GROUP BY source
+    """,
+    doc="the full training-corpus curation funnel in ONE declarative plan: "
+        "Gopher/C4 quality gate (integer-exact length band + stopword band "
+        "+ punct cap) -> language gate (marker argmax = 'en') -> repetition "
+        "gate (dup-line char mass + top-2-gram char mass) -> exact dedup on "
+        "the normalized fingerprint (min-id keeper via struct-min groupBy) "
+        "-> deterministic 50% hash sample -> per-source rollup. Every gate "
+        "is a scan-side filter; the only shuffles are the 2-gram partial "
+        "agg, the fingerprint groupBy, and the final rollup — the whole "
+        "funnel is Catalyst-visible (no opaque UDF stage), so predicate "
+        "pushdown and column pruning survive composition",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tx.words(F.lower(F.col("text")))
+    n_words = F.size(ws)
+    sw_hits = F.size(F.filter(ws, lambda w: w.isin(*tx.EN_STOPWORDS)))
+    punct_n = F.length("text") - F.length(
+        F.regexp_replace("text", r"[\p{Punct}]", "")
+    )
+    qual_ok = (
+        (n_words >= 10) & (n_words <= 5000)
+        & (sw_hits * 20 > n_words) & (sw_hits * 5 < n_words * 3)
+        & (punct_n * 5 < F.length("text"))
+    )
+    gated = docs.filter(qual_ok & (tx.lang_id(F.col("text")) == "en"))
+
+    lines = tx._nonempty_lines(F.col("text"))
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    dup_line_chars = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + (F.size(F.filter(lines, lambda y: y == x)) - 1) * F.length(x),
+    )
+    rep = tx.top_ngram_char_frac(gated, "text", "doc_id", n=2)
+    g3 = (
+        gated.withColumn("line_chars", line_chars)
+        .withColumn("dup_line_chars", dup_line_chars)
+        .join(rep, "doc_id")
+        .filter(
+            ~(
+                (F.col("dup_line_chars") * 5 > F.col("line_chars"))
+                | (F.col("top_ngram_chars") * 5 > F.col("text_chars"))
+            )
+        )
+    )
+    keepers = (
+        g3.select(
+            tx.fingerprint(F.col("text")).alias("fp"),
+            F.struct("doc_id", "source", "n_chars").alias("s"),
+        )
+        .groupBy("fp")
+        .agg(F.min("s").alias("s"))
+        .select("s.doc_id", "s.source", "s.n_chars")
+    )
+    sampled = tx.stratified_sample(keepers, "source", {}, "doc_id", default_rate=0.5)
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
 def _repeated_substring_oracle(
     n_rows: int = 1500, n_dup: int = 300, w: int = 4
 ) -> str:
@@ -3078,6 +3206,7 @@ _DRIVER_WINDOW_TAIL = [
     "streaming_dedup_admit",       # dedup-family: dedup_exact in-window
     "dedup_cluster_keepers",       # dedup: clustering over in-window pairs
     "token_repeated_substrings",   # dedup+token: token_exact_dedup in-window
+    "ann_lsh_bucketed",            # ann: ann_cosine_top10 + ann_ivf_cells in-window
     # round 4: demoted to admit the new training-data families in-window
     "orders_customer_revenue",     # SQL-rollup demo: lineitem_pricing in-window
     "embedding_norms",             # embeddings: ann_* + dedup_embedding in-window
