@@ -187,6 +187,32 @@ def top_ngram_char_frac(
     )
 
 
+# PII patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround, explicit classes only.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def pii_counts(col: Column, kinds: tuple[str, ...] = ("email", "ipv4", "phone")) -> dict[str, Column]:
+    """Per-kind PII hit counts (``regexp_extract_all`` size — pure JVM,
+    scan-side). The detection layer of a pretraining PII scrub."""
+    return {k: F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[k]), 0)) for k in kinds}
+
+
+def pii_redact(col: Column, kinds: tuple[str, ...] = ("email", "ipv4", "phone")) -> Column:
+    """Replace every PII span with ``<KIND>`` (deterministic, idempotent —
+    the mask tokens contain no digits or '@', so a second pass is a no-op).
+    Column expression only: at 100 TB this is one regexp pass per kind
+    fused into the scan, no UDF, no shuffle."""
+    out = col
+    for k in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[k], f"<{k.upper()}>")
+    return out
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -2986,6 +2986,89 @@ def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pii_scrub_stats",
+    r"""
+    WITH injected AS (
+      SELECT doc_id, source,
+             text || CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN ' contact: user' || doc_id || '@example.com'
+               WHEN 1 THEN ' from 10.2.' || (doc_id % 256) || '.7'
+               WHEN 2 THEN ' call 555-123-4567'
+               ELSE '' END AS text
+      FROM documents),
+    counted AS (
+      SELECT doc_id, source,
+        len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS emails,
+        len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ipv4s,
+        len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS phones,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+          '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS red
+      FROM injected),
+    residual AS (
+      SELECT *,
+        len(regexp_extract_all(red, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+        + len(regexp_extract_all(red, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        + len(regexp_extract_all(red, '\b\d{3}-\d{3}-\d{4}\b')) AS residual
+      FROM counted)
+    SELECT source, COUNT(*) AS docs,
+           CAST(SUM(CASE WHEN emails + ipv4s + phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_pii,
+           CAST(SUM(emails) AS BIGINT) AS emails,
+           CAST(SUM(ipv4s) AS BIGINT) AS ipv4s,
+           CAST(SUM(phones) AS BIGINT) AS phones,
+           CAST(SUM(residual) AS BIGINT) AS residual_hits
+    FROM residual GROUP BY source
+    """,
+    doc="PII scrub (detect + redact) for pretraining corpora: per-kind hit "
+        "counts and span masking as pure regexp column expressions (one "
+        "fused scan pass, no UDF, no shuffle before the rollup); patterns "
+        "chosen to parse identically under Java regex and RE2. The oracle "
+        "injects the same deterministic PII, re-counts on the REDACTED "
+        "text, and asserts zero residual hits — redaction is verified, not "
+        "assumed. (Fixture docs carry no PII, so both engines inject it.)",
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mod4 = (F.col("doc_id") % 4).cast("int")
+    injected = docs.select(
+        "doc_id", "source",
+        F.concat(
+            F.col("text"),
+            F.when(mod4 == 0, F.concat(F.lit(" contact: user"),
+                                       F.col("doc_id").cast("string"),
+                                       F.lit("@example.com")))
+            .when(mod4 == 1, F.concat(F.lit(" from 10.2."),
+                                      (F.col("doc_id") % 256).cast("string"),
+                                      F.lit(".7")))
+            .when(mod4 == 2, F.lit(" call 555-123-4567"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counts = tx.pii_counts(F.col("text"))
+    red = tx.pii_redact(F.col("text"))
+    residual_counts = tx.pii_counts(red)
+    step = injected.select(
+        "source",
+        counts["email"].alias("emails"),
+        counts["ipv4"].alias("ipv4s"),
+        counts["phone"].alias("phones"),
+        sum(residual_counts.values(), F.lit(0)).alias("residual"),
+    )
+    return step.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(
+            ((F.col("emails") + F.col("ipv4s") + F.col("phones")) > 0).cast("int")
+        ).cast("long").alias("docs_with_pii"),
+        F.sum("emails").cast("long").alias("emails"),
+        F.sum("ipv4s").cast("long").alias("ipv4s"),
+        F.sum("phones").cast("long").alias("phones"),
+        F.sum("residual").cast("long").alias("residual_hits"),
+    )
+
+
+@register(
     "corpus_curation_pipeline",
     r"""
     WITH base AS (
@@ -3207,6 +3290,7 @@ _DRIVER_WINDOW_TAIL = [
     "dedup_cluster_keepers",       # dedup: clustering over in-window pairs
     "token_repeated_substrings",   # dedup+token: token_exact_dedup in-window
     "ann_lsh_bucketed",            # ann: ann_cosine_top10 + ann_ivf_cells in-window
+    "otel_trace_spans",            # otel: otel_exp_histogram in-window
     # round 4: demoted to admit the new training-data families in-window
     "orders_customer_revenue",     # SQL-rollup demo: lineitem_pricing in-window
     "embedding_norms",             # embeddings: ann_* + dedup_embedding in-window

@@ -485,3 +485,35 @@ def test_stratified_sample_is_scan_side_filter(spark):
         df, "src", {"a": 0.5}, "doc_id"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure per-row filter, no shuffle
+
+
+def test_pii_detect_and_redact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org or call 555-123-4567"),
+            (2, "server 192.168.0.1 and 10.0.0.255 up"),
+            (3, "nothing sensitive here"),
+        ],
+        "id long, text string",
+    )
+    c = tx.pii_counts(F.col("text"))
+    red = tx.pii_redact(F.col("text"))
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id", c["email"].alias("e"), c["ipv4"].alias("i"),
+            c["phone"].alias("p"), red.alias("red"),
+            tx.pii_counts(red)["email"].alias("re"),
+            tx.pii_counts(red)["ipv4"].alias("ri"),
+            tx.pii_counts(red)["phone"].alias("rp"),
+            tx.pii_redact(red).alias("red2"),
+        ).collect()
+    }
+    assert (rows[1].e, rows[1].i, rows[1].p) == (1, 0, 1)
+    assert (rows[2].e, rows[2].i, rows[2].p) == (0, 2, 0)
+    assert (rows[3].e, rows[3].i, rows[3].p) == (0, 0, 0)
+    assert "<EMAIL>" in rows[1].red and "<PHONE>" in rows[1].red
+    assert rows[2].red.count("<IPV4>") == 2
+    for r in rows.values():  # redaction leaves zero residual and is idempotent
+        assert (r.re, r.ri, r.rp) == (0, 0, 0)
+        assert r.red2 == r.red
