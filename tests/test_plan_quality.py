@@ -89,3 +89,48 @@ def test_parse_chain_stays_in_codegen(spark):
     # "*(n) " prefixes mark whole-stage-codegen subtrees in executedPlan
     assert "*(1)" in plan or "WholeStageCodegen" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_pack_chunks_single_exchange(spark):
+    """Per-shard packing must be ONE hash exchange: the window sorts inside
+    the source partitioning and the (source, chunk_id) rollup reuses it —
+    no second shuffle, no global total-order sort."""
+    from loongcollector_spark.operators.token_ops import token_pack_chunks
+
+    df = spark.createDataFrame(
+        [("d1", 5, "s"), ("d2", 3, "t")], "doc_id string, n_tok int, source string"
+    )
+    out = (
+        token_pack_chunks(df, chunk_len=4, partition_by="source")
+        .groupBy("source", "chunk_id")
+        .count()
+    )
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+
+
+def test_repeated_substrings_shuffles_only_partials(spark):
+    """The inverted index must shuffle (hash, count) partials once — a
+    partial_count aggregate before the single exchange, never the token
+    arrays."""
+    from loongcollector_spark.operators.token_ops import token_repeated_substrings
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3, 4])], "doc_id string, tokens array<int>"
+    )
+    out = token_repeated_substrings(df, w=3)
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_pii_redact_stays_in_codegen(spark):
+    """PII masking is pure regexp column work — no Python eval node."""
+    from loongcollector_spark.functions import text as tx
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a@b.co",)], "text string")
+    out = df.select(tx.pii_redact(F.col("text")).alias("red"))
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
