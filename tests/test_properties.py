@@ -210,3 +210,45 @@ def test_spl_stage_chains_never_crash_plan_build(spark, stages):
         out.count()
     except (SplError, AnalysisException):
         pass  # dropped/unknown column chains legitimately fail analysis
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=50),
+                  st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=30,
+    ),
+    st.sampled_from([3, 7, 16]),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_token_pack_chunks_conserves_mass(spark, rows, chunk_len):
+    """Packing invariants for ANY doc-length distribution: (1) per pack key
+    the slice-token mass equals the input token mass exactly (nothing lost
+    or double-counted at chunk cuts); (2) every chunk except the last of
+    each key carries exactly chunk_len tokens; (3) chunk ids per key are
+    contiguous from 0."""
+    from collections import defaultdict
+
+    from loongcollector_spark.operators.token_ops import token_pack_chunks
+
+    df = spark.createDataFrame(
+        [(f"d{i:04d}", n, s) for i, (n, s) in enumerate(rows)],
+        "doc_id string, n_tok int, source string",
+    )
+    spans = token_pack_chunks(df, chunk_len=chunk_len, partition_by="source").collect()
+    mass = defaultdict(int)
+    chunks = defaultdict(lambda: defaultdict(int))
+    for r in spans:
+        mass[r.source] += r.slice_tokens
+        chunks[r.source][r.chunk_id] += r.slice_tokens
+    expect = defaultdict(int)
+    for i, (n, s) in enumerate(rows):
+        expect[s] += n
+    assert dict(mass) == {k: v for k, v in expect.items() if v > 0}
+    for src, per_chunk in chunks.items():
+        ids = sorted(per_chunk)
+        assert ids == list(range(len(ids)))          # contiguous from 0
+        for cid in ids[:-1]:
+            assert per_chunk[cid] == chunk_len       # all full but the last
+        assert 0 < per_chunk[ids[-1]] <= chunk_len
