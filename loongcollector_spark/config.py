@@ -299,6 +299,10 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
                 else "single_line"
             ),
         }
+    if t == "processor_default":
+        # literal identity passthrough (processor_default.go:36-41: returns
+        # the log array unchanged) — translate to a no-op stage
+        return "noop", {}
     raise KeyError(f"unsupported native processor type {t!r}")
 
 

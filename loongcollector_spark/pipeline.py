@@ -55,6 +55,8 @@ from loongcollector_spark.sinks import SinkSpec, write_sink
 # Processor registry — the PluginRegistry analogue. Each entry is
 # (DataFrame, **params) -> DataFrame.
 PROCESSORS: dict[str, Callable[..., DataFrame]] = {
+    # processor_default (processor_default.go:36-41): identity passthrough
+    "noop": lambda df, **_: df,
     "parse_regex": parse_regex,
     "parse_json": parse_json,
     "expand_json": expand_json,

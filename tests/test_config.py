@@ -104,3 +104,16 @@ def test_example_native_yaml_loads():
     assert spec.sinks["kafka_v2"].format == "kafka"
     assert spec.sinks["kafka_v2"].options["topic"] == "squid-access"
     assert spec.sinks["file"].encoding == "jsonline"
+
+
+def test_native_processor_default_is_identity(spark):
+    """processor_default (processor_default.go:36-41) translates to a no-op
+    stage: the pipeline output equals its input."""
+    from loongcollector_spark.config import _native_processor
+    from loongcollector_spark.pipeline import PROCESSORS
+
+    name, params = _native_processor({"Type": "processor_default"})
+    assert name == "noop"
+    df = spark.createDataFrame([(1, "x")], "id long, content string")
+    out = PROCESSORS[name](df, **params)
+    assert sorted(map(tuple, out.collect())) == [(1, "x")]
