@@ -303,6 +303,141 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
         # literal identity passthrough (processor_default.go:36-41: returns
         # the log array unchanged) — translate to a no-op stage
         return "noop", {}
+    if t == "processor_appender":
+        # processor_appender.go:34-44: Key/Value append with env expansion
+        import os
+
+        return "appender", {
+            "key": p["Key"], "value": p["Value"], "env": dict(os.environ),
+        }
+    if t == "processor_base64_encoding":
+        return "base64_encode", {
+            "source_key": p["SourceKey"], "dest_key": p.get("NewKey") or None,
+        }
+    if t == "processor_base64_decoding":
+        return "base64_decode", {
+            "source_key": p["SourceKey"], "dest_key": p.get("NewKey") or None,
+        }
+    if t == "processor_md5":
+        return "md5", {"source_key": p["SourceKey"], "md5_key": p["MD5Key"]}
+    if t == "processor_dict_map":
+        # processor_dict_map.go:33-86: MapDict inline or DictFilePath CSV
+        # (plan-time file read, like grok CustomPatternDir); DestKey
+        # defaults to SourceKey, Missing applies only when HandleMissing
+        mapping = dict(p.get("MapDict") or {})
+        if p.get("DictFilePath"):
+            import csv
+
+            with open(p["DictFilePath"], newline="") as fh:
+                for row in csv.reader(fh):
+                    if len(row) >= 2:
+                        mapping[row[0]] = row[1]
+        return "dict_map", {
+            "source_key": p["SourceKey"],
+            "mapping": mapping,
+            "dest_key": p.get("DestKey") or p["SourceKey"],
+            "missing": p.get("Missing") if p.get("HandleMissing") else None,
+        }
+    if t == "processor_string_replace":
+        # processor_string_replace.go:37-83: Method regex|const|unquote
+        method = (p.get("Method") or "regex").lower()
+        if method == "unquote":
+            return "string_unquote", {
+                "source_key": p["SourceKey"],
+                "dest_key": p.get("DestKey") or None,
+            }
+        return "string_replace", {
+            "source_key": p["SourceKey"],
+            "pattern": p.get("Match", ""),
+            "replacement": p.get("ReplaceString", ""),
+            "dest_key": p.get("DestKey") or None,
+            "literal": method == "const",
+        }
+    if t == "processor_packjson":
+        # processor_packjson.go:31-39
+        return "pack_json", {
+            "source_keys": list(p["SourceKeys"]),
+            "dest_key": p["DestKey"],
+            "drop_packed": not p.get("KeepSource", True),
+        }
+    if t == "processor_anchor":
+        # anchor.go:30-66: Anchors list over SourceKey; ExpondJSON (sic) is
+        # the reference's spelling; JsonKeys is our explicit-keys extension
+        # (the Go plugin discovers keys per event — columnar needs them
+        # declared)
+        anchors = [
+            {
+                "start": a.get("Start", ""),
+                "stop": a.get("Stop", ""),
+                "dest_key": a["FieldName"],
+                "expand_json": bool(a.get("ExpondJSON", False)),
+                "json_keys": a.get("JsonKeys"),
+            }
+            for a in p.get("Anchors", [])
+        ]
+        return "anchor_multi", {
+            "source_key": p.get("SourceKey", "content"), "anchors": anchors,
+        }
+    if t == "processor_drop_last_key":
+        return "drop_last_key", {
+            "include": list(p.get("Include", ())), "drop_key": p["DropKey"],
+        }
+    if t == "processor_filter_key_regex":
+        return "filter_key_regex", {"key_pattern": p.get("Match", ".*")}
+    if t == "processor_encrypt":
+        # processor_encrypt.go: Key inline or KeyFilePath; reference AES-CBC
+        # with IV maps to Spark's aes_encrypt (CBC unsupported without iv
+        # plumbing -> GCM default documented in enrich.encrypt_fields)
+        key = p.get("EncryptionParameters", {}).get("Key") or p.get("Key")
+        if not key and p.get("KeyFilePath"):
+            with open(p["KeyFilePath"]) as fh:
+                key = fh.read().strip()
+        return "encrypt", {"keys": list(p["SourceKeys"]), "key": key}
+    if t == "processor_rate_limit":
+        # processor_rate_limit.go: Limit "N/(s|m|h)" per Fields combination.
+        # Batch analogue caps rows per key per batch (window-group-limit
+        # pushdown); the streaming runner carries the true token bucket.
+        n = int(str(p.get("Limit", "100/s")).split("/")[0])
+        return "rate_limit", {
+            "fields": list(p.get("Fields", ())), "limit": n,
+        }
+    if t == "processor_fields_with_condition":
+        # processor_fields_with_condition.go:66-120: Switch of
+        # {Case{LogicalOperator, RelationOperator, FieldConditions},
+        #  Actions[{Type, Fields|DropKeys}]}
+        from loongcollector_spark.operators.filters import ConditionCase
+
+        rel_map = {"equals": "equals", "regexp": "regex",
+                   "contains": "contains", "startwith": "startwith"}
+        cases = []
+        for c in p.get("Switch", []):
+            case = c.get("Case", {})
+            rel = rel_map[(case.get("RelationOperator") or "equals").lower()]
+            logic = (case.get("LogicalOperator") or "and").lower()
+            leaves = [
+                {"key": k, rel: v}
+                for k, v in (case.get("FieldConditions") or {}).items()
+            ]
+            cond = leaves[0] if len(leaves) == 1 else {logic: leaves}
+            add: dict = {}
+            drop: list = []
+            for a in c.get("Actions", []):
+                at = a.get("Type")
+                if at == "processor_add_fields":
+                    add.update(a.get("Fields") or {})
+                elif at == "processor_drop":
+                    drop.extend(str(k) for k in a.get("DropKeys") or [])
+                else:
+                    raise KeyError(
+                        f"fields_with_condition action {at!r} unsupported"
+                    )
+            cases.append(ConditionCase(
+                condition=cond, add_fields=add, drop_keys=tuple(drop),
+            ))
+        return "fields_with_condition", {
+            "cases": cases,
+            "drop_if_not_match": bool(p.get("DropIfNotMatchCondition", False)),
+        }
     raise KeyError(f"unsupported native processor type {t!r}")
 
 

@@ -12,6 +12,7 @@ desensitize, md5, base64 enc/dec, encrypt (aes), packjson, log_to_metric.
 from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
+from typing import Any
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -956,6 +957,21 @@ def anchor(
     if expand_json:
         for k in json_keys or ():
             out = out.withColumn(k, F.get_json_object(F.col(dest_key), f"$.{k}"))
+    return out
+
+
+def anchor_multi(
+    df: DataFrame, source_key: str, anchors: Sequence[Mapping[str, Any]]
+) -> DataFrame:
+    """processor_anchor with its full ``Anchors`` list (anchor.go:30-41):
+    each entry extracts one span; entries apply in order."""
+    out = df
+    for a in anchors:
+        out = anchor(
+            out, source_key, a["start"], a["stop"], a["dest_key"],
+            expand_json=bool(a.get("expand_json", False)),
+            json_keys=a.get("json_keys"),
+        )
     return out
 
 

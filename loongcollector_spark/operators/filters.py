@@ -101,6 +101,22 @@ def drop_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     return df.drop(*keys)
 
 
+def drop_last_key(df: DataFrame, include: Sequence[str], drop_key: str) -> DataFrame:
+    """processor_drop_last_key (processor_drop_last_key.go:25-60): drop the
+    raw key once processing succeeded — per event, DropKey is removed iff
+    every Include key is present. Columnar analogue: null the column where
+    all include columns are non-null (schema-static, per-row values)."""
+    if not include or not drop_key:
+        raise ValueError("drop_last_key: Include and DropKey are mandatory "
+                         "(processor_drop_last_key.go Init)")
+    cond = F.col(include[0]).isNotNull()
+    for k in include[1:]:
+        cond = cond & F.col(k).isNotNull()
+    return df.withColumn(
+        drop_key, F.when(cond, F.lit(None)).otherwise(F.col(drop_key))
+    )
+
+
 def pick_keys(
     df: DataFrame,
     include: Sequence[str] | None = None,

@@ -81,6 +81,7 @@ PROCESSORS: dict[str, Callable[..., DataFrame]] = {
     "rate_limit": filters.rate_limit,
     "rate_limit_sampled": filters.rate_limit_sampled_by_key,
     "drop": filters.drop_keys,
+    "drop_last_key": filters.drop_last_key,
     "pick_keys": filters.pick_keys,
     "add_fields": enrich.add_fields,
     "rename": enrich.rename_fields,
@@ -88,6 +89,7 @@ PROCESSORS: dict[str, Callable[..., DataFrame]] = {
     "geo_lookup": enrich.geo_lookup,
     "cloud_meta": enrich.cloud_meta,
     "anchor": enrich.anchor,
+    "anchor_multi": enrich.anchor_multi,
     "appender": enrich.appender,
     "string_replace": enrich.string_replace,
     "string_unquote": enrich.string_unquote,

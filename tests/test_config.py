@@ -117,3 +117,74 @@ def test_native_processor_default_is_identity(spark):
     df = spark.createDataFrame([(1, "x")], "id long, content string")
     out = PROCESSORS[name](df, **params)
     assert sorted(map(tuple, out.collect())) == [(1, "x")]
+
+
+def test_native_enrich_processor_translations(spark):
+    """Round-4 native-translation widening: every Go enrich/filter plugin
+    with an existing operator translates and runs (param names per the Go
+    config structs)."""
+    from loongcollector_spark.config import _native_processor
+    from loongcollector_spark.pipeline import PROCESSORS
+
+    df = spark.createDataFrame(
+        [(1, "hello", "x=1", "eyJrIjoidiJ9", "payload [42] end", "a", "b")],
+        "id long, content string, raw string, b64 string, anchored string, f1 string, f2 string",
+    )
+
+    def run(ptype, params, frame=df):
+        name, kw = _native_processor({"Type": ptype, **params})
+        return PROCESSORS[name](frame, **kw)
+
+    out = run("processor_appender", {"Key": "content", "Value": "!"})
+    assert out.first().content == "hello!"
+
+    out = run("processor_md5", {"SourceKey": "content", "MD5Key": "cmd5"})
+    assert len(out.first().cmd5) == 32
+
+    out = run("processor_base64_decoding", {"SourceKey": "b64", "NewKey": "dec"})
+    assert out.first().dec == '{"k":"v"}'
+
+    out = run("processor_base64_encoding", {"SourceKey": "content", "NewKey": "enc"})
+    assert out.first().enc
+
+    out = run("processor_dict_map", {
+        "SourceKey": "content", "MapDict": {"hello": "greeting"},
+        "DestKey": "kind", "HandleMissing": True, "Missing": "other"})
+    assert out.first().kind == "greeting"
+
+    out = run("processor_string_replace", {
+        "SourceKey": "content", "Method": "const", "Match": "ell",
+        "ReplaceString": "ipp"})
+    assert out.first().content == "hippo"
+
+    out = run("processor_packjson", {
+        "SourceKeys": ["f1", "f2"], "DestKey": "packed", "KeepSource": False})
+    row = out.first()
+    assert '"f1":"a"' in row.packed and "f1" not in out.columns
+
+    out = run("processor_anchor", {
+        "SourceKey": "anchored",
+        "Anchors": [{"Start": "[", "Stop": "]", "FieldName": "num"}]})
+    assert out.first().num == "42"
+
+    out = run("processor_drop_last_key", {"Include": ["f1", "f2"], "DropKey": "raw"})
+    assert out.first().raw is None  # both include keys present -> dropped
+
+    out = run("processor_filter_key_regex", {"Match": "f\\d"})
+    assert sorted(out.columns) == ["f1", "f2"]
+
+    out = run("processor_rate_limit", {"Fields": ["f1"], "Limit": "1/s"})
+    assert out.count() == 1
+
+    out = run("processor_fields_with_condition", {
+        "DropIfNotMatchCondition": False,
+        "Switch": [{
+            "Case": {"RelationOperator": "contains",
+                     "FieldConditions": {"content": "hell"}},
+            "Actions": [{"Type": "processor_add_fields",
+                         "Fields": {"sev": "hot"}}],
+        }]})
+    assert out.first().sev == "hot"
+
+    out = run("processor_encrypt", {"SourceKeys": ["f1"], "Key": "0123456789abcdef"})
+    assert out.first().f1 != "a"
