@@ -453,3 +453,39 @@ def test_native_gotime_epoch_and_location():
              "SourceFormat": "2006-1-2 15:4:5", "DestKey": "x",
              "DestFormat": "2006-01-02"}
         )
+
+
+def test_native_enrich_chain_example_loads_and_runs(spark, tmp_path):
+    """examples/native_enrich_chain.yaml (the round-4 widened plugin set in
+    reference-native shape) loads via load_native_config and runs e2e on a
+    synthetic log file."""
+    from loongcollector_spark.config import load_native_config
+    from loongcollector_spark.pipeline import run_pipeline
+    from loongcollector_spark.sinks import SinkSpec
+    from loongcollector_spark.sources.files import read_log_files
+
+    spec, paths = load_native_config("examples/native_enrich_chain.yaml")
+    assert [n for n, _ in spec.processors] == [
+        "parse_delimiter", "dict_map", "string_replace", "anchor_multi",
+        "md5", "fields_with_condition", "drop_last_key",
+    ]
+
+    log = tmp_path / "events.log"
+    log.write_text(
+        "cn-hangzhou|/v2/item|u1|500|boot trace=[t0] ok\n"
+        "eu-west|/health|u2|200|boot trace=[t1] ok\n"
+    )
+    out_dir = tmp_path / "out"
+    spec.sinks = {k: SinkSpec(name=k, path=str(out_dir / k), format="parquet")
+                  for k in spec.sinks}
+    run_pipeline(read_log_files(spark, str(log)), spec)
+    import duckdb
+
+    got = duckdb.sql(
+        f"SELECT zone, severity, trace_id, content FROM '{out_dir}/**/*.parquet' ORDER BY zone"
+    ).fetchall()
+    assert len(got) == 2
+    by_zone = {r[0]: r for r in got}
+    assert by_zone["east"][1] == "error" and by_zone["east"][2] == "t0"
+    assert by_zone["other"][1] is None
+    assert all(r[3] is None for r in got)  # drop_last_key nulled the raw line
