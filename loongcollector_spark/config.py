@@ -337,6 +337,7 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
             "mapping": mapping,
             "dest_key": p.get("DestKey") or p["SourceKey"],
             "missing": p.get("Missing") if p.get("HandleMissing") else None,
+            "mode": p.get("Mode", "overwrite"),
         }
     if t == "processor_string_replace":
         # processor_string_replace.go:37-83: Method regex|const|unquote
@@ -385,14 +386,22 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
     if t == "processor_filter_key_regex":
         return "filter_key_regex", {"key_pattern": p.get("Match", ".*")}
     if t == "processor_encrypt":
-        # processor_encrypt.go: Key inline or KeyFilePath; reference AES-CBC
-        # with IV maps to Spark's aes_encrypt (CBC unsupported without iv
-        # plumbing -> GCM default documented in enrich.encrypt_fields)
-        key = p.get("EncryptionParameters", {}).get("Key") or p.get("Key")
-        if not key and p.get("KeyFilePath"):
-            with open(p["KeyFilePath"]) as fh:
+        # processor_encrypt.go:121-151: AES-CBC + PKCS7, hex key and hex IV
+        # (IV defaults to 32 zeros), hex-encoded ciphertext with the
+        # explicit IV not prepended — reproduced exactly via Spark's
+        # aes_encrypt CBC with the 16-byte IV prefix stripped
+        ep = p.get("EncryptionParameters") or {}
+        key = ep.get("Key") or p.get("Key")
+        if not key and (ep.get("KeyFilePath") or p.get("KeyFilePath")):
+            with open(ep.get("KeyFilePath") or p["KeyFilePath"]) as fh:
                 key = fh.read().strip()
-        return "encrypt", {"keys": list(p["SourceKeys"]), "key": key}
+        return "encrypt", {
+            "keys": list(p["SourceKeys"]),
+            "key": key,
+            "mode": "CBC",
+            "iv_hex": ep.get("IV", "0" * 32),
+            "output": "hex",
+        }
     if t == "processor_rate_limit":
         # processor_rate_limit.go: Limit "N/(s|m|h)" per Fields combination.
         # Batch analogue caps rows per key per batch (window-group-limit

@@ -57,10 +57,13 @@ def dict_map(
     missing: str | None = None,
     keep_missing: bool = True,
     max_expr_size: int = 64,
+    mode: str = "overwrite",
 ) -> DataFrame:
     """processor_dict_map (processor_dict_map.go:33-148): map SourceKey value
     through a dictionary into DestKey; missing keys get the configured
     default (``Missing``) when ``HandleMissing`` else stay null / drop.
+    ``mode`` is the reference's Mode (:66,137-144): when DestKey already
+    carries a value, 'overwrite' replaces it, 'fill' keeps it.
 
     Physical strategy by dictionary size:
     - tiny (≤max_expr_size entries): a literal ``map[...]`` expression —
@@ -68,12 +71,25 @@ def dict_map(
     - otherwise: explicit ``broadcast()`` hash join — no shuffle of the fact
       side, the Spark twin of the reference's in-memory dict.
     """
+    if mode not in ("overwrite", "fill"):
+        raise ValueError(
+            'invalid mode %r, you can only use "fill" or "overwrite" as Mode '
+            "(processor_dict_map.go:66)" % mode
+        )
     if isinstance(mapping, Mapping) and len(mapping) <= max_expr_size:
         kv: list[Column] = []
         for k, v in mapping.items():
             kv += [F.lit(k), F.lit(v)]
         lookup = F.try_element_at(F.create_map(*kv), F.col(source_key))
         mapped = F.coalesce(lookup, F.lit(missing)) if missing is not None else lookup
+        if dest_key in df.columns:
+            # reference keeps the existing DestKey value on a dict miss with
+            # no Missing handling; 'fill' keeps it even on a hit (:137-144)
+            mapped = (
+                F.coalesce(F.col(dest_key), mapped)
+                if mode == "fill"
+                else F.coalesce(mapped, F.col(dest_key))
+            )
         out = df.withColumn(dest_key, mapped)
         if not keep_missing and missing is None:
             out = out.filter(F.col(dest_key).isNotNull())
@@ -87,11 +103,22 @@ def dict_map(
     else:
         dict_df = mapping.toDF(source_key, dest_key)
 
+    old = None
+    if dest_key in df.columns:
+        old = f"__dict_map_old_{dest_key}__"
+        df = df.withColumnRenamed(dest_key, old)
     joined = df.join(broadcast(dict_df), on=source_key, how="left")
     if missing is not None:
         joined = joined.withColumn(dest_key, F.coalesce(F.col(dest_key), F.lit(missing)))
     elif not keep_missing:
         joined = joined.filter(F.col(dest_key).isNotNull())
+    if old is not None:
+        merged = (
+            F.coalesce(F.col(old), F.col(dest_key))
+            if mode == "fill"
+            else F.coalesce(F.col(dest_key), F.col(old))
+        )
+        joined = joined.withColumn(dest_key, merged).drop(old)
     return joined
 
 
@@ -988,13 +1015,35 @@ def base64_decode(df: DataFrame, source_key: str, dest_key: str | None = None) -
     return df.withColumn(dest_key or source_key, F.unbase64(F.col(source_key)).cast("string"))
 
 
-def encrypt_fields(df: DataFrame, keys: Sequence[str], key: str, mode: str = "GCM") -> DataFrame:
-    """processor_encrypt (AES) — Spark 3.3+ aes_encrypt builtin."""
+def encrypt_fields(
+    df: DataFrame,
+    keys: Sequence[str],
+    key: str,
+    mode: str = "GCM",
+    iv_hex: str | None = None,
+    output: str = "base64",
+) -> DataFrame:
+    """processor_encrypt — Spark's aes_encrypt builtin.
+
+    Reference parity (processor_encrypt.go:121-151: AES-CBC, PKCS7, hex key
+    + hex IV from config, hex-encoded ciphertext, explicit IV NOT prepended):
+    call with ``mode='CBC', iv_hex=<32 hex chars>, output='hex'`` and a
+    hex-encoded key. Spark's CBC output prepends the 16-byte IV, so the
+    reference layout is ``substr(ciphertext, 17)``. The GCM default stays
+    for new pipelines (CBC with a fixed IV leaks equal-plaintext equality)."""
     out = df
     for k in keys:
-        out = out.withColumn(
-            k, F.base64(F.aes_encrypt(F.col(k).cast("binary"), F.lit(key), F.lit(mode)))
-        )
+        if mode.upper() == "CBC":
+            iv = iv_hex if iv_hex is not None else "00" * 16
+            enc = F.expr(
+                f"substr(aes_encrypt(`{k}`, unhex('{key}'), 'CBC', 'PKCS', "
+                f"unhex('{iv}')), 17)"
+            )
+            value = F.lower(F.hex(enc)) if output == "hex" else F.base64(enc)
+        else:
+            enc = F.aes_encrypt(F.col(k).cast("binary"), F.lit(key), F.lit(mode))
+            value = F.lower(F.hex(enc)) if output == "hex" else F.base64(enc)
+        out = out.withColumn(k, value)
     return out
 
 

@@ -186,5 +186,14 @@ def test_native_enrich_processor_translations(spark):
         }]})
     assert out.first().sev == "hot"
 
-    out = run("processor_encrypt", {"SourceKeys": ["f1"], "Key": "0123456789abcdef"})
-    assert out.first().f1 != "a"
+    out = run("processor_encrypt", {
+        "SourceKeys": ["f1"],
+        "EncryptionParameters": {"Key": "30313233343536373839616263646566"}})
+    ct = out.first().f1
+    # reference layout (processor_encrypt.go): hex ciphertext, PKCS7 block
+    # size, explicit zero-IV NOT prepended -> one 16-byte block for "a"
+    assert ct != "a" and len(ct) == 32 and ct == ct.lower()
+    ct2 = run("processor_encrypt", {
+        "SourceKeys": ["f1"],
+        "EncryptionParameters": {"Key": "30313233343536373839616263646566"}}).first().f1
+    assert ct2 == ct  # fixed IV -> deterministic, like the reference default

@@ -352,3 +352,51 @@ def test_otel_log_parse_decode_shape(spark):
     assert json.loads(full.resources) == {"svc": "web"}
     assert (bare.time_unix_nano, bare.severity_number, bare.content) == ("0", "0", "42")
     assert bare.attributes is None  # empty set -> field omitted (null)
+
+
+def test_dict_map_mode_fill_and_overwrite(spark):
+    """processor_dict_map Mode (processor_dict_map.go:66,137-144): with an
+    existing DestKey, 'overwrite' replaces on hit, 'fill' keeps the old
+    value; on a miss with no Missing handling the old value survives in
+    both modes."""
+    from loongcollector_spark.operators.enrich import dict_map
+
+    df = spark.createDataFrame(
+        [("a", "old1"), ("zz", "old2")], "k string, dest string"
+    )
+    over = {r.k: r.dest for r in dict_map(
+        df, "k", {"a": "new"}, "dest", mode="overwrite").collect()}
+    assert over == {"a": "new", "zz": "old2"}
+    fill = {r.k: r.dest for r in dict_map(
+        df, "k", {"a": "new"}, "dest", mode="fill").collect()}
+    assert fill == {"a": "old1", "zz": "old2"}
+    # broadcast-join path (dict larger than the literal-map cutoff)
+    big = {f"k{i}": f"v{i}" for i in range(100)} | {"a": "new"}
+    overj = {r.k: r.dest for r in dict_map(
+        df, "k", big, "dest", mode="overwrite").collect()}
+    assert overj == {"a": "new", "zz": "old2"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fill.*overwrite"):
+        dict_map(df, "k", {"a": "x"}, "dest", mode="bogus")
+
+
+def test_encrypt_cbc_reference_layout(spark):
+    """AES-CBC reference parity: hex output, no IV prefix, PKCS7 sizing,
+    aes_decrypt round-trips when the IV is re-prepended."""
+    from pyspark.sql import functions as F
+
+    from loongcollector_spark.operators.enrich import encrypt_fields
+
+    key_hex = "30313233343536373839616263646566"  # b"0123456789abcdef"
+    df = spark.createDataFrame([("hello world",)], "v string")
+    enc = encrypt_fields(df, ["v"], key_hex, mode="CBC", output="hex")
+    ct = enc.first().v
+    assert len(ct) == 32 and ct == ct.lower()  # 11B + PKCS7 -> one block, hex
+    rt = enc.select(
+        F.expr(
+            f"cast(aes_decrypt(unhex('{'00'*16}' || v), unhex('{key_hex}'), "
+            "'CBC', 'PKCS') as string)"
+        ).alias("pt")
+    ).first().pt
+    assert rt == "hello world"
