@@ -14,6 +14,7 @@ execution mode with the idiomatic Spark mapping:
 | Router fan-out to flushers | ``foreachBatch`` conditional per-sink writes |
 | token-bucket rate limit | ``applyInPandasWithState`` per-key bucket state |
 | periodic self-monitoring rollup | watermarked tumbling-window aggregation (``streaming_windowed_rollup``) |
+| per-key activity sessionization | native ``session_window`` gap-merge aggregation (``streaming_session_rollup``) |
 | (training pipeline) live exact dedup | watermark-bounded ``dropDuplicatesWithinWatermark`` (``streaming_exact_dedup``) |
 | native pipeline YAML in stream mode | ``run_native_streaming`` |
 """
@@ -25,13 +26,17 @@ from loongcollector_spark.streaming.pipeline import (
     run_streaming_pipeline,
 )
 from loongcollector_spark.streaming.rate_limit import streaming_rate_limit
-from loongcollector_spark.streaming.rollup import streaming_windowed_rollup
+from loongcollector_spark.streaming.rollup import (
+    streaming_session_rollup,
+    streaming_windowed_rollup,
+)
 
 __all__ = [
     "run_streaming_pipeline",
     "run_native_streaming",
     "streaming_rate_limit",
     "streaming_merge_multiline",
+    "streaming_session_rollup",
     "streaming_windowed_rollup",
     "streaming_exact_dedup",
 ]

@@ -40,3 +40,35 @@ def streaming_windowed_rollup(
         source_col,
         *(["rows"] + (["tokens"] if tokens_col else [])),
     )
+
+
+def streaming_session_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization — the event-time twin of the batch
+    ``sessionize_events`` query (aggregator_context's per-source activity
+    grouping, but gap-closed): rows of a key belong to one session while
+    consecutive event times are within ``gap``; a quiet period closes the
+    session and its state is emitted and reclaimed once the watermark
+    passes.
+
+    Built on Spark's native ``session_window`` (dynamic-gap merge inside
+    the streaming state store) — no custom applyInPandasWithState needed;
+    state per key is bounded by the watermark, and sessions that span
+    micro-batches merge exactly (the store merges overlapping windows).
+    Output: (key..., session_start, session_end, events)."""
+    out = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*[F.col(k) for k in key_cols], F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).alias("events"))
+    )
+    return out.select(
+        *key_cols,
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "events",
+    )

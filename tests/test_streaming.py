@@ -511,3 +511,74 @@ def test_time_bounded_dedup_admit_algebra(spark):
         for r in time_bounded_dedup_admit(df, ["k"], ts_col="ts", delay_sec=10.0).collect()
     }
     assert got == {0, 3, 5, 6}
+
+
+def test_streaming_session_rollup_gap_and_merge(spark, tmp_path):
+    """session_window sessionization: rows within the gap merge into one
+    session — INCLUDING across restarts via the checkpointed state store —
+    and a quiet period splits sessions. Append mode: a session emits once
+    the watermark passes its end (finalized), so open sessions survive in
+    state between runs."""
+    from datetime import datetime, timedelta
+
+    from loongcollector_spark.streaming.rollup import streaming_session_rollup
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "sess_ckpt")
+    schema = "ts timestamp, user string"
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def run():
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        sess = streaming_session_rollup(
+            stream, ["user"], "ts", gap="2 minutes", watermark="5 minutes"
+        )
+        updates = []
+
+        def sink(batch_df, batch_id):
+            updates.extend(batch_df.collect())
+
+        q = (
+            sess.writeStream.outputMode("append")  # session windows emit on
+            .foreachBatch(sink)                    # finalization only
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.user, str(r.session_start)): (str(r.session_end), r.events)
+            for r in updates
+        }
+
+    write_batch("b1", [
+        (t0, "u1"), (t0 + timedelta(minutes=1), "u1"),          # one session
+        (t0 + timedelta(minutes=10), "u1"),                      # gap -> new
+        (t0, "u2"),
+    ])
+    got1 = run()
+    # watermark = 10:10 - 5min = 10:05 -> only sessions ending before it
+    # finalize; session end = last event + gap
+    assert got1[("u1", "2024-01-01 10:00:00")] == ("2024-01-01 10:03:00", 2)
+    assert got1[("u2", "2024-01-01 10:00:00")] == ("2024-01-01 10:02:00", 1)
+    assert ("u1", "2024-01-01 10:10:00") not in got1  # still open in state
+
+    # run 2, same checkpoint: 10:11 overlaps u1's OPEN 10:10 session -> the
+    # state store merges them; nothing finalizes yet (watermark 10:06)
+    write_batch("b2", [(t0 + timedelta(minutes=11), "u1")])
+    got2 = run()
+    assert got2 == {}
+
+    # run 3: a late-morning row pushes the watermark past the merged
+    # session's end -> it emits ONCE, merged across both earlier runs
+    write_batch("b3", [(t0 + timedelta(minutes=30), "u1")])
+    got3 = run()
+    assert got3[("u1", "2024-01-01 10:10:00")] == ("2024-01-01 10:13:00", 2)
