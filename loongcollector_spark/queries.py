@@ -2986,6 +2986,49 @@ def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_rollup",
+    """
+    WITH o AS (
+      SELECT user_id % 5 AS uid, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id % 5 ORDER BY ts)
+                    IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id % 5 ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (SELECT *, SUM(brk) OVER (PARTITION BY uid ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess
+          FROM o)
+    SELECT uid, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS events
+    FROM s GROUP BY uid, sess
+    """,
+    doc="Spark's NATIVE session_window aggregation verified cross-engine: "
+        "gap-closed activity sessions per key (the batch algebra of "
+        "streaming_session_rollup — session end = last event + gap, a gap "
+        ">= 30min splits). DuckDB replays it as gaps-and-islands (lag + "
+        "running break-sum). One hash shuffle on the key; the session merge "
+        "itself is Spark's built-in state machine, not a window sort",
+)
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(
+            (F.col("user_id") % 5).alias("uid"),
+            F.session_window(F.col("ts"), "30 minutes"),
+        )
+        .agg(F.count(F.lit(1)).alias("events"))
+    )
+    return sess.select(
+        "uid",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "events",
+    )
+
+
+@register(
     "pii_scrub_stats",
     r"""
     WITH injected AS (
@@ -3291,6 +3334,7 @@ _DRIVER_WINDOW_TAIL = [
     "token_repeated_substrings",   # dedup+token: token_exact_dedup in-window
     "ann_lsh_bucketed",            # ann: ann_cosine_top10 + ann_ivf_cells in-window
     "otel_trace_spans",            # otel: otel_exp_histogram in-window
+    "session_window_rollup",       # sessions: sessionize_events family; local-signed
     # round 4: demoted to admit the new training-data families in-window
     "orders_customer_revenue",     # SQL-rollup demo: lineitem_pricing in-window
     "embedding_norms",             # embeddings: ann_* + dedup_embedding in-window
