@@ -2986,6 +2986,33 @@ def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "metadata_group_slices",
+    """
+    WITH c AS (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1),
+    seqs AS (
+      SELECT event_type, cnt,
+             UNNEST(range(CAST(ceil(cnt / 300.0) AS BIGINT))) AS group_seq
+      FROM c)
+    SELECT event_type, CAST(group_seq AS INT) AS group_seq,
+           CAST(LEAST(300, cnt - group_seq * 300) AS BIGINT) AS rows
+    FROM seqs
+    """,
+    doc="aggregator_metadata_group GroupMaxEventLength split algebra "
+        "(aggregator_metadata_group.go:39-232): an over-full key emits "
+        "successive cap-sized groups — per (key, slice) sizes are "
+        "deterministic (cap for every slice but the last) even though the "
+        "row-to-slice assignment is order-dependent; the oracle derives the "
+        "slice multiset from the per-key counts",
+)
+def metadata_group_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sliced = agg_ops.metadata_group(ev, ["event_type"], max_events=300)
+    return sliced.groupBy(
+        "event_type", F.col("__group_seq__").alias("group_seq")
+    ).agg(F.count(F.lit(1)).alias("rows"))
+
+
+@register(
     "session_window_rollup",
     """
     WITH o AS (
@@ -3335,6 +3362,7 @@ _DRIVER_WINDOW_TAIL = [
     "ann_lsh_bucketed",            # ann: ann_cosine_top10 + ann_ivf_cells in-window
     "otel_trace_spans",            # otel: otel_exp_histogram in-window
     "session_window_rollup",       # sessions: sessionize_events family; local-signed
+    "metadata_group_slices",       # aggregate family in-window; local-signed
     # round 4: demoted to admit the new training-data families in-window
     "orders_customer_revenue",     # SQL-rollup demo: lineitem_pricing in-window
     "embedding_norms",             # embeddings: ann_* + dedup_embedding in-window
