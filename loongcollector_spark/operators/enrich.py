@@ -81,45 +81,49 @@ def dict_map(
         for k, v in mapping.items():
             kv += [F.lit(k), F.lit(v)]
         lookup = F.try_element_at(F.create_map(*kv), F.col(source_key))
-        mapped = F.coalesce(lookup, F.lit(missing)) if missing is not None else lookup
-        if dest_key in df.columns:
-            # reference keeps the existing DestKey value on a dict miss with
-            # no Missing handling; 'fill' keeps it even on a hit (:137-144)
-            mapped = (
-                F.coalesce(F.col(dest_key), mapped)
-                if mode == "fill"
-                else F.coalesce(mapped, F.col(dest_key))
-            )
-        out = df.withColumn(dest_key, mapped)
-        if not keep_missing and missing is None:
-            out = out.filter(F.col(dest_key).isNotNull())
-        return out
+        return _dict_map_finish(df, lookup, dest_key, missing, keep_missing, mode)
 
+    # large dictionary: broadcast hash join through a PRIVATE value column —
+    # never named dest_key/source_key, so DestKey == SourceKey (the native
+    # default) and pre-existing DestKey columns both survive the join
+    val = "__dict_map_val__"
     if isinstance(mapping, Mapping):
         spark = SparkSession.getActiveSession()
         dict_df = spark.createDataFrame(
-            [(k, v) for k, v in mapping.items()], schema=f"`{source_key}` string, `{dest_key}` string"
+            [(k, v) for k, v in mapping.items()],
+            schema=f"`{source_key}` string, `{val}` string",
         )
     else:
-        dict_df = mapping.toDF(source_key, dest_key)
-
-    old = None
-    if dest_key in df.columns:
-        old = f"__dict_map_old_{dest_key}__"
-        df = df.withColumnRenamed(dest_key, old)
+        dict_df = mapping.toDF(source_key, val)
     joined = df.join(broadcast(dict_df), on=source_key, how="left")
-    if missing is not None:
-        joined = joined.withColumn(dest_key, F.coalesce(F.col(dest_key), F.lit(missing)))
-    elif not keep_missing:
-        joined = joined.filter(F.col(dest_key).isNotNull())
-    if old is not None:
-        merged = (
-            F.coalesce(F.col(old), F.col(dest_key))
+    out = _dict_map_finish(joined, F.col(val), dest_key, missing, keep_missing, mode)
+    return out.drop(val)
+
+
+def _dict_map_finish(
+    df: DataFrame,
+    lookup: Column,
+    dest_key: str,
+    missing: str | None,
+    keep_missing: bool,
+    mode: str,
+) -> DataFrame:
+    """Shared merge/filter tail for both dict_map strategies so the two
+    physical paths produce IDENTICAL results: ``keep_missing=False`` drops
+    rows whose LOOKUP missed (before the old value merges back); a
+    pre-existing DestKey follows the reference's Mode (fill keeps the old
+    value, overwrite replaces on hit, and a miss without Missing handling
+    keeps the old value either way, processor_dict_map.go:137-177)."""
+    if not keep_missing and missing is None:
+        df = df.filter(lookup.isNotNull())
+    mapped = F.coalesce(lookup, F.lit(missing)) if missing is not None else lookup
+    if dest_key in df.columns:
+        mapped = (
+            F.coalesce(F.col(dest_key), mapped)
             if mode == "fill"
-            else F.coalesce(F.col(dest_key), F.col(old))
+            else F.coalesce(mapped, F.col(dest_key))
         )
-        joined = joined.withColumn(dest_key, merged).drop(old)
-    return joined
+    return df.withColumn(dest_key, mapped)
 
 
 def geo_lookup(
@@ -442,6 +446,11 @@ def _otlp_metrics_schema(branches: tuple[str, ...]) -> str:
     materializing (and shredding into Tungsten rows) every family the
     caller doesn't read, which is the bulk of the parse cost for the big
     nested branches."""
+    if not branches:
+        raise ValueError(
+            "branches must name at least one metric family of "
+            f"{_OTLP_BRANCHES} — an empty selection would emit malformed DDL"
+        )
     fields = ",".join(_OTLP_BRANCH_DDL[b] for b in _OTLP_BRANCHES if b in branches)
     return (
         "struct<resourceMetrics:array<struct<"

@@ -354,20 +354,110 @@ def translate_onigmo(body: str) -> str:
       mid-pattern in both engines (Python rejects a bare global flag that
       is not at the very start).
 
-    Escaped forms (``\\\\h``) and ``(?m)`` inside character classes are left
-    alone; only a top-level occurrence is rewritten."""
-    import re as _re
+    The rewrite is a real scanner, not a blind substitution: inside a
+    character class ``\\h`` becomes class CONTENT (``0-9a-fA-F`` — wrapping
+    a bracket class there would corrupt the class), and the ``(?s:`` scope
+    closes at the end of the ENCLOSING group (depth-tracked), never past a
+    ``)`` that belongs to an outer group. In-class ``\\H`` has no positive
+    class-content equivalent and is left for the compiler to reject loudly."""
 
-    # \h / \H outside character classes and not escaped
-    def _sub_hex(m: "_re.Match[str]") -> str:
-        return "[0-9a-fA-F]" if m.group(1) == "h" else "[^0-9a-fA-F]"
+    def _scan_hex(s: str) -> str:
+        out: list[str] = []
+        in_class = False
+        just_opened = False
+        i, n = 0, len(s)
+        while i < n:
+            c = s[i]
+            if c == "\\" and i + 1 < n:
+                nxt = s[i + 1]
+                if nxt == "h":
+                    out.append("0-9a-fA-F" if in_class else "[0-9a-fA-F]")
+                elif nxt == "H" and not in_class:
+                    out.append("[^0-9a-fA-F]")
+                else:
+                    out.append(c + nxt)
+                i += 2
+                just_opened = False
+                continue
+            if not in_class and c == "[":
+                in_class = True
+                just_opened = True
+                out.append(c)
+                i += 1
+                if i < n and s[i] == "^":
+                    out.append("^")
+                    i += 1
+                continue
+            if in_class:
+                if c == "]" and not just_opened:
+                    in_class = False
+                just_opened = False
+            out.append(c)
+            i += 1
+        return "".join(out)
 
-    body = _re.sub(r"(?<!\\)\\([hH])", _sub_hex, body)
+    def _scope_dotall(s: str) -> str:
+        # rewrite the FIRST top-level (?m) (outside classes/escapes) as a
+        # (?s:...) scope ending at the enclosing group's ')' (depth-aware)
+        in_class = False
+        just_opened = False
+        i, n = 0, len(s)
+        idx = -1
+        while i < n:
+            c = s[i]
+            if c == "\\" and i + 1 < n:
+                i += 2
+                just_opened = False
+                continue
+            if not in_class and s.startswith("(?m)", i):
+                idx = i
+                break
+            if not in_class and c == "[":
+                in_class = True
+                just_opened = True
+            elif in_class:
+                if c == "]" and not just_opened:
+                    in_class = False
+                just_opened = False
+            i += 1
+        if idx < 0:
+            return s
+        head, rest = s[:idx], s[idx + 4:]
+        # find where the enclosing group closes inside `rest`
+        depth = 0
+        in_class = False
+        just_opened = False
+        j, m = 0, len(rest)
+        end = m
+        while j < m:
+            c = rest[j]
+            if c == "\\" and j + 1 < m:
+                j += 2
+                just_opened = False
+                continue
+            if not in_class:
+                if c == "[":
+                    in_class = True
+                    just_opened = True
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    if depth == 0:
+                        end = j
+                        break
+                    depth -= 1
+            else:
+                if c == "]" and not just_opened:
+                    in_class = False
+                just_opened = False
+            j += 1
+        return f"{head}(?s:{rest[:end]}){rest[end:]}"
 
-    idx = body.find("(?m)")
-    if idx >= 0 and body.count("(?m)") == 1:
-        head, rest = body[:idx], body[idx + 4:]
-        body = f"{head}(?s:{rest})"
+    body = _scan_hex(body)
+    prev = None
+    while prev != body:  # each pass consumes one (?m); terminates
+        prev = body
+        body = _scope_dotall(body)
     return body
 
 

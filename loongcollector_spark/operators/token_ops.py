@@ -314,12 +314,14 @@ def token_pack_chunks(
     (global range sort — fine for one shard, not the 100 TB default)."""
     from pyspark.sql.window import Window
 
-    order = order_col or id_col
+    # id_col tiebreak + explicit ROWS frame: the default frame is RANGE, under
+    # which tied order values share one cumulative _end and the spans overlap
+    order = [order_col, id_col] if order_col else [id_col]
     w = (
-        Window.partitionBy(partition_by).orderBy(order)
+        Window.partitionBy(partition_by).orderBy(*order)
         if partition_by
-        else Window.orderBy(order)
-    )
+        else Window.orderBy(*order)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     n = F.col(n_tok_col).cast("long")
     end = F.sum(n).over(w)
     rows = (

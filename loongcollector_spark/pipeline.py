@@ -145,7 +145,11 @@ def compile_pipeline(
         if (
             proc_name == "parse_key_value"
             and kwargs.get("expand_keys")
-            and not kwargs.get("keys")
+            # None = not yet frozen; a frozen EMPTY list must stay frozen
+            # (an empty batch 0 re-triggering discovery would give batch 1
+            # a different column set — the exact divergence freezing exists
+            # to prevent)
+            and kwargs.get("keys") is None
             and isinstance(params, dict)
         ):
             # Freeze dynamic key discovery on the spec: foreachBatch
@@ -161,8 +165,12 @@ def compile_pipeline(
             frozen = discover_keys(
                 probe, kwargs.get("map_column", "kv"), kwargs.get("sample_rows")
             )
-            params["keys"] = frozen
-            kwargs["keys"] = frozen
+            if frozen or not probe.isEmpty():
+                # only freeze a decision backed by data: an EMPTY probe
+                # frame (e.g. a streaming batch 0 before files land) says
+                # nothing about the key set — leave discovery open
+                params["keys"] = frozen
+                kwargs["keys"] = frozen
         out = PROCESSORS[proc_name](out, **kwargs)
 
     # tag injection (processor_tag_native / ProcessorTag)

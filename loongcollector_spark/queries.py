@@ -1163,7 +1163,9 @@ def rate_limit_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loongcollector_spark.streaming.rate_limit import token_bucket_admit
 
     ev = load_table(spark, sf_dir, "events").withColumn("__t__", F.expr(_EPOCH_SECONDS))
-    out = token_bucket_admit(ev, ["event_type"], "2/h", ts_col="__t__")
+    out = token_bucket_admit(
+        ev, ["event_type"], "2/h", ts_col="__t__", tiebreak_cols=["event_id"]
+    )
     return out.select("event_id", "event_type")
 
 

@@ -36,9 +36,13 @@ def streaming_merge_multiline(
     offset_col: str,
     start_pattern: str,
     flush_timeout_ms: int = 60_000,
+    unmatched: str = "single_line",
 ) -> DataFrame:
     """Merge a streaming line feed into multiline blocks with cross-batch
-    state. Output schema: (file, offset of block head, block text)."""
+    state. Output schema: (file, offset of block head, block text).
+    ``unmatched`` follows the batch operator's UnmatchedContentTreatment:
+    head-of-stream lines arriving before any start-match are emitted as
+    single-line events ('single_line') or dropped ('discard')."""
     import re
 
     compiled = re.compile(start_pattern)
@@ -85,8 +89,9 @@ def streaming_merge_multiline(
                         emit(pending)
                     pending = (int(off), [line])
                 elif pending is None:
-                    # head-of-stream continuation line: single-line emit
-                    emit((int(off), [line]))
+                    # head-of-stream continuation line: unmatched path
+                    if unmatched != "discard":
+                        emit((int(off), [line]))
                 else:
                     pending[1].append(line)
 

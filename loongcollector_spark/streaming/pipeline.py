@@ -133,7 +133,11 @@ def run_streaming_pipeline(
     )
 
 
-def _streaming_file_lines(spark: SparkSession, input_path: str) -> DataFrame:
+def _streaming_file_lines(
+    spark: SparkSession,
+    input_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Text file stream → one row per line with (PATH_TAG, __offset__,
     content), the same shape batch read_log_files(line_offset=True) yields.
 
@@ -146,10 +150,11 @@ def _streaming_file_lines(spark: SparkSession, input_path: str) -> DataFrame:
     for rotated log files (the wholetext option exists for exactly this)."""
     from loongcollector_spark.sources.files import PATH_TAG
 
+    reader = spark.readStream.format("text").option("wholetext", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     whole = (
-        spark.readStream.format("text")
-        .option("wholetext", "true")
-        .load(input_path)
+        reader.load(input_path)
         .select(
             F.col("value"),
             F.col("_metadata.file_path").alias(PATH_TAG),
@@ -228,7 +233,19 @@ def run_native_streaming(
                 "supported in streaming (the reference inserts it first, "
                 "InputFile.cpp:217)"
             )
-        lines = _streaming_file_lines(spark, input_path)
+        # the multiline path builds its own wholetext line reader, so it
+        # accepts run_streaming_pipeline's reader kwargs explicitly instead
+        # of letting them crash start_fanout_query
+        input_format = kwargs.pop("input_format", "text")
+        if input_format != "text":
+            raise ValueError(
+                "multiline streaming reads raw text files; "
+                f"input_format={input_format!r} is not applicable"
+            )
+        max_files = kwargs.pop("max_files_per_trigger", None)
+        lines = _streaming_file_lines(
+            spark, input_path, max_files_per_trigger=max_files
+        )
         merged = streaming_merge_multiline(
             lines,
             params.get("line_col", "content"),
@@ -236,6 +253,7 @@ def run_native_streaming(
             params.get("offset_col", "__offset__"),
             params["start_pattern"],
             flush_timeout_ms=flush_timeout_ms,
+            unmatched=params.get("unmatched", "single_line"),
         )
         # back to the batch shape the remaining processors address
         stream = merged.select(

@@ -76,7 +76,9 @@ def streaming_rate_limit(
         chunks = [p for p in pdfs if len(p)]
         if chunks:
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-            pdf = pdf.sort_values(ts_col)
+            # stable sort: equal-timestamp rows keep their arrival order
+            # instead of quicksort's arbitrary (run-varying) permutation
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
             ts = pdf[ts_col].to_numpy(dtype="float64")
             keep, tokens_left, last_refill = _drain_bucket(
                 ts, burst, rate, tokens_left, last_refill
@@ -98,6 +100,7 @@ def token_bucket_admit(
     fields: list[str],
     limit: str,
     ts_col: str = "ts",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """BATCH replay of the token bucket's admit set: each key's full history
     drains through the exact streaming recurrence (_drain_bucket) in one
@@ -107,12 +110,15 @@ def token_bucket_admit(
     ``ts_col`` must be epoch seconds (double). Scale shape: one shuffle on
     the key columns, then a per-group sequential drain — the recurrence is
     inherently ordered, so parallelism comes from key count, exactly like
-    the reference's per-key bucket map."""
+    the reference's per-key bucket map. ``tiebreak_cols`` pins the order of
+    equal-timestamp rows (pandas' default sort is unstable, so without it
+    WHICH tied row drains the last token is nondeterministic)."""
     burst, rate = parse_limit(limit)
     out_schema = df.schema
+    sort_cols = [ts_col] + list(tiebreak_cols or [])
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
         ts = pdf[ts_col].to_numpy(dtype="float64")
         keep, _, _ = _drain_bucket(ts, burst, rate, burst, float("-inf"))
         return pdf[pd.Series(keep, index=pdf.index)]

@@ -400,3 +400,36 @@ def test_encrypt_cbc_reference_layout(spark):
         ).alias("pt")
     ).first().pt
     assert rt == "hello world"
+
+
+def test_dict_map_join_path_dest_equals_source(spark):
+    """The native default DestKey == SourceKey must work on BOTH physical
+    paths (the broadcast-join path used to rename away its own join key)."""
+    from loongcollector_spark.operators.enrich import dict_map
+
+    df = spark.createDataFrame([("a",), ("zz",)], "k string")
+    small = {r.k for r in dict_map(df, "k", {"a": "A"}, "k").collect()}
+    big_map = {f"k{i}": f"v{i}" for i in range(100)} | {"a": "A"}
+    big = {r.k for r in dict_map(df, "k", big_map, "k").collect()}
+    assert small == big == {"A", "zz"}  # hit replaced, miss keeps original
+
+
+def test_dict_map_keep_missing_consistent_across_paths(spark):
+    """keep_missing=False drops rows whose LOOKUP missed — identically on
+    the literal-map and broadcast-join paths, even when DestKey pre-exists."""
+    from loongcollector_spark.operators.enrich import dict_map
+
+    df = spark.createDataFrame(
+        [("a", "old1"), ("b", None), ("zz", "old2")],
+        "k string, dest string",
+    )
+    small = sorted(
+        (r.k, r.dest)
+        for r in dict_map(df, "k", {"a": "A"}, "dest", keep_missing=False).collect()
+    )
+    big_map = {f"k{i}": f"v{i}" for i in range(100)} | {"a": "A"}
+    big = sorted(
+        (r.k, r.dest)
+        for r in dict_map(df, "k", big_map, "dest", keep_missing=False).collect()
+    )
+    assert small == big == [("a", "A")]  # only the hit row survives; overwrite wins

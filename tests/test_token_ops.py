@@ -259,3 +259,21 @@ def test_repeated_substrings_within_doc_repeat_not_counted(spark):
     )
     # doc repeats its own phrase; df stays 1 -> no output
     assert token_repeated_substrings(df, w=2).count() == 0
+
+
+def test_token_pack_chunks_tied_order_values(spark):
+    """Tied order_col values must NOT share a cumulative offset (the default
+    RANGE frame bug): every chunk but the last stays exactly chunk_len."""
+    from loongcollector_spark.operators.token_ops import token_pack_chunks
+
+    df = spark.createDataFrame(
+        [("d1", 3, "s", 7), ("d2", 3, "s", 7), ("d3", 3, "s", 7)],
+        "doc_id string, n_tok int, source string, shard_seq int",
+    )
+    spans = token_pack_chunks(
+        df, chunk_len=4, partition_by="source", order_col="shard_seq"
+    ).collect()
+    per_chunk: dict = {}
+    for r in spans:
+        per_chunk[r.chunk_id] = per_chunk.get(r.chunk_id, 0) + r.slice_tokens
+    assert per_chunk == {0: 4, 1: 4, 2: 1}  # 9 tokens -> 4,4,1
