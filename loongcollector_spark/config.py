@@ -336,7 +336,8 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
             "source_key": p["SourceKey"],
             "mapping": mapping,
             "dest_key": p.get("DestKey") or p["SourceKey"],
-            "missing": p.get("Missing") if p.get("HandleMissing") else None,
+            # reference default Missing="Unknown" (processor_dict_map.go:193)
+            "missing": p.get("Missing", "Unknown") if p.get("HandleMissing") else None,
             "mode": p.get("Mode", "overwrite"),
         }
     if t == "processor_string_replace":
@@ -390,16 +391,37 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
         # (IV defaults to 32 zeros), hex-encoded ciphertext with the
         # explicit IV not prepended — reproduced exactly via Spark's
         # aes_encrypt CBC with the 16-byte IV prefix stripped
-        ep = p.get("EncryptionParameters") or {}
+        ep = dict(p.get("EncryptionParameters") or {})
         key = ep.get("Key") or p.get("Key")
-        if not key and (ep.get("KeyFilePath") or p.get("KeyFilePath")):
-            with open(ep.get("KeyFilePath") or p["KeyFilePath"]) as fh:
-                key = fh.read().strip()
+        key_file = ep.get("KeyFilePath") or p.get("KeyFilePath")
+        if not key and key_file:
+            # parseKey (processor_encrypt.go:160-167): the key file is JSON
+            # unmarshalled INTO EncryptionParameters — {"Key": "<hex>", ...}
+            # may also carry IV; raw-text key files are a config error there.
+            import json as _json
+
+            with open(key_file) as fh:
+                try:
+                    file_params = _json.load(fh)
+                except ValueError as e:
+                    raise ValueError(
+                        f"processor_encrypt: key file {key_file} is not JSON "
+                        f"(processor_encrypt.go:160-167 json.Unmarshal): {e}"
+                    ) from None
+            key = file_params.get("Key")
+            ep.setdefault("IV", file_params.get("IV"))
+        if not key:
+            # Init contract (processor_encrypt.go:155-157): fail the load,
+            # never let a missing key silently null the encrypted fields.
+            raise ValueError(
+                "processor_encrypt must specify Key or KeyFilePath "
+                "(processor_encrypt.go:155-157)"
+            )
         return "encrypt", {
             "keys": list(p["SourceKeys"]),
             "key": key,
             "mode": "CBC",
-            "iv_hex": ep.get("IV", "0" * 32),
+            "iv_hex": ep.get("IV") or "0" * 32,
             "output": "hex",
         }
     if t == "processor_rate_limit":

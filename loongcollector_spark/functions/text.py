@@ -235,4 +235,8 @@ def stratified_sample(
     rate: Column = F.lit(float(default_rate))
     for k in sorted(rates):  # deterministic plan
         rate = F.when(F.col(strata_col) == k, F.lit(float(rates[k]))).otherwise(rate)
-    return df.filter(bucket < (rate * buckets).cast("long"))
+    # F.floor, NOT cast('long'): Spark's cast truncates but some replay
+    # engines' CAST(double AS BIGINT) rounds (DuckDB), so a non-integral
+    # rate*buckets would admit one extra bucket there — floor() means the
+    # same expression in every engine for arbitrary rates.
+    return df.filter(bucket < F.floor(rate * buckets))

@@ -60,10 +60,16 @@ def dict_map(
     mode: str = "overwrite",
 ) -> DataFrame:
     """processor_dict_map (processor_dict_map.go:33-148): map SourceKey value
-    through a dictionary into DestKey; missing keys get the configured
-    default (``Missing``) when ``HandleMissing`` else stay null / drop.
-    ``mode`` is the reference's Mode (:66,137-144): when DestKey already
-    carries a value, 'overwrite' replaces it, 'fill' keeps it.
+    through a dictionary into DestKey. The reference's ``Missing`` fires ONLY
+    when the SourceKey field is absent from the event (processLog:148-183 —
+    an unmapped non-empty value hits the ``else { return }`` branch and the
+    event passes through UNCHANGED); the columnar analogue of an absent key
+    is a NULL source column, so ``missing`` replaces DestKey only where
+    ``source_key IS NULL`` and a plain lookup miss leaves DestKey as the old
+    value (or null when DestKey did not pre-exist, matching the reference
+    never appending it). ``mode`` is the reference's Mode (:66,137-144):
+    when DestKey already carries a value, 'overwrite' replaces it, 'fill'
+    keeps it.
 
     Physical strategy by dictionary size:
     - tiny (≤max_expr_size entries): a literal ``map[...]`` expression —
@@ -81,7 +87,9 @@ def dict_map(
         for k, v in mapping.items():
             kv += [F.lit(k), F.lit(v)]
         lookup = F.try_element_at(F.create_map(*kv), F.col(source_key))
-        return _dict_map_finish(df, lookup, dest_key, missing, keep_missing, mode)
+        return _dict_map_finish(
+            df, source_key, lookup, dest_key, missing, keep_missing, mode
+        )
 
     # large dictionary: broadcast hash join through a PRIVATE value column —
     # never named dest_key/source_key, so DestKey == SourceKey (the native
@@ -96,12 +104,15 @@ def dict_map(
     else:
         dict_df = mapping.toDF(source_key, val)
     joined = df.join(broadcast(dict_df), on=source_key, how="left")
-    out = _dict_map_finish(joined, F.col(val), dest_key, missing, keep_missing, mode)
+    out = _dict_map_finish(
+        joined, source_key, F.col(val), dest_key, missing, keep_missing, mode
+    )
     return out.drop(val)
 
 
 def _dict_map_finish(
     df: DataFrame,
+    source_key: str,
     lookup: Column,
     dest_key: str,
     missing: str | None,
@@ -110,17 +121,27 @@ def _dict_map_finish(
 ) -> DataFrame:
     """Shared merge/filter tail for both dict_map strategies so the two
     physical paths produce IDENTICAL results: ``keep_missing=False`` drops
-    rows whose LOOKUP missed (before the old value merges back); a
-    pre-existing DestKey follows the reference's Mode (fill keeps the old
-    value, overwrite replaces on hit, and a miss without Missing handling
-    keeps the old value either way, processor_dict_map.go:137-177)."""
+    rows whose LOOKUP missed (before the old value merges back).
+    Reference parity (processor_dict_map.go:148-186): ``missing`` replaces
+    DestKey only where the source column is NULL (absent key); an unmapped
+    non-null value leaves the event untouched (the ``else { return }``
+    branch), so DestKey keeps its old value — or stays null when it did not
+    pre-exist — under EITHER mode. On a hit or a fired ``missing``, a
+    pre-existing DestKey follows Mode: 'fill' keeps the old value,
+    'overwrite' replaces it (handleMode :137-145)."""
     if not keep_missing and missing is None:
         df = df.filter(lookup.isNotNull())
-    mapped = F.coalesce(lookup, F.lit(missing)) if missing is not None else lookup
+    if missing is not None:
+        mapped = F.when(F.col(source_key).isNull(), F.lit(missing)).otherwise(lookup)
+    else:
+        mapped = lookup
     if dest_key in df.columns:
+        # DestKey == SourceKey (the native default) never consults Mode: the
+        # reference replaces the value in place before the DestKey scan runs
+        # (processLog:156-159 `return` without handleMode).
         mapped = (
             F.coalesce(F.col(dest_key), mapped)
-            if mode == "fill"
+            if mode == "fill" and dest_key != source_key
             else F.coalesce(mapped, F.col(dest_key))
         )
     return df.withColumn(dest_key, mapped)
@@ -1039,21 +1060,51 @@ def encrypt_fields(
     call with ``mode='CBC', iv_hex=<32 hex chars>, output='hex'`` and a
     hex-encoded key. Spark's CBC output prepends the 16-byte IV, so the
     reference layout is ``substr(ciphertext, 17)``. The GCM default stays
-    for new pipelines (CBC with a fixed IV leaks equal-plaintext equality)."""
+    for new pipelines (CBC with a fixed IV leaks equal-plaintext equality).
+
+    Key/IV are validated at PLAN time, mirroring the reference Init
+    (parseKey/parseIV, processor_encrypt.go:154-201: hex decode, AES key
+    length, IV == block size) — a bad key raises here instead of unhex()
+    silently nulling every encrypted field at runtime; values reach the plan
+    only through bound literals, never interpolated SQL text."""
     out = df
     for k in keys:
         if mode.upper() == "CBC":
             iv = iv_hex if iv_hex is not None else "00" * 16
-            enc = F.expr(
-                f"substr(aes_encrypt(`{k}`, unhex('{key}'), 'CBC', 'PKCS', "
-                f"unhex('{iv}')), 17)"
-            )
+            key_b = _require_hex("Key", key, lengths=(16, 24, 32))
+            _require_hex("IV", iv, lengths=(16,))
+            del key_b
+            enc = F.aes_encrypt(
+                F.col(k).cast("binary"),
+                F.unhex(F.lit(key)),
+                F.lit("CBC"),
+                F.lit("PKCS"),
+                F.unhex(F.lit(iv)),
+            ).substr(F.lit(17), F.length(F.col(k)) + 32)
             value = F.lower(F.hex(enc)) if output == "hex" else F.base64(enc)
         else:
             enc = F.aes_encrypt(F.col(k).cast("binary"), F.lit(key), F.lit(mode))
             value = F.lower(F.hex(enc)) if output == "hex" else F.base64(enc)
         out = out.withColumn(k, value)
     return out
+
+
+def _require_hex(what: str, value: str, lengths: tuple[int, ...]) -> bytes:
+    """parseKey/parseIV validation (processor_encrypt.go:154-201): the value
+    must hex-decode and the decoded byte length must be one of ``lengths``."""
+    try:
+        raw = bytes.fromhex(value or "")
+    except ValueError as e:
+        raise ValueError(
+            f"processor_encrypt: {what} is not valid hex "
+            f"(processor_encrypt.go parseKey/parseIV): {e}"
+        ) from None
+    if len(raw) not in lengths:
+        raise ValueError(
+            f"processor_encrypt: {what} decodes to {len(raw)} bytes, "
+            f"expected one of {lengths} (processor_encrypt.go:176-199)"
+        )
+    return raw
 
 
 def pack_json(df: DataFrame, source_keys: Sequence[str], dest_key: str, drop_packed: bool = False) -> DataFrame:

@@ -128,6 +128,18 @@ class PipelineSpec:
     metrics_tokens_col: str | None = "n_tok"
 
 
+def private_spec_copy(spec: PipelineSpec) -> PipelineSpec:
+    """Copy a spec with its processor param dicts duplicated, so runtime
+    state compile_pipeline writes back (frozen kv expand keys) stays private
+    to one run/query and a spec object reused across datasets never carries
+    stale frozen keys."""
+    import dataclasses
+
+    return dataclasses.replace(
+        spec, processors=[(n, dict(p)) for n, p in spec.processors]
+    )
+
+
 def compile_pipeline(
     df: DataFrame, spec: PipelineSpec, metrics: MetricsRegistry | None = None
 ) -> DataFrame:
@@ -165,10 +177,16 @@ def compile_pipeline(
             frozen = discover_keys(
                 probe, kwargs.get("map_column", "kv"), kwargs.get("sample_rows")
             )
-            if frozen or not probe.isEmpty():
-                # only freeze a decision backed by data: an EMPTY probe
-                # frame (e.g. a streaming batch 0 before files land) says
-                # nothing about the key set — leave discovery open
+            if frozen:
+                # only freeze a decision backed by data: an empty probe
+                # frame (streaming batch 0 before files land) OR a batch
+                # whose kv maps all happen to be empty says nothing about
+                # the key set — leave discovery open so a later batch with
+                # real pairs can still expand. NB: this writes into the
+                # spec's params dict so foreachBatch re-compiles project
+                # identically — run_pipeline/start_fanout_query hand
+                # compile_pipeline a PRIVATE spec copy so the caller's
+                # object never carries frozen state across datasets.
                 params["keys"] = frozen
                 kwargs["keys"] = frozen
         out = PROCESSORS[proc_name](out, **kwargs)
@@ -204,6 +222,7 @@ def run_pipeline(
     Returns {sink: counters, "metrics": rollup rows, "elapsed_sec": ...}."""
     metrics = metrics or MetricsRegistry()
     t0 = time.time()
+    spec = private_spec_copy(spec)  # freeze state must not leak to the caller
     routed = compile_pipeline(df, spec, metrics)
 
     results: dict[str, Any] = {}

@@ -35,6 +35,12 @@ def start_fanout_query(
     """foreachBatch fan-out over an already-built streaming DataFrame:
     compile the processor chain per micro-batch, persist the routed frame
     once, write each sink's slice with replay-idempotent batch directories."""
+    from loongcollector_spark.pipeline import private_spec_copy
+
+    # per-query private copy: frozen kv-expand keys persist across THIS
+    # query's micro-batches (schema-stable batch=<id> dirs) without leaking
+    # into the caller's spec object (reused specs would carry stale keys)
+    spec = private_spec_copy(spec)
     sink_names = list(dict.fromkeys(r.sink for r in spec.routes))
     if (
         spec.default_sink

@@ -90,13 +90,36 @@ def test_rename(logs):
 
 def test_dict_map_expr_and_broadcast(logs):
     mapping = {"prod": "dc-east", "staging": "dc-west"}
-    # tiny dict → map-literal expression
+    # tiny dict → map-literal expression. Reference semantics
+    # (processor_dict_map.go:148-186): unmapped NON-NULL values ("dev") pass
+    # through unchanged — Missing does NOT fire for them.
     out = enrich.dict_map(logs, "env", mapping, "dc", missing="unknown")
     vals = {r.id: r.dc for r in out.collect()}
-    assert vals == {0: "dc-east", 1: "dc-east", 2: "unknown", 3: "unknown"}
+    assert vals == {0: "dc-east", 1: "dc-east", 2: None, 3: None}
     # force broadcast-join path
     out2 = enrich.dict_map(logs, "env", mapping, "dc", missing="unknown", max_expr_size=0)
     assert {r.id: r.dc for r in out2.collect()} == vals
+
+
+def test_dict_map_missing_fires_only_on_absent_key(spark):
+    """processor_dict_map.go:173-183: HandleMissing/Missing applies when the
+    SourceKey is ABSENT from the event (null column); with a pre-existing
+    DestKey, Mode decides whether Missing overwrites it."""
+    from loongcollector_spark.operators.enrich import dict_map
+
+    df = spark.createDataFrame(
+        [("a", "old1"), (None, "old2"), (None, None), ("zz", "old3")],
+        "k string, dest string",
+    )
+    for cutoff in (64, 0):  # literal-map and broadcast-join paths
+        over = {r.dest for r in dict_map(
+            df, "k", {"a": "A"}, "dest", missing="MISS", mode="overwrite",
+            max_expr_size=cutoff).collect()}
+        assert over == {"A", "MISS", "old3"}  # null src → MISS (both rows)
+        fill = [r.dest for r in dict_map(
+            df, "k", {"a": "A"}, "dest", missing="MISS", mode="fill",
+            max_expr_size=cutoff).collect()]
+        assert sorted(fill, key=str) == ["MISS", "old1", "old2", "old3"]
 
 
 def test_dict_map_drop_missing(logs):

@@ -487,5 +487,8 @@ def test_native_enrich_chain_example_loads_and_runs(spark, tmp_path):
     assert len(got) == 2
     by_zone = {r[0]: r for r in got}
     assert by_zone["east"][1] == "error" and by_zone["east"][2] == "t0"
-    assert by_zone["other"][1] is None
+    # eu-west is a NON-NULL unmapped region: the reference passes the event
+    # through unchanged (processor_dict_map.go:169 `return`), so zone stays
+    # absent (null) — Missing fires only for an absent SourceKey.
+    assert by_zone[None][1] is None
     assert all(r[3] is None for r in got)  # drop_last_key nulled the raw line
