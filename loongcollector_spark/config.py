@@ -424,6 +424,23 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
             "iv_hex": ep.get("IV") or "0" * 32,
             "output": "hex",
         }
+    if t == "processor_geoip":
+        # processor_geoip.go:36-66 + plugin factory defaults (:174-179:
+        # KeepSource true, Language zh-CN). DBPath is a MaxMind .mmdb file,
+        # parsed at plan time by the pure-Python reader (sources/mmdb.py)
+        # into a broadcast CIDR interval table. NoCountryCode is accepted
+        # but unused — the Go ProcessGeoIP never consults it.
+        return "geo_mmdb_lookup", {
+            "ip_key": p["SourceKey"],
+            "db_path": p["DBPath"],
+            "language": p.get("Language", "zh-CN"),
+            "no_province": bool(p.get("NoProvince", False)),
+            "no_city": bool(p.get("NoCity", False)),
+            "no_country": bool(p.get("NoCountry", False)),
+            "no_coordinate": bool(p.get("NoCoordinate", False)),
+            "ip_value_flag": bool(p.get("IPValueFlag", False)),
+            "keep_source": bool(p.get("KeepSource", True)),
+        }
     if t == "processor_rate_limit":
         # processor_rate_limit.go: Limit "N/(s|m|h)" per Fields combination.
         # Batch analogue caps rows per key per batch (window-group-limit

@@ -248,6 +248,83 @@ def geo_cidr_lookup(
     )
 
 
+def geo_mmdb_lookup(
+    df: DataFrame,
+    ip_key: str,
+    db_path: str,
+    language: str = "zh-CN",
+    no_province: bool = False,
+    no_city: bool = False,
+    no_country: bool = False,
+    no_coordinate: bool = False,
+    ip_value_flag: bool = False,
+    keep_source: bool = True,
+) -> DataFrame:
+    """processor_geoip with a real MaxMind database (processor_geoip.go:36-66):
+    DBPath is parsed ONCE at plan time by the pure-Python reader
+    (sources/mmdb.py) into the /8-bucketed broadcast CIDR interval table of
+    geo_cidr_lookup — the per-event db.City(ip) longest-prefix lookup
+    becomes a broadcast hash join (leaf networks are non-overlapping, so no
+    longest-prefix window is needed).
+
+    Reference parity (ProcessGeoIP :120-171): output keys are
+    ``{SourceKey}_city_/_province_/_province_code_/_country_/_country_code_``
+    and ``_longitude_/_latitude_`` as %.8f strings; a name missing for the
+    configured ``Language`` emits no value; ``NoCountry`` gates BOTH country
+    and country_code (the Go code never consults NoCountryCode);
+    coordinates default to "0.00000000" for any parseable IP with no match
+    (db.City returns the zero record, err == nil), while an unparseable IP
+    short-circuits with no fields at all. ``IPValueFlag`` reads the value as
+    a network-order uint32 (inetNtoa :109-117 — an unparseable integer
+    becomes 0.0.0.0, which IS a valid IP, so coordinates still emit);
+    ``KeepSource=false`` drops the source column (:97-101)."""
+    from loongcollector_spark.sources.mmdb import mmdb_cidr_rows
+
+    spark = df.sparkSession
+    rows = mmdb_cidr_rows(db_path, language)
+    attrs = {}  # internal -> reference-prefixed output name
+    if not no_city:
+        attrs["city"] = f"{ip_key}_city_"
+    if not no_province:
+        attrs["province"] = f"{ip_key}_province_"
+        attrs["province_code"] = f"{ip_key}_province_code_"
+    if not no_country:
+        attrs["country"] = f"{ip_key}_country_"
+        attrs["country_code"] = f"{ip_key}_country_code_"
+    if not no_coordinate:
+        attrs["longitude"] = f"{ip_key}_longitude_"
+        attrs["latitude"] = f"{ip_key}_latitude_"
+    nets = spark.createDataFrame(
+        rows,
+        "cidr string, city string, province string, province_code string, "
+        "country string, country_code string, longitude string, latitude string",
+    ).select("cidr", *[F.col(src).alias(dst) for src, dst in attrs.items()])
+
+    ip_col = "__geo_dotted__"
+    if ip_value_flag:
+        v = F.coalesce(F.col(ip_key).try_cast("long"), F.lit(0)).bitwiseAND(
+            F.lit(4294967295)
+        )
+        dotted = F.concat_ws(
+            ".",
+            (v.bitwiseAND(F.lit(0xFF000000)) / 16777216).cast("int").cast("string"),
+            (v.bitwiseAND(F.lit(0x00FF0000)) / 65536).cast("int").cast("string"),
+            (v.bitwiseAND(F.lit(0x0000FF00)) / 256).cast("int").cast("string"),
+            v.bitwiseAND(F.lit(0x000000FF)).cast("int").cast("string"),
+        )
+    else:
+        dotted = F.col(ip_key)
+    out = geo_cidr_lookup(df.withColumn(ip_col, dotted), ip_col, nets)
+    if not no_coordinate:
+        parseable = ip_to_long(F.col(ip_col)).isNotNull()
+        for c in (f"{ip_key}_longitude_", f"{ip_key}_latitude_"):
+            out = out.withColumn(
+                c, F.when(parseable, F.coalesce(F.col(c), F.lit("0.00000000")))
+            )
+    out = out.drop(ip_col)
+    return out.drop(ip_key) if not keep_source else out
+
+
 def cloud_meta(df: DataFrame, metadata: Mapping[str, str]) -> DataFrame:
     """processor_cloud_meta: constant metadata injection (region/zone/...)."""
     return add_fields(df, metadata, ignore_if_exist=False)

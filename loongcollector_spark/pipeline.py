@@ -105,6 +105,7 @@ PROCESSORS: dict[str, Callable[..., DataFrame]] = {
     "otel_trace_parse": enrich.otel_trace_parse,
     "otel_log_parse": enrich.otel_log_parse,
     "geo_cidr_lookup": enrich.geo_cidr_lookup,
+    "geo_mmdb_lookup": enrich.geo_mmdb_lookup,
     "dynamic_topic": route.dynamic_topic,
     "spl": _spl_processor,
 }
