@@ -356,28 +356,27 @@ def string_replace(
     return df.withColumn(dest_key or source_key, out_col)
 
 
-_GO_ESCAPE = None  # compiled lazily
-
-
-def _go_unquote(body: str) -> str:
-    """Go strconv.Unquote escape interpretation for a double-quoted string
-    body: \\xNN, \\uNNNN, \\UNNNNNNNN, octal, and the single-char escapes.
-    Mirrors the error path too: an escape outside that grammar (e.g. \\q, or
-    \\' — legal only in rune literals), a dangling backslash, a bare internal
-    double quote, or a raw control character raises ValueError, and the
-    caller keeps the ORIGINAL value (processor_string_replace.go:112-115
-    ``err != nil -> newContVal = cont.Value``)."""
+def string_unquote(df: DataFrame, source_key: str, dest_key: str | None = None) -> DataFrame:
+    """processor_string_replace Method=unquote
+    (processor_string_replace.go:98-105): a value wrapped in double quotes is
+    unquoted; otherwise the raw value has its quotes protected as \\x22 and
+    its escape sequences interpreted (the reference's strconv.Unquote
+    round-trip). Escape decode is not expressible as column functions, so
+    this is an Arrow-batched pandas UDF. Fully vectorized: every step is a
+    pandas C-level string kernel over the batch — the only Python callback
+    is the escape-decode closure, invoked per MATCHED ESCAPE, not per row
+    (escape-free values never leave C)."""
     import re as _re
 
-    global _GO_ESCAPE
-    if _GO_ESCAPE is None:
-        _GO_ESCAPE = _re.compile(
-            r"\\(x[0-9A-Fa-f]{2}|u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|[0-7]{3}|[abfnrtv\\\"])"
-        )
+    from pyspark.sql.functions import pandas_udf
+
+    escape_re = _re.compile(
+        r"\\(x[0-9A-Fa-f]{2}|u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|[0-7]{3}|[abfnrtv\\\"])"
+    )
     single = {"a": "\a", "b": "\b", "f": "\f", "n": "\n", "r": "\r",
               "t": "\t", "v": "\v", "\\": "\\", '"': '"'}
 
-    def rep(m: "_re.Match") -> str:
+    def decode(m: "_re.Match") -> str:
         e = m.group(1)
         if e[0] in "xuU":
             return chr(int(e[1:], 16))
@@ -385,41 +384,26 @@ def _go_unquote(body: str) -> str:
             return chr(int(e, 8))
         return single[e]
 
-    # validate against the escape grammar before substituting: any backslash
-    # or quote that survives removing the valid escapes is a Go syntax error
-    residue = _GO_ESCAPE.sub("", body)
-    if "\\" in residue or '"' in residue:
-        raise ValueError("invalid Go string syntax")
-    if any(ch in "\n\r" for ch in residue):
-        raise ValueError("raw newline in quoted string")
-    return _GO_ESCAPE.sub(rep, body)
-
-
-def string_unquote(df: DataFrame, source_key: str, dest_key: str | None = None) -> DataFrame:
-    """processor_string_replace Method=unquote
-    (processor_string_replace.go:98-105): a value wrapped in double quotes is
-    unquoted; otherwise the raw value has its quotes protected as \\x22 and
-    its escape sequences interpreted (the reference's strconv.Unquote
-    round-trip). Escape decode is not expressible as column functions, so
-    this is an Arrow-batched pandas UDF (vectorized, no per-row Python on
-    the JVM side)."""
-    from pyspark.sql.functions import pandas_udf
-
     @pandas_udf("string")
     def unq(s: pd.Series) -> pd.Series:
-        def one(v):
-            if v is None:
-                return None
-            if len(v) >= 2 and v.startswith('"') and v.endswith('"'):
-                body = v[1:-1]
-            else:
-                body = v.replace('"', "\\x22")
-            try:
-                return _go_unquote(body)
-            except Exception:
-                return v
-
-        return s.map(one)
+        nn = s.notna()
+        if not nn.any():
+            return s
+        v = s[nn]
+        wrapped = (v.str.len() >= 2) & v.str.startswith('"') & v.str.endswith('"')
+        body = v.str.slice(1, -1).where(
+            wrapped, v.str.replace('"', "\\x22", regex=False)
+        )
+        # strconv.Unquote's error path (processor_string_replace.go:112-115
+        # err != nil -> keep the ORIGINAL value): any backslash/quote that
+        # survives removing the valid escapes, or a raw newline, is a Go
+        # syntax error — checked on the residue, vectorized
+        residue = body.str.replace(escape_re, "", regex=True)
+        bad = residue.str.contains(r'[\\"\n\r]', regex=True)
+        decoded = body.str.replace(escape_re, decode, regex=True)
+        out = s.copy()
+        out[nn] = decoded.where(~bad, v)
+        return out
 
     return df.withColumn(dest_key or source_key, unq(F.col(source_key)))
 
@@ -435,9 +419,14 @@ def desensitize(
 ) -> DataFrame:
     """processor_desensitize (+_native): mask the content window that follows
     ``regex_begin`` and matches ``regex_content``. method='const' overwrites
-    with ``replacement`` (pure JVM); method='md5' replaces with the md5 of the
-    masked span (vectorized pandas UDF — replacement-side function calls are
-    not expressible in regexp_replace)."""
+    with ``replacement``; method='md5' replaces each window with the md5 of
+    its own span. BOTH are pure JVM column expressions (whole-stage codegen,
+    no Python in the hot path): regexp_replace can't call functions in the
+    replacement, so the md5 variant is a split-and-rebuild — split the value
+    on the full pattern (non-window segments), extract the begin/content of
+    every window with regexp_extract_all, and interleave
+    ``segment + begin + md5(content)`` back with zip_with/aggregate. One
+    projection, applies to ALL windows in the value (re.sub parity)."""
     dest = dest_key or source_key
     if method == "const":
         return df.withColumn(
@@ -447,25 +436,35 @@ def desensitize(
             ),
         )
 
-    import hashlib
     import re as _re
 
-    from pyspark.sql.functions import pandas_udf
-
-    compiled = _re.compile(f"({regex_begin})({regex_content})")
-
-    @pandas_udf("string")
-    def mask_md5(s: pd.Series) -> pd.Series:
-        def one(v: str | None) -> str | None:
-            if v is None:
-                return None
-            return compiled.sub(
-                lambda m: m.group(1) + hashlib.md5(m.group(2).encode()).hexdigest(), v
-            )
-
-        return s.map(one)
-
-    return df.withColumn(dest, mask_md5(F.col(source_key)))
+    col = F.col(source_key)
+    full = f"(?:{regex_begin})(?:{regex_content})"
+    # group index of the wrapping capture must skip any capture groups the
+    # user's begin-regex itself contains (same leftmost-group contract the
+    # reference's FindSubmatchIndex slots rely on)
+    content_idx = _re.compile(f"(?:{regex_begin})").groups + 2
+    begins = F.regexp_extract_all(col, F.lit(f"(({regex_begin})(?:{regex_content}))"), 2)
+    contents = F.regexp_extract_all(
+        col, F.lit(f"((?:{regex_begin})({regex_content}))"), content_idx
+    )
+    segments = F.split(col, full, -1)  # n windows -> n+1 segments
+    masked = F.zip_with(
+        begins, contents, lambda b, c: F.concat(b, F.md5(c.cast("binary")))
+    )
+    rebuilt = F.concat(
+        F.element_at(segments, 1),
+        F.aggregate(
+            F.zip_with(
+                masked,
+                F.slice(segments, 2, F.size(masked)),
+                lambda m, seg: F.concat(m, seg),
+            ),
+            F.lit(""),
+            lambda acc, x: F.concat(acc, x),
+        ),
+    )
+    return df.withColumn(dest, rebuilt)
 
 
 def otel_span_shape(

@@ -151,6 +151,33 @@ def test_string_replace_and_desensitize(spark):
     assert md5v == f"password={hashlib.md5(b'hunter2').hexdigest()}&u=bob"
 
 
+def test_desensitize_md5_multi_window_and_groups(spark):
+    """The split-and-rebuild JVM path must mask EVERY window (re.sub parity)
+    and keep group indexing right when the user's begin-regex carries its own
+    capture groups."""
+    import hashlib
+
+    h = lambda v: hashlib.md5(v.encode()).hexdigest()  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            ("key=aa&key=bb&tail",),
+            ("no windows here",),
+            (None,),
+            ("key=zz",),  # window at end: trailing empty segment must survive
+        ],
+        "content string",
+    )
+    # begin regex contains a capture group on purpose
+    out = enrich.desensitize(df, "content", r"(k|K)ey=", r"[^&]+", method="md5")
+    got = [r.content for r in out.collect()]
+    assert got == [
+        f"key={h('aa')}&key={h('bb')}&tail",
+        "no windows here",
+        None,
+        f"key={h('zz')}",
+    ]
+
+
 def test_md5_base64_roundtrip(spark):
     df = spark.createDataFrame([(0, "hello")], "id int, content string")
     assert enrich.md5_field(df, "content", "h").first().h == "5d41402abc4b2a76b9719d911017c592"
