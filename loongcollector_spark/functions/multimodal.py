@@ -31,9 +31,102 @@ FEATURE_SCHEMA = "media_id string, mime string, n_bytes long, feature array<floa
 
 
 def decode_real(payload: bytes, mime: str) -> np.ndarray:
-    """Real decode hook — wire PIL/soundfile/pyav here when available."""
+    """Real decode: BMP and WAV are parsed by the pure-Python/numpy decoders
+    below (no external codec needed — both formats are headers + raw
+    samples), so at least one image and one audio format exercise the
+    non-stub path end-to-end. Compressed formats (png/jpeg/mp4/...) go
+    through PIL when it is installed; otherwise they stay an honest
+    NotImplementedError (this container ships no codec libraries)."""
+    if mime in ("image/bmp", "image/x-bmp", "image/x-ms-bmp"):
+        return _bmp_features(payload)
+    if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return _wav_features(payload)
+    if mime.startswith("image/"):
+        try:
+            import io
+
+            from PIL import Image  # optional, absent in this container
+        except ImportError as e:
+            raise NotImplementedError(
+                f"decoding {mime} requires Pillow, not present here"
+            ) from e
+        img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"), dtype=np.float32)
+        return _pixel_features(img.shape[1], img.shape[0], img)
     raise NotImplementedError(
-        "media decode requires image/audio libs not present in this container"
+        f"media decode for {mime} requires codec libs not present in this container"
+    )
+
+
+def _pixel_features(w: int, h: int, rgb: "np.ndarray") -> np.ndarray:
+    """[w, h, mean R/G/B, std R/G/B] — exact, codec-independent reduction."""
+    flat = rgb.reshape(-1, 3).astype(np.float64)
+    return np.concatenate(
+        [[float(w), float(h)], flat.mean(axis=0), flat.std(axis=0)]
+    ).astype(np.float32)
+
+
+def _bmp_features(payload: bytes) -> np.ndarray:
+    """Uncompressed BI_RGB 24/32-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER,
+    4-byte-padded bottom-up rows; negative height = top-down). Pure numpy."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_offset,) = struct.unpack_from("<I", payload, 10)
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP: compression={compression} bpp={bpp}")
+    top_down, h = h_signed < 0, abs(h_signed)
+    nchan = bpp // 8
+    stride = (w * nchan + 3) & ~3
+    rows = [
+        np.frombuffer(payload, np.uint8, count=w * nchan, offset=pixel_offset + r * stride)
+        .reshape(w, nchan)[:, :3]
+        for r in range(h)
+    ]
+    px = np.stack(rows) if top_down else np.stack(rows)[::-1]
+    rgb = px[..., ::-1].astype(np.float32)  # stored BGR(A) -> RGB
+    return _pixel_features(w, h, rgb)
+
+
+def _wav_features(payload: bytes) -> np.ndarray:
+    """RIFF/WAVE PCM (8/16-bit): [channels, sample_rate, frames, mean, rms,
+    peak] over the channel-averaged normalized signal. Pure numpy."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
+    if bits == 16:
+        sig = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+    else:
+        sig = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    frames = sig.reshape(-1, channels).mean(axis=1)
+    return np.array(
+        [
+            float(channels),
+            float(rate),
+            float(len(frames)),
+            frames.mean() if len(frames) else 0.0,
+            float(np.sqrt((frames**2).mean())) if len(frames) else 0.0,
+            float(np.abs(frames).max()) if len(frames) else 0.0,
+        ],
+        dtype=np.float32,
     )
 
 

@@ -198,8 +198,107 @@ def test_multimodal_feature_extraction(spark):
 def test_multimodal_decode_real_raises():
     from loongcollector_spark.functions import multimodal as mm
 
+    # compressed formats still need codec libs absent from this container
     with pytest.raises(NotImplementedError):
         mm.decode_real(b"bytes", "image/png")
+    with pytest.raises(NotImplementedError):
+        mm.decode_real(b"bytes", "video/mp4")
+
+
+def _make_bmp(pixels, top_down: bool = False) -> bytes:
+    """Uncompressed 24-bit BI_RGB BMP from an HxWx3 RGB uint8 array."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for r in order:
+        row = px[r][:, ::-1].tobytes()  # RGB -> stored BGR
+        body += row + b"\x00" * (stride - len(row))
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + info + bytes(body)
+
+
+def _make_wav(samples, rate: int = 8000, channels: int = 1) -> bytes:
+    """PCM-16 RIFF/WAVE from an int16 sample sequence (interleaved)."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_decode_real_bmp_exact_features():
+    import numpy as np
+
+    from loongcollector_spark.functions import multimodal as mm
+
+    # 2x2: red, green / blue, white — exact channel means/stds are known
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], np.uint8
+    )
+    for top_down in (False, True):
+        f = mm.decode_real(_make_bmp(px, top_down=top_down), "image/bmp")
+        assert f[0] == 2.0 and f[1] == 2.0
+        flat = px.reshape(-1, 3).astype(np.float64)
+        assert np.allclose(f[2:5], flat.mean(axis=0))
+        assert np.allclose(f[5:8], flat.std(axis=0), atol=1e-4)
+    # odd width exercises the 4-byte row padding
+    wide = np.tile(np.array([[10, 20, 30]], np.uint8), (3, 3, 1))
+    f = mm.decode_real(_make_bmp(wide), "image/bmp")
+    assert (f[0], f[1]) == (3.0, 3.0)
+    assert np.allclose(f[2:5], [10.0, 20.0, 30.0])
+    with pytest.raises(ValueError):
+        mm.decode_real(b"BM" + b"\x00" * 64, "image/bmp")  # compressed/bpp guard
+
+
+def test_decode_real_wav_exact_features():
+    import numpy as np
+
+    from loongcollector_spark.functions import multimodal as mm
+
+    f = mm.decode_real(_make_wav([0, 16384, -16384, 32767], rate=16000), "audio/wav")
+    assert (f[0], f[1], f[2]) == (1.0, 16000.0, 4.0)
+    sig = np.array([0, 16384, -16384, 32767]) / 32768.0
+    assert abs(f[3] - sig.mean()) < 1e-6
+    assert abs(f[4] - np.sqrt((sig**2).mean())) < 1e-6
+    assert abs(f[5] - np.abs(sig).max()) < 1e-6
+    # stereo: frames = channel average
+    st = mm.decode_real(_make_wav([100, -100, 200, -200], channels=2), "audio/wav")
+    assert (st[0], st[2]) == (2.0, 2.0) and st[3] == 0.0
+    with pytest.raises(ValueError):
+        mm.decode_real(b"RIFFxxxxNOPE", "audio/wav")
+
+
+def test_extract_features_real_path_e2e(spark):
+    """The non-stub decode path runs through Spark mapInPandas end-to-end
+    over real BMP + WAV payloads (VERDICT r4 #8 done-criterion)."""
+    import numpy as np
+
+    from loongcollector_spark.functions import multimodal as mm
+
+    px = np.full((4, 4, 3), 128, np.uint8)
+    rows = [
+        ("img1", _make_bmp(px), "image/bmp", 4, 4, 0),
+        ("aud1", _make_wav([1000] * 64), "audio/wav", 0, 0, 8),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r.media_id: list(r.feature) for r in mm.extract_features(media, use_stub=False).collect()}
+    assert got["img1"][:5] == [4.0, 4.0, 128.0, 128.0, 128.0]
+    assert got["aud1"][0] == 1.0 and got["aud1"][2] == 64.0
 
 
 def test_frame_sample_plan(spark):
