@@ -307,22 +307,79 @@ def _keys_or_rest(rest: str) -> tuple[str, list[str] | None]:
     return m[0].rstrip(", \t"), [_unquote_ident(k) for k in _split_top(m[1], ",")]
 
 
+_FLAG_RE = re.compile(
+    r"^-([a-z][a-z-]*)(?:\s*=\s*('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"|\S+))?\s+"
+)
+
+
+def _parse_flags(rest: str) -> tuple[dict[str, object], str]:
+    """Peel leading ``-name[='value']`` flags off a stage tail (the SPL
+    option syntax the benchmark corpus core/unittest/spl/spl.txt exercises:
+    -prefix/-path/-delim/-quote/-strict/-kv-sep/-mode/-regexp/-delims)."""
+    flags: dict[str, object] = {}
+    while True:
+        m = _FLAG_RE.match(rest)
+        if not m:
+            return flags, rest
+        val = m.group(2)
+        if val is None:
+            flags[m.group(1)] = True
+        else:
+            flags[m.group(1)] = _unquote_str(val) if val[0] in "'\"" else val
+        rest = rest[m.end() :]
+
+
+def _decode_esc(s: str) -> str:
+    """Decode flag-value escapes ('\\t', '\\x09', octal '\\11'); a value the
+    codec rejects (e.g. a lone backslash delimiter) passes through raw."""
+    if "\\" not in s:
+        return s
+    try:
+        import codecs
+
+        return codecs.decode(s, "unicode_escape")
+    except Exception:
+        return s
+
+
 def _stage_parse_json(
     df: DataFrame, rest: str, sample_rows: int | None = None
 ) -> DataFrame:
     rest, keys = _keys_or_rest(rest)
+    flags, rest = _parse_flags(rest)
+    prefix = str(flags.get("prefix", ""))
     col = _unquote_ident(rest)
+    tmp = None
+    if "path" in flags:
+        # ``-path='$.body'``: expand the object AT that JSON path
+        tmp = "__spl_json_path__"
+        df = df.withColumn(tmp, F.get_json_object(F.col(col), str(flags["path"])))
+        col = tmp
     if keys is None:
         keys = _discover_json_keys(df, col, sample_rows)
     for k in keys:
-        df = df.withColumn(k, F.get_json_object(F.col(col), f"$.{k}"))
-    return df
+        df = df.withColumn(prefix + k, F.get_json_object(F.col(col), f"$.{k}"))
+    return df.drop(tmp) if tmp else df
 
 
 def _stage_parse_regexp(df: DataFrame, rest: str) -> DataFrame:
     m = _rsplit_as(rest)
     if not m:
-        raise SplError(f"parse-regexp needs 'as a, b': {rest!r}")
+        # ``parse-regexp col, '(?P<ip>\S+)...'`` — named groups carry the
+        # output keys (spl.txt line 4); translate Python's (?P<) spelling to
+        # the JVM's (?<) and extract by group index
+        args = _split_top(rest, ",")
+        if len(args) != 2:
+            raise SplError(f"parse-regexp needs 'as a, b' or (?P<name>) groups: {rest!r}")
+        col = _unquote_ident(args[0])
+        pat = _unquote_str(args[1])
+        groups = re.compile(pat.replace("(?P<", "(?<").replace("(?<", "(?P<")).groupindex
+        if not groups:
+            raise SplError(f"parse-regexp needs 'as a, b' or (?P<name>) groups: {rest!r}")
+        jvm_pat = pat.replace("(?P<", "(?<")
+        for name, idx in groups.items():
+            df = df.withColumn(name, F.regexp_extract(F.col(col), jvm_pat, idx))
+        return df
     left, names = m
     args = _split_top(left, ",")
     col = _unquote_ident(args[0])
@@ -338,31 +395,54 @@ def _stage_parse_csv(df: DataFrame, rest: str) -> DataFrame:
     m = _rsplit_as(rest)
     if not m:
         raise SplError(f"parse-csv needs 'as a, b': {rest!r}")
-    col = _unquote_ident(m[0].rstrip(", \t"))
+    flags, left = _parse_flags(m[0])
+    col = _unquote_ident(left.rstrip(", \t"))
     keys = [_unquote_ident(n) for n in _split_top(m[1], ",")]
-    return parse_csv(df, col, keys, keep_source=True)
+    if not flags:
+        return parse_csv(df, col, keys, keep_source=True)
+    # flag variants (spl.txt): -delim custom separator (escape decoded),
+    # -quote custom quote char, -strict = the split arity must equal the key
+    # count or every output stays null (public SLS SPL parse-csv contract)
+    sep = _decode_esc(str(flags.get("delim", ",")))[:1] or ","
+    quote = _decode_esc(str(flags.get("quote", '"')))[:1] or '"'
+    schema = ", ".join(f"`{k}` string" for k in keys)
+    parsed = F.from_csv(
+        F.col(col), F.lit(schema), {"sep": sep, "quote": quote, "escape": quote}
+    )
+    ok = None
+    if "strict" in flags:
+        # quote-aware field count: drop quoted runs, then count separators
+        q = re.escape(quote)
+        stripped = F.regexp_replace(F.col(col), f"{q}(?:[^{q}]|{q}{q})*{q}", "")
+        ok = F.size(F.split(stripped, re.escape(sep), -1)) == F.lit(len(keys))
+    for k in keys:
+        val = parsed.getField(k)
+        df = df.withColumn(k, F.when(ok, val) if ok is not None else val)
+    return df
 
 
 def _stage_parse_kv(
     df: DataFrame, rest: str, sample_rows: int | None = None
 ) -> DataFrame:
     rest, keys = _keys_or_rest(rest)
-    m = re.match(r"^-regexp\s+(.*)$", rest)
-    if m:
-        args = _split_top(m.group(1), ",")
+    flags, rest = _parse_flags(rest)
+    prefix = str(flags.get("prefix", ""))
+    mode = str(flags.get("mode", "overwrite"))
+    if flags.get("regexp"):
+        args = _split_top(rest, ",")
         col = _unquote_ident(args[0])
         pat = _unquote_str(args[1])
         kv = F.map_from_arrays(
             F.regexp_extract_all(F.col(col), F.lit(pat), 1),
             F.regexp_extract_all(F.col(col), F.lit(pat), 2),
         )
+    elif "delims" in flags:
+        delims = re.escape(_decode_esc(str(flags["delims"])))
+        kv_sep = re.escape(_decode_esc(str(flags.get("kv-sep", "="))))
+        col = _unquote_ident(rest)
+        kv = F.str_to_map(F.col(col), F.lit(f"[{delims}]"), F.lit(kv_sep))
     else:
-        m = re.match(r"^-delims\s*=\s*(\S+)\s+(.*)$", rest)
-        if not m:
-            raise SplError(f"parse-kv needs -regexp or -delims: {rest!r}")
-        delims = re.escape(_unquote_str(m.group(1)))
-        col = _unquote_ident(m.group(2))
-        kv = F.str_to_map(F.col(col), F.lit(f"[{delims}]"), F.lit("="))
+        raise SplError(f"parse-kv needs -regexp or -delims: {rest!r}")
     tmp = "__spl_kv__"
     df = df.withColumn(tmp, kv)
     if keys is None:
@@ -376,7 +456,17 @@ def _stage_parse_kv(
             ).distinct().collect()
         )
     for k in keys:
-        df = df.withColumn(k, F.col(tmp).getItem(k))
+        out_name = prefix + k
+        new = F.col(tmp).getItem(k)
+        if out_name in df.columns and out_name != tmp:
+            # -mode='preserve' keeps a pre-existing field's value; the
+            # default overwrites on a hit but keeps the old value on a miss
+            new = (
+                F.coalesce(F.col(out_name), new)
+                if mode == "preserve"
+                else F.coalesce(new, F.col(out_name))
+            )
+        df = df.withColumn(out_name, new)
     return df.drop(tmp)
 
 
