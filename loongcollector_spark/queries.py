@@ -606,6 +606,70 @@ def geoip_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "geoip_mmdb_enrich",
+    """
+    SELECT CASE event_id % 5 WHEN 0 THEN '中国' WHEN 1 THEN '中国'
+                             WHEN 3 THEN '中国' WHEN 4 THEN '美国' END AS country,
+           CASE event_id % 5 WHEN 0 THEN '杭州' WHEN 1 THEN '上海'
+                             WHEN 3 THEN '北京' END AS city,
+           CASE event_id % 5 WHEN 0 THEN '30.25000000' WHEN 1 THEN '31.23000000'
+                             WHEN 2 THEN '0.00000000'  WHEN 3 THEN '39.90000000'
+                             ELSE '37.75000000' END AS latitude,
+           COUNT(*) AS rows
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="processor_geoip over a REAL MaxMind .mmdb (processor_geoip.go:36-66):"
+        " the committed spec-v2.0 fixture (ip_version=6 tree, pointer-deduped"
+        " data section) is parsed at plan time by the pure-Python reader into"
+        " the /8-bucketed broadcast CIDR join; zh-CN names, %.8f coordinate"
+        " strings, and the zero-record coordinates of a parseable miss"
+        " (172.x rows) all surface. The oracle states the fixture's expected"
+        " fields inline (golden semantics — DuckDB cannot read .mmdb)",
+)
+def geoip_mmdb_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    db = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "tests", "fixtures", "geo_fixture.mmdb",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    ip = (
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(F.lit("10."), (F.col("user_id") % 256).cast("string"),
+                     F.lit("."), (F.col("event_id") % 256).cast("string"), F.lit(".1")),
+        )
+        .when(
+            F.col("event_id") % 5 == 1,
+            F.concat(F.lit("192.168."), (F.col("user_id") % 256).cast("string"),
+                     F.lit("."), (F.col("event_id") % 250).cast("string")),
+        )
+        .when(
+            F.col("event_id") % 5 == 2,
+            F.concat(F.lit("172."), (64 + F.col("user_id") % 64).cast("string"),
+                     F.lit(".3."), (F.col("event_id") % 200).cast("string")),
+        )
+        .when(
+            F.col("event_id") % 5 == 3,
+            F.concat(F.lit("203.0.113."), (F.col("user_id") % 250).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("8.8."), (F.col("user_id") % 250).cast("string"),
+                     F.lit("."), (F.col("event_id") % 250).cast("string"))
+        )
+    )
+    out = enrich.geo_mmdb_lookup(
+        ev.withColumn("client_ip", ip), "client_ip", db, language="zh-CN"
+    )
+    return out.groupBy(
+        F.col("client_ip_country_").alias("country"),
+        F.col("client_ip_city_").alias("city"),
+        F.col("client_ip_latitude_").alias("latitude"),
+    ).agg(F.count(F.lit(1)).alias("rows"))
+
+
+@register(
     "fields_with_condition_switch",
     """
     SELECT event_id,
@@ -3345,6 +3409,8 @@ def token_repeated_substrings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tools/check_oracles.py --json -> CORRECTNESS_local.json (committed).
 _DRIVER_WINDOW_TAIL = [
     # signed in r3/r4; family representative retained in-window noted
+    "geoip_cidr_join",             # geoip: geoip_mmdb_enrich (new, r5) +
+                                   #   geoip_prefix_join in-window
     "expand_json_depth2",          # json: parse_json_fields in-window
     "parse_csv_expand_others",     # delimiters: parse_delimiter_firstword
     "parse_container_stdio",       # container parse: signed r3+r4

@@ -11,7 +11,6 @@ product never writes .mmdb."""
 from __future__ import annotations
 
 import struct
-import time
 
 
 def _encode_uint(type_num: int, value: int) -> bytes:
@@ -98,6 +97,7 @@ def build_mmdb(
     ip_version: int = 4,
     database_type: str = "GeoLite2-City",
     languages: tuple[str, ...] = ("en", "zh-CN"),
+    build_epoch: int = 1735689600,  # fixed: fixture bytes are deterministic
 ) -> str:
     """Write an .mmdb with the given {"a.b.c.d/k": city-record} networks."""
     data = _DataSection(dedupe=True)
@@ -162,7 +162,7 @@ def build_mmdb(
             "ip_version": ip_version,
             "database_type": database_type,
             "languages": list(languages),
-            "build_epoch": int(time.time()),
+            "build_epoch": build_epoch,
             "description": {"en": "loongcollector_spark test fixture"},
         }
     )
