@@ -199,13 +199,49 @@ def minhash_lsh_candidates(
     Returns (id_a, id_b, est_jaccard) where est_jaccard = fraction of equal
     signature positions (the MinHash estimate). ``gram_hash`` maps a shingle
     to a non-negative-ish long (default xxhash64 — fastest; pass
-    ``md5_hash60`` for cross-engine-reproducible signatures)."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    ``md5_hash60`` for cross-engine-reproducible signatures).
+
+    No upfront repartition: shingle+hash runs on the scan partitions, and
+    the signature groupBy's map-side combine means the only doc-count-sized
+    shuffle moves (id, k longs) rows — never the text."""
     grams = df.select(
         F.col(id_col).alias("id"),
         F.transform(shingles(F.col(text_col), n), lambda g: gram_hash(g)).alias("gh"),
     )
     return minhash_lsh_from_gram_hashes(grams, num_hashes, bands, seed)
+
+
+def minhash_signatures(
+    grams: DataFrame, num_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """(id, sig:array<long>) MinHash signatures, computed entirely JVM-side:
+    explode the gram hashes and run k min-aggregates under whole-stage
+    codegen. The groupBy gets map-side partial aggregation, so the shuffle
+    (if the input isn't already hash-partitioned by id) moves only
+    ids × k longs — never the gram rows. This replaced an Arrow pandas UDF
+    that was ~7× slower end-to-end: the outer-product numpy formulation kept
+    32 Python workers busier than the whole rest of the plan.
+
+    Bit-exact with the previous numpy uint64 formulation: numpy reduced
+    ``uint64(gh) % (2^31-1)``; for gh < 0 the uint64 view adds 2^64, and
+    2^64 ≡ 4 (mod 2^31-1), hence the +4 branch below. Products then fit in
+    62 bits, so plain signed-long arithmetic matches uint64 arithmetic."""
+    a_l, b_l = minhash_coeffs(num_hashes, seed)
+    p = F.lit(_P31)
+    g = F.col("g")
+    h31 = F.pmod(F.pmod(g, p) + F.when(g < 0, F.lit(4)).otherwise(F.lit(0)), p)
+    exploded = grams.select("id", F.explode("gh").alias("g")).select(
+        "id", h31.alias("h")
+    )
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a_l[k]) + F.lit(b_l[k]), p)).alias(f"_m{k}")
+        for k in range(num_hashes)
+    ]
+    return (
+        exploded.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"_m{k}" for k in range(num_hashes)]).alias("sig"))
+    )
 
 
 def minhash_lsh_from_gram_hashes(
@@ -217,18 +253,19 @@ def minhash_lsh_from_gram_hashes(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     # The banded self-join references this relation on BOTH sides; without a
-    # persist the whole shingle+UDF chain executes twice. The signature table
+    # persist the whole shingle chain executes twice. The signature table
     # is tiny (id + k longs per doc) — at cluster scale this is the relation
     # you'd checkpoint to a table before the candidate join anyway.
-    sig = _track_persist(
-        grams.select(
-            "id", _minhash_signature_udf(num_hashes, seed)("gh").alias("sig")
-        ).filter(F.col("sig").isNotNull() & (F.size("sig") > 0))
-    )
+    # (explode already drops docs with zero grams, matching the old
+    # sig-is-null filter.)
+    sig = _track_persist(minhash_signatures(grams, num_hashes, seed))
 
+    # The band self-join moves only (id, band, bh) triples — the 32-long
+    # signature arrays stay OUT of the bands×docs shuffle and are joined
+    # back onto the (small) deduped pair set afterwards. At b bands this
+    # cuts the join shuffle payload from b × |sig| to 2 × |sig| per doc.
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -248,26 +285,25 @@ def minhash_lsh_from_gram_hashes(
                 ),
             )
         ).alias("bk"),
-    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
-    # est_jaccard is computed IN the band join, so the dedup shuffle moves
-    # (id_a, id_b, est) triples — not two 32-long signature arrays per pair
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     est = F.size(
         F.filter(
-            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
             lambda eq: eq,
         )
     ) / F.lit(float(num_hashes))
     return (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bh"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            est.cast("double").alias("est_jaccard"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        pairs.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sa")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sb")), "id_b")
+        .select("id_a", "id_b", est.cast("double").alias("est_jaccard"))
     )
 
 
@@ -306,6 +342,29 @@ def simhash_from_hashes(hashes_col: str = "gram_hashes"):
     return fold(hashes_col)
 
 
+def simhash_signatures(grams: DataFrame, hashes_col: str = "gram_hashes") -> DataFrame:
+    """(id, sig:long) SimHash signatures, computed entirely JVM-side: explode
+    the gram hashes and take a per-bit majority vote as 64 sum-aggregates
+    (map-side combine; no Python workers). Bit k of the signature is 1 iff
+    strictly more than half the grams have bit k set — identical to the
+    numpy fold in ``simhash_from_hashes``, including sig=0 for docs with no
+    grams (restored by the left join on bare ids)."""
+    exploded = grams.select("id", F.explode(hashes_col).alias("h"))
+    bits = [
+        F.sum(F.shiftrightunsigned("h", k).bitwiseAND(F.lit(1))).alias(f"_b{k}")
+        for k in range(64)
+    ]
+    agg = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("_n"), *bits)
+    sig: Column | None = None
+    for k in range(64):
+        term = F.shiftleft((F.col(f"_b{k}") * 2 > F.col("_n")).cast("long"), k)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    folded = agg.select("id", sig.alias("sig"))
+    return grams.select("id").join(folded, "id", "left").select(
+        "id", F.coalesce("sig", F.lit(0).cast("long")).alias("sig")
+    )
+
+
 def simhash64(col: Column, n: int = 2) -> Column:
     """Gram hashes JVM-side; bit fold via the Arrow UDF above (used through
     simhash_near_dups, which materializes the gram-hash column first)."""
@@ -333,18 +392,17 @@ def simhash_near_dups(
     recall 1.0 (e.g. the defaults max_hamming=3 with n_rotations=4 x 16
     bits). One rotation keeps the single-bucket behavior. The union is one
     equi-join on (rotation, block) — never all-pairs — so cost grows
-    linearly in rotations, not quadratically in rows."""
+    linearly in rotations, not quadratically in rows. No upfront
+    repartition: the signature groupBy's map-side combine shuffles per-doc
+    bit-count rows, never the text."""
     if n_rotations < 1 or n_rotations * prefix_bits > 64:
         raise ValueError("need 1 <= n_rotations and n_rotations*prefix_bits <= 64")
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     grams = df.select(
         F.col(id_col).alias("id"),
         F.transform(shingles(F.col(text_col), n), lambda g: gram_hash(g)).alias("gram_hashes"),
     )
     # persisted for the same two-sided self-join reason as the MinHash path
-    sig = _track_persist(
-        grams.select("id", simhash_from_hashes("gram_hashes").alias("sig"))
-    )
+    sig = _track_persist(simhash_signatures(grams, "gram_hashes"))
     mask = (1 << prefix_bits) - 1
     blocks = F.array(
         *[
