@@ -441,6 +441,28 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
             "ip_value_flag": bool(p.get("IPValueFlag", False)),
             "keep_source": bool(p.get("KeepSource", True)),
         }
+    if t == "processor_cloud_meta":
+        # cloud_meta.go:51-72 + platformmeta managers. The metadata map is
+        # resolved ONCE at translate time (the columnar ReadOnce) — mock
+        # values or a live ECS IMDS fetch (Endpoint overrides the magic IP
+        # for tests; see operators/platformmeta.py). JSONPath injection into
+        # a JSON field is the one declared gap: mutating arbitrary JSON
+        # per-row has no sane columnar form, and the flat append mode is
+        # what the shipped configs use.
+        if p.get("JSONPath"):
+            raise ValueError(
+                "processor_cloud_meta: JSONPath injection is not supported "
+                "(flat append mode only; cloud_meta.go:96-118)"
+            )
+        from loongcollector_spark.operators.platformmeta import resolve_metadata
+
+        meta = resolve_metadata(
+            list(p.get("Metadata", ())),
+            platform=p.get("Platform", "mock"),
+            endpoint=p.get("Endpoint"),
+            rename=p.get("RenameMetadata") or {},
+        )
+        return "cloud_meta", {"metadata": meta}
     if t == "processor_rate_limit":
         # processor_rate_limit.go: Limit "N/(s|m|h)" per Fields combination.
         # Batch analogue caps rows per key per batch (window-group-limit
