@@ -68,6 +68,32 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(ws) >= n, grams).otherwise(F.array()))
 
 
+def hashed_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram hashes as array<long> WITHOUT materializing the
+    shingle strings: hash each word once, then xxhash64 over the n
+    consecutive word hashes per position. Equivalent as a MinHash/SimHash
+    gram universe to hashing the joined strings (any 64-bit gram id works),
+    but allocation-free — no per-position slice/join strings, and the
+    distinct runs over primitive longs. This is the production gram path;
+    the string form stays for the md5 oracle-replay twins.
+
+    Shape matters: the n-gram window is built by arrays_zip of n SHIFTED
+    SLICES of the word-hash array, so ``wh`` appears exactly n times per
+    ROW. The tempting per-position form (transform over an index sequence
+    with F.get(wh, i+k)) embeds ``wh`` in the lambda body, and Spark does
+    not common-subexpression-eliminate inside higher-order functions — the
+    word-hash array is recomputed per element access, O(words²) per doc
+    (measured 44s vs 2.5s on 200k docs)."""
+    ws = F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
+    wh = F.transform(ws, lambda w: F.xxhash64(w))
+    sz = F.size(wh)
+    zipped = F.arrays_zip(*[F.slice(wh, 1 + k, sz - (n - 1)) for k in range(n)])
+    grams = F.transform(
+        zipped, lambda s: F.xxhash64(*[s[str(k)] for k in range(n)])
+    )
+    return F.array_distinct(F.when(sz >= n, grams).otherwise(F.array()))
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup via content-hash groupBy: one row per distinct content,
     keeper = min id, dup_count recorded."""
@@ -204,10 +230,11 @@ def minhash_lsh_candidates(
     No upfront repartition: shingle+hash runs on the scan partitions, and
     the signature groupBy's map-side combine means the only doc-count-sized
     shuffle moves (id, k longs) rows — never the text."""
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(shingles(F.col(text_col), n), lambda g: gram_hash(g)).alias("gh"),
-    )
+    if gram_hash is F.xxhash64:
+        gh = hashed_shingles(F.col(text_col), n)  # string-free fast path
+    else:
+        gh = F.transform(shingles(F.col(text_col), n), lambda g: gram_hash(g))
+    grams = df.select(F.col(id_col).alias("id"), gh.alias("gh"))
     return minhash_lsh_from_gram_hashes(grams, num_hashes, bands, seed)
 
 
@@ -397,10 +424,11 @@ def simhash_near_dups(
     bit-count rows, never the text."""
     if n_rotations < 1 or n_rotations * prefix_bits > 64:
         raise ValueError("need 1 <= n_rotations and n_rotations*prefix_bits <= 64")
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(shingles(F.col(text_col), n), lambda g: gram_hash(g)).alias("gram_hashes"),
-    )
+    if gram_hash is F.xxhash64:
+        gh = hashed_shingles(F.col(text_col), n)  # string-free fast path
+    else:
+        gh = F.transform(shingles(F.col(text_col), n), lambda g: gram_hash(g))
+    grams = df.select(F.col(id_col).alias("id"), gh.alias("gram_hashes"))
     # persisted for the same two-sided self-join reason as the MinHash path
     sig = _track_persist(simhash_signatures(grams, "gram_hashes"))
     mask = (1 << prefix_bits) - 1

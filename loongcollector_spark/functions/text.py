@@ -165,18 +165,47 @@ def top_ngram_char_frac(
     max — linear in corpus size, one shuffle keyed by (doc_id, gram) (grams of
     one doc never all meet, so no per-doc hotspot), then a cheap doc-keyed
     rollup. The O(G^2) per-doc array alternative is wrong for long docs.
-    Returns (id_col, top_ngram_chars, text_chars)."""
+
+    The gram itself never leaves the scan stage: each position ships as a
+    (xxhash64 of the n word-hashes, joined-string length) struct, so the
+    (doc, gram) shuffle moves 12 bytes instead of the gram text and the
+    count groupBy hashes longs, not strings (~6x on the 200k-doc probe).
+    Counts — and therefore the max(count*len) result — are identical to
+    grouping by the gram string barring a same-doc 64-bit collision
+    (p ~ G²/2⁶⁵ per doc). Returns (id_col, top_ngram_chars, text_chars)."""
+    ws = words(F.col(text_col))
+    wh = F.transform(ws, lambda w: F.xxhash64(w))
+    lw = F.transform(ws, lambda w: F.length(w))
+    sz = F.size(ws)
+    width = sz - (n - 1)
+    # arrays_zip of n shifted slices: ws/wh/lw referenced n times per ROW —
+    # never inside a lambda body, where Spark recomputes them per element
+    # (see dedup.hashed_shingles)
+    zipped = F.arrays_zip(
+        *[F.slice(wh, 1 + k, width) for k in range(n)],
+        *[F.slice(lw, 1 + k, width) for k in range(n)],
+    )
+    gram_structs = F.transform(
+        zipped,
+        lambda s: F.struct(
+            F.xxhash64(*[s[str(k)] for k in range(n)]).alias("h"),
+            (sum(s[str(n + k)] for k in range(n)) + F.lit(n - 1)).alias("len"),
+        ),
+    )
+    gram_structs = F.when(sz >= n, gram_structs).otherwise(
+        F.array().cast("array<struct<h:bigint,len:int>>")
+    )
     grams = df.select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("text_chars"),
-        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gram"),
+        F.explode_outer(gram_structs).alias("g"),
     )
-    per_gram = grams.groupBy(id_col, "text_chars", "gram").agg(
+    per_gram = grams.groupBy(id_col, "text_chars", "g").agg(
         F.count(F.lit(1)).alias("cnt")
     )
     return per_gram.groupBy(id_col, "text_chars").agg(
         F.max(
-            F.when(F.col("gram").isNotNull(), F.col("cnt") * F.length("gram"))
+            F.when(F.col("g").isNotNull(), F.col("cnt") * F.col("g.len"))
             .otherwise(F.lit(0))
             .cast("long")
         ).alias("top_ngram_chars")

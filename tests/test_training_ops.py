@@ -360,7 +360,7 @@ def test_simhash_multirot_pigeonhole_recall(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     grams = docs.select(
         F.col("doc_id").alias("id"),
-        F.transform(dedup.shingles(F.col("text"), 2), lambda g: F.xxhash64(g)).alias("gh"),
+        dedup.hashed_shingles(F.col("text"), 2).alias("gh"),
     )
     sigs = grams.select("id", dedup.simhash_from_hashes("gh").alias("sig")).collect()
     sig = {r.id: r.sig & 0xFFFFFFFFFFFFFFFF for r in sigs}
