@@ -3315,9 +3315,19 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.size(F.filter(lines, lambda y: y == x)) - 1) * F.length(x),
     )
     rep = tx.top_ngram_char_frac(gated, "text", "doc_id", n=2)
+    # fingerprint + line aggregates are computed scan-side and text DROPPED
+    # before the doc_id join: the join's shuffle then moves ~40 B/doc of
+    # derived columns instead of the document text (was ~95% of the funnel's
+    # shuffle bytes at 2M docs)
     g3 = (
-        gated.withColumn("line_chars", line_chars)
-        .withColumn("dup_line_chars", dup_line_chars)
+        gated.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            line_chars.alias("line_chars"),
+            dup_line_chars.alias("dup_line_chars"),
+            tx.fingerprint(F.col("text")).alias("fp"),
+        )
         .join(rep, "doc_id")
         .filter(
             ~(
@@ -3327,10 +3337,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     keepers = (
-        g3.select(
-            tx.fingerprint(F.col("text")).alias("fp"),
-            F.struct("doc_id", "source", "n_chars").alias("s"),
-        )
+        g3.select("fp", F.struct("doc_id", "source", "n_chars").alias("s"))
         .groupBy("fp")
         .agg(F.min("s").alias("s"))
         .select("s.doc_id", "s.source", "s.n_chars")

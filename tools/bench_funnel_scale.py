@@ -24,11 +24,15 @@ import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-QUERIES = ["corpus_curation_pipeline", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash"]
+# registry entries benchmarked at scale; the md5-gram oracle twins
+# (dedup_minhash_lsh / dedup_simhash) are correctness artifacts — they pin
+# md5 STRING shingles so DuckDB can replay them, which costs ~10x the
+# production gram path and proves nothing extra about scaling shape
+QUERIES = ["corpus_curation_pipeline", "dedup_exact"]
 
 
 def _production_paths():
-    """The xxhash64 production dedup paths (the registry twins above pin the
+    """The xxhash64 production dedup paths (the registry twins pin the
     md5 gram hash so DuckDB can replay them; these are what a real corpus
     run would use)."""
     from loongcollector_spark.functions import dedup
