@@ -408,6 +408,13 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
                         f"processor_encrypt: key file {key_file} is not JSON "
                         f"(processor_encrypt.go:160-167 json.Unmarshal): {e}"
                     ) from None
+            if not isinstance(file_params, dict):
+                raise ValueError(
+                    f"processor_encrypt: key file {key_file} must be a JSON "
+                    'object like {"Key": "<hex>"} '
+                    "(processor_encrypt.go:160-167 json.Unmarshal into "
+                    "EncryptionParameters)"
+                )
             key = file_params.get("Key")
             ep.setdefault("IV", file_params.get("IV"))
         if not key:

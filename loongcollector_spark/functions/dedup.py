@@ -176,41 +176,6 @@ def minhash_coeffs(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int
     return a, b
 
 
-def _minhash_signature_udf(num_hashes: int, seed: int = 42):
-    """Vectorized MinHash: one Arrow UDF turning the per-row gram-hash array
-    into the k-permutation signature. The whole batch is ONE numpy outer
-    product + reduceat — no per-row Python, no k-wide JVM expression tree
-    (the expression form blew up whole-stage codegen at k=32)."""
-    from pyspark.sql.functions import pandas_udf
-
-    a_l, b_l = minhash_coeffs(num_hashes, seed)
-    a = np.array(a_l, dtype=np.uint64)
-    b = np.array(b_l, dtype=np.uint64)
-
-    @pandas_udf("array<long>")
-    def sig(hs: pd.Series) -> pd.Series:
-        lengths = hs.map(lambda v: 0 if v is None else len(v)).to_numpy()
-        if lengths.sum() == 0:
-            return pd.Series([None] * len(hs))
-        flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in hs if v is not None and len(v)])
-        h31 = (flat.view(np.uint64) % np.uint64(_P31)).astype(np.uint64)
-        # (N, k) universal hashes, minimized per row segment
-        hk = (h31[:, None] * a[None, :] + b[None, :]) % np.uint64(_P31)
-        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])[lengths > 0]
-        mins = np.minimum.reduceat(hk, starts.astype(np.int64), axis=0)
-        out: list = []
-        j = 0
-        for n in lengths:
-            if n == 0:
-                out.append(None)
-            else:
-                out.append(mins[j].astype(np.int64))
-                j += 1
-        return pd.Series(out)
-
-    return sig
-
-
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -343,7 +308,8 @@ def simhash_from_hashes(hashes_col: str = "gram_hashes"):
 
     @pandas_udf("long")
     def fold(hs: pd.Series) -> pd.Series:
-        # Whole-batch formulation (same shape as _minhash_signature_udf):
+        # Whole-batch formulation (flatten + reduceat, like the JVM-side
+        # minhash_signatures but for the 64-bit simhash bit matrix):
         # flatten every row's gram hashes, unpack to an (N, 64) bit matrix,
         # np.add.reduceat per row segment, then sign-compare + pack. One
         # numpy pipeline per Arrow batch — no per-row Python loop.

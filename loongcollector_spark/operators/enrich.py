@@ -384,6 +384,40 @@ def string_unquote(df: DataFrame, source_key: str, dest_key: str | None = None) 
             return chr(int(e, 8))
         return single[e]
 
+    # escapes the vectorized decode() would mis-handle or crash on: \U
+    # (value may exceed U+10FFFF -> chr() ValueError), octal with a 4-7
+    # lead digit (> 255 is a Go syntax error), and surrogate-range \u
+    # (Go's utf8.EncodeRune emits U+FFFD; Python's chr() makes a lone
+    # surrogate that breaks Arrow). Rare in real logs -> per-row fallback.
+    suspect_re = _re.compile(r"\\(?:U|[4-7][0-7]{2}|u[dD][89a-fA-F])")
+
+    def decode_row(x: str) -> "str | None":
+        # Go strconv.unquoteChar accept/reject rules; None = syntax error
+        # (caller keeps the ORIGINAL value, processor_string_replace.go:112-115)
+        bad = False
+
+        def rep(m: "_re.Match") -> str:
+            nonlocal bad
+            e = m.group(1)
+            if e[0] in "xuU":
+                val = int(e[1:], 16)
+                if val > 0x10FFFF:
+                    bad = True
+                    return ""
+                if 0xD800 <= val < 0xE000:
+                    return "�"
+                return chr(val)
+            if e[0] in "01234567":
+                val = int(e, 8)
+                if val > 255:
+                    bad = True
+                    return ""
+                return chr(val)
+            return single[e]
+
+        decoded = escape_re.sub(rep, x)
+        return None if bad else decoded
+
     @pandas_udf("string")
     def unq(s: pd.Series) -> pd.Series:
         nn = s.notna()
@@ -400,7 +434,12 @@ def string_unquote(df: DataFrame, source_key: str, dest_key: str | None = None) 
         # syntax error — checked on the residue, vectorized
         residue = body.str.replace(escape_re, "", regex=True)
         bad = residue.str.contains(r'[\\"\n\r]', regex=True)
-        decoded = body.str.replace(escape_re, decode, regex=True)
+        suspect = body.str.contains(suspect_re, regex=True)
+        decoded = body.where(~suspect, "").str.replace(escape_re, decode, regex=True)
+        if suspect.any():
+            slow = body[suspect].map(decode_row)
+            bad = bad | slow.isna().reindex(body.index, fill_value=False)
+            decoded[suspect] = slow.fillna("")
         out = s.copy()
         out[nn] = decoded.where(~bad, v)
         return out
@@ -1156,7 +1195,7 @@ def encrypt_fields(
                 F.lit("CBC"),
                 F.lit("PKCS"),
                 F.unhex(F.lit(iv)),
-            ).substr(F.lit(17), F.length(F.col(k)) + 32)
+            ).substr(F.lit(17), F.octet_length(F.col(k)) + 32)
             value = F.lower(F.hex(enc)) if output == "hex" else F.base64(enc)
         else:
             enc = F.aes_encrypt(F.col(k).cast("binary"), F.lit(key), F.lit(mode))

@@ -373,10 +373,14 @@ def _stage_parse_regexp(df: DataFrame, rest: str) -> DataFrame:
             raise SplError(f"parse-regexp needs 'as a, b' or (?P<name>) groups: {rest!r}")
         col = _unquote_ident(args[0])
         pat = _unquote_str(args[1])
-        groups = re.compile(pat.replace("(?P<", "(?<").replace("(?<", "(?P<")).groupindex
+        # normalize named-group spelling without touching lookbehinds:
+        # only ``(?<`` / ``(?P<`` followed by an identifier char is a named
+        # group — ``(?<=`` and ``(?<!`` must pass through untouched
+        py_pat = re.sub(r"\(\?P?<(?=[A-Za-z_])", "(?P<", pat)
+        groups = re.compile(py_pat).groupindex
         if not groups:
             raise SplError(f"parse-regexp needs 'as a, b' or (?P<name>) groups: {rest!r}")
-        jvm_pat = pat.replace("(?P<", "(?<")
+        jvm_pat = re.sub(r"\(\?P<(?=[A-Za-z_])", "(?<", pat)
         for name, idx in groups.items():
             df = df.withColumn(name, F.regexp_extract(F.col(col), jvm_pat, idx))
         return df

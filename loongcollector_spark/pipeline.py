@@ -183,7 +183,11 @@ def compile_pipeline(
                 # frame (streaming batch 0 before files land) OR a batch
                 # whose kv maps all happen to be empty says nothing about
                 # the key set — leave discovery open so a later batch with
-                # real pairs can still expand. NB: this writes into the
+                # real pairs can still expand. Trade-off: a no-pairs batch 0
+                # is then written without kv columns while later batches
+                # carry them — read multi-batch sink dirs with
+                # mergeSchema=true if batch 0 can legitimately contain
+                # zero k=v pairs. NB: this writes into the
                 # spec's params dict so foreachBatch re-compiles project
                 # identically — run_pipeline/start_fanout_query hand
                 # compile_pipeline a PRIVATE spec copy so the caller's

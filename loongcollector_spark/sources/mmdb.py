@@ -186,7 +186,14 @@ class MMDBReader:
                 out[key], offset = self._decode(offset, base)
             return out, offset
         if type_num == 8:  # int32 (signed, big-endian, size 0-4)
-            return int.from_bytes(buf[offset : offset + size], "big", signed=True), offset + size
+            # the official readers zero-pad short encodings to 4 bytes before
+            # the signed unpack (maxminddb decoder.py _decode_int32), so 0xFF
+            # stored in 1 byte is 255, not -1; only a full 4-byte encoding
+            # with the top bit set is negative
+            v = int.from_bytes(buf[offset : offset + size], "big")
+            if size == 4 and v >= 1 << 31:
+                v -= 1 << 32
+            return v, offset + size
         if type_num == 11:  # array
             arr = []
             for _ in range(size):

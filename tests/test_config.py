@@ -197,3 +197,26 @@ def test_native_enrich_processor_translations(spark):
         "SourceKeys": ["f1"],
         "EncryptionParameters": {"Key": "30313233343536373839616263646566"}}).first().f1
     assert ct2 == ct  # fixed IV -> deterministic, like the reference default
+
+
+def test_encrypt_key_file_must_be_json_object(tmp_path):
+    """processor_encrypt KeyFilePath is json.Unmarshal'd into
+    EncryptionParameters (processor_encrypt.go:160-167) — a JSON array or
+    bare string must raise a config error, not an AttributeError."""
+    import pytest as _pytest
+
+    from loongcollector_spark.config import _native_processor
+
+    hexkey = "30313233343536373839616263646566"
+    f = tmp_path / "key.json"
+    for bad in (f'["{hexkey}"]', f'"{hexkey}"', "42"):
+        f.write_text(bad)
+        with _pytest.raises(ValueError, match="JSON object"):
+            _native_processor({
+                "Type": "processor_encrypt", "SourceKeys": ["f1"],
+                "EncryptionParameters": {"KeyFilePath": str(f)}})
+    f.write_text(f'{{"Key": "{hexkey}", "IV": "{"00" * 16}"}}')
+    name, kw = _native_processor({
+        "Type": "processor_encrypt", "SourceKeys": ["f1"],
+        "EncryptionParameters": {"KeyFilePath": str(f)}})
+    assert name == "encrypt" and kw["key"] == hexkey and kw["iv_hex"] == "00" * 16

@@ -483,3 +483,57 @@ def test_dict_map_keep_missing_consistent_across_paths(spark):
         for r in dict_map(df, "k", big_map, "dest", keep_missing=False).collect()
     )
     assert small == big == [("a", "A")]  # only the hit row survives; overwrite wins
+
+
+def test_encrypt_cbc_multibyte_octet_sizing(spark):
+    """Ciphertext sizing must use UTF-8 BYTE length, not character length:
+    a CJK plaintext whose byte length far exceeds its char length used to be
+    silently truncated by the IV-strip substr (review r5 finding)."""
+    from pyspark.sql import functions as F
+
+    from loongcollector_spark.operators.enrich import encrypt_fields
+
+    key_hex = "30313233343536373839616263646566"
+    plain = "你好世界" * 5  # 20 chars, 60 UTF-8 bytes -> 64-byte ciphertext
+    df = spark.createDataFrame([(plain,)], "v string")
+    enc = encrypt_fields(df, ["v"], key_hex, mode="CBC", output="hex")
+    ct = enc.first().v
+    assert len(ct) == 128  # 64 bytes of hex — nothing truncated
+    rt = enc.select(
+        F.expr(
+            f"cast(aes_decrypt(unhex('{'00'*16}' || v), unhex('{key_hex}'), "
+            "'CBC', 'PKCS') as string)"
+        ).alias("pt")
+    ).first().pt
+    assert rt == plain
+
+
+def test_string_unquote_go_error_paths(spark):
+    """Go strconv.Unquote reject/accept parity for the rare escapes the
+    vectorized fast path can't decode: \\U beyond U+10FFFF and octal > 255
+    are syntax errors (keep the ORIGINAL value,
+    processor_string_replace.go:112-115); surrogate-range \\u decodes to
+    U+FFFD (utf8.EncodeRune parity). One mixed batch exercises fast path
+    + slow path + bad rows together."""
+    from loongcollector_spark.operators.enrich import string_unquote
+
+    rows = [
+        ('"\\UFFFFFFFF"',),   # > MaxRune -> error -> original kept
+        ('"\\777"',),          # octal 511 > 255 -> error -> original kept
+        ('"\\ud800"',),        # surrogate -> U+FFFD
+        ('"\\U0001F600"',),    # valid astral rune via slow path
+        ('"\\u0041\\102"',),   # fast path: \\u and small octal
+        ('"plain"',),          # fast path, no escapes
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "v string")
+    got = [r.v for r in string_unquote(df, "v").collect()]
+    assert got == [
+        '"\\UFFFFFFFF"',
+        '"\\777"',
+        "�",
+        "\U0001F600",
+        "AB",
+        "plain",
+        None,
+    ]

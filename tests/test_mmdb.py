@@ -153,3 +153,22 @@ def test_native_config_geoip_e2e(spark, db_path, tmp_path):
     assert got["1.2.4.9"]["client_ip_country_"] == "中国"
     assert got["8.8.8.8"]["client_ip_city_"] is None
     assert "client_ip_longitude_" not in got["1.2.4.9"].asDict()
+
+
+def test_int32_short_encodings_zero_pad():
+    """int32 values stored in fewer than 4 bytes are ZERO-PADDED before the
+    signed unpack (official maxminddb decoder parity): 0xFF in one byte is
+    255, not -1; only a full 4-byte encoding can be negative."""
+    r = object.__new__(MMDBReader)
+    cases = [
+        (b"\x01\x01\xff", 255),                    # 1-byte 0xFF -> 255
+        (b"\x02\x01\x80\x00", 0x8000),             # 2-byte high bit -> positive
+        (b"\x00\x01", 0),                          # 0-byte -> 0
+        (b"\x04\x01\xff\xff\xff\xff", -1),         # full 4 bytes -> signed
+        (b"\x04\x01\x7f\xff\xff\xff", 2**31 - 1),  # max positive
+    ]
+    for raw, want in cases:
+        r._buf = raw
+        got, end = r._decode(0, base=0)
+        assert got == want, raw
+        assert end == len(raw)

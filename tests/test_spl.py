@@ -385,3 +385,15 @@ def test_spl_parse_kv_flags(spark):
     assert (pres.k1, pres.k9) == ("old", "keepme")
     over = compile_spl(df2, "* | parse-kv -delims='&' content as k1, k9").first()
     assert (over.k1, over.k9) == ("new", "keepme")
+
+
+def test_spl_parse_regexp_lookbehind_with_named_groups(spark):
+    """Lookbehind syntax must survive the (?P<)/(?<) spelling translation:
+    '(?<=' / '(?<!' are NOT named groups (review r5 finding — the blind
+    replace used to emit '(?P<=' and crash re.compile)."""
+    df = lines(spark, "[warn] disk low", "[info] ok")
+    out = compile_spl(df, r"* | parse-regexp content, '(?<=\[)(?<lvl>\w+)(?=\])'")
+    assert [r.lvl for r in out.collect()] == ["warn", "info"]
+    # Python spelling + lookahead mix still works
+    out2 = compile_spl(df, r"* | parse-regexp content, '(?P<lvl>(?<=\[)\w+)'")
+    assert [r.lvl for r in out2.collect()] == ["warn", "info"]

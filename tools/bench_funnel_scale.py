@@ -117,13 +117,13 @@ def make_documents(spark, n_rows: int, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
-def shuffle_totals(app_id: str) -> tuple[int, int]:
-    url = f"http://localhost:4040/api/v1/applications/{app_id}/stages?status=complete"
-    try:
-        with urllib.request.urlopen(url, timeout=10) as r:
-            stages = json.load(r)
-    except Exception:
-        return (0, 0)
+def shuffle_totals(ui_url: str, app_id: str) -> tuple[int, int]:
+    # ui_url comes from sc.uiWebUrl (4040 may be taken by another app —
+    # Spark auto-binds 4041+). A dead REST API must FAIL the run, not
+    # silently record 0-byte shuffles that read as fabricated evidence.
+    url = f"{ui_url}/api/v1/applications/{app_id}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        stages = json.load(r)
     return (
         sum(s.get("shuffleReadBytes", 0) for s in stages),
         sum(s.get("shuffleWriteBytes", 0) for s in stages),
@@ -149,6 +149,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     app_id = spark.sparkContext.applicationId
+    ui_url = spark.sparkContext.uiWebUrl
+    if not ui_url:
+        raise RuntimeError("Spark UI is not running — shuffle evidence unavailable")
 
     out: dict = {"cpus": int(cpus), "load_avg_start": round(os.getloadavg()[0], 2), "scales": {}}
     for n in scales:
@@ -158,12 +161,12 @@ def main() -> None:
         runners = {name: REGISTRY[name].spark for name in QUERIES}
         runners.update(_production_paths())
         for name, fn in runners.items():
-            r0, w0 = shuffle_totals(app_id)
+            r0, w0 = shuffle_totals(ui_url, app_id)
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             wall = round(time.time() - t0, 1)
             dedup.release_persisted()
-            r1, w1 = shuffle_totals(app_id)
+            r1, w1 = shuffle_totals(ui_url, app_id)
             per_q[name] = {
                 "wall_sec": wall,
                 "rows_per_sec": round(n / wall, 1),
