@@ -53,11 +53,18 @@ routes to per-branch sinks (see ``spl_fanout``). Bindings are lazy logical
 plans: Catalyst dedups the shared prefix per-branch, and callers writing
 all branches should persist the input once (pipeline.py does).
 
-Expression translation covers the Presto names the reference tests use:
-json_extract -> get_json_object (scalars extract as JSON text; note Presto
-quotes string scalars, Spark does not), date_parse(x, '%...') -> to_timestamp
-with the MySQL format converted, to_unixtime -> unix_timestamp. Everything
-else passes through F.expr — Spark SQL's function surface covers the rest.
+Expression translation (:func:`_translate_expr`) is a quote/paren-aware
+bottom-up call rewriter mapping the Presto function dialect onto Spark SQL:
+renames (json_extract -> get_json_object, strpos -> instr, to_unixtime ->
+unix_timestamp, approx_distinct -> approx_count_distinct, ...), arg-aware
+rewrites (url_extract_* -> parse_url, date_add/date_diff('unit', ...) ->
+timestampadd/timestampdiff, bitwise_* -> infix operators, to_utf8/from_utf8
+-> encode/decode), and PRESTO-semantics fixes where the shared name
+diverges (split/split_part treat the delimiter as a LITERAL, regexp_extract
+returns NULL on no-match and defaults to group 0, date_format/date_parse
+use MySQL %-patterns, to_hex over md5/sha* composes with Spark's
+hex-string-returning hash functions). Unrecognized names pass through to
+F.expr — Spark SQL's own surface covers the rest.
 
 ``stats`` compiles to groupBy().agg() — partial aggregation map-side, only
 (group, partial) rows shuffle. ``sort by`` is a TOTAL order (Spark range
@@ -248,27 +255,268 @@ def _mysql_format_to_java(fmt: str) -> str:
     return "".join(out)
 
 
-def _translate_expr(expr: str) -> str:
-    """Presto-flavored SPL expression -> Spark SQL expression."""
-    out = expr
-    out = re.sub(r"\bjson_extract_scalar\s*\(", "get_json_object(", out)
-    out = re.sub(r"\bjson_extract\s*\(", "get_json_object(", out)
-    out = re.sub(r"\bto_unixtime\s*\(", "unix_timestamp(", out)
+# Presto names that are a pure rename in Spark SQL (argument order and
+# semantics already agree). Names NOT listed here and without an arg-aware
+# handler below pass through to F.expr unchanged — Spark's own surface
+# (coalesce, nullif, if, concat, concat_ws, lower/upper/trim, substr, lpad,
+# cardinality, element_at, array_distinct/max/min/position, slice, sequence,
+# regexp_like, regexp_replace, date_trunc, greatest/least, abs/ceil/floor/
+# round/sqrt/exp/ln/power, count_if, bool_and/bool_or, ...) matches Presto.
+_PRESTO_RENAMES = {
+    "json_extract_scalar": "get_json_object",
+    "json_extract": "get_json_object",
+    "to_unixtime": "unix_timestamp",
+    "strpos": "instr",              # both: 1-based, 0 when absent
+    "contains": "array_contains",
+    "starts_with": "startswith",
+    "codepoint": "ascii",
+    "levenshtein_distance": "levenshtein",
+    "approx_distinct": "approx_count_distinct",
+    "arbitrary": "any_value",
+    "random": "rand",
+    "from_hex": "unhex",
+    "to_utf8": None,                # handled: encode(x, 'utf-8')
+    "from_utf8": None,              # handled: decode(x, 'utf-8')
+    "format_datetime": "date_format",  # Joda pattern ~= Java pattern
+    "parse_datetime": None,         # handled: to_timestamp(s, fmt)
+    "from_iso8601_timestamp": "to_timestamp",
+    "from_iso8601_date": "to_date",
+    "is_nan": "isnan",
+    "infinity": None,               # handled: double('Infinity')
+    "nan": None,                    # handled: double('NaN')
+    "bitwise_left_shift": "shiftleft",
+    "bitwise_right_shift": "shiftright",
+}
 
-    def fix_date_parse(m: re.Match) -> str:
-        args = _split_top(m.group(1), ",")
+# url_extract_* -> parse_url part keyword
+_URL_PARTS = {
+    "url_extract_host": "HOST",
+    "url_extract_path": "PATH",
+    "url_extract_protocol": "PROTOCOL",
+    "url_extract_query": "QUERY",
+    "url_extract_fragment": "REF",
+}
+
+_BITWISE_INFIX = {"bitwise_and": "&", "bitwise_or": "|", "bitwise_xor": "^"}
+
+_REGEX_SPECIALS = re.compile(r"[.^$*+?()\[\]{}|\\]")
+
+
+def _is_str_literal(s: str) -> bool:
+    return len(s) >= 2 and s[0] == "'" and s[-1] == "'" and "'" not in s[1:-1]
+
+
+def _regex_escape_sql(literal_arg: str) -> str:
+    """Body of a quoted SQL literal, regex-escaped for re-embedding in a
+    Spark SQL string literal. The parser processes backslash escapes inside
+    literals (escapedStringLiterals=false default), so the escape must be
+    DOUBLED in the emitted SQL text: split(s, '.') -> split(s, '\\\\.')."""
+    lit = literal_arg.strip()[1:-1]
+    # regex-escape each special char at the REGEX layer only ('.' -> '\.');
+    # the SQL-literal layer (Spark's parser processes backslash escapes in
+    # string literals) is handled once, at the end, by _sql_escape_literals
+    return _REGEX_SPECIALS.sub(lambda m: "\\" + m.group(0), lit)
+
+
+def _mysql_literal_to_java(fmt: str) -> str:
+    """Rewrap a quoted MySQL-format SQL literal as a Java-pattern literal
+    (internal Java quoting like 'T' doubles inside the SQL string)."""
+    return "'" + _mysql_format_to_java(fmt[1:-1]).replace("'", "''") + "'"
+
+
+def _rewrite_call(name: str, args: list[str]) -> str:
+    """One Presto call (args already rewritten bottom-up) -> Spark SQL text.
+
+    SLS SPL expressions are Presto-dialect (the reference embeds a prebuilt
+    SPL engine, core/plugin/processor/ProcessorSPL.h; its documented function
+    surface is Presto's). Where Presto and Spark share a name but diverge in
+    semantics, this maps to the PRESTO behavior:
+
+      * split(s, delim): Presto splits on a LITERAL delimiter, Spark on a
+        regex -> literal delimiters are regex-escaped.
+      * split_part(s, delim, n): Presto returns NULL past the last field,
+        Spark '' -> try_element_at over the literal split.
+      * regexp_extract(s, p[, g]): Presto returns NULL on no-match and
+        defaults to group 0; Spark returns '' and defaults to group 1
+        -> nullif(regexp_extract(s, p, g or 0), '').
+      * date_format/date_parse use MySQL %-patterns -> Java patterns.
+      * date_add/date_diff('unit', ...) -> timestampadd/timestampdiff.
+      * to_hex over md5/sha1/sha2 (whose Spark forms already yield lowercase
+        hex STRINGS, not varbinary) -> upper(inner); sha256(x) -> sha2(x, 256).
+    """
+    lname = name.lower()
+    inner = ", ".join(args)
+    if lname in ("cast", "try_cast") and len(args) == 1:
+        # Presto's bare varchar/json types aren't Spark types
+        fixed = re.sub(r"(?i)\s+as\s+(varchar|json)\s*$", " as string", args[0])
+        return f"{name}({fixed})"
+    if lname in _URL_PARTS:
+        return f"parse_url({inner}, '{_URL_PARTS[lname]}')"
+    if lname == "url_extract_port":
+        # Spark's parse_url has no PORT part — take it off AUTHORITY
+        # (the $-anchor keeps userinfo 'user:pass@host' colons out)
+        return (
+            f"try_cast(regexp_extract(parse_url({inner}, 'AUTHORITY'), "
+            "':([0-9]+)$', 1) as bigint)"
+        )
+    if lname == "url_extract_parameter" and len(args) == 2:
+        return f"parse_url({args[0]}, 'QUERY', {args[1]})"
+    if lname in _BITWISE_INFIX and len(args) == 2:
+        return f"({args[0]} {_BITWISE_INFIX[lname]} {args[1]})"
+    if lname == "bitwise_not" and len(args) == 1:
+        return f"(~{args[0]})"
+    if lname == "to_utf8" and len(args) == 1:
+        return f"encode({args[0]}, 'utf-8')"
+    if lname == "from_utf8" and len(args) == 1:
+        return f"decode({args[0]}, 'utf-8')"
+    if lname == "infinity" and not args:
+        return "double('Infinity')"
+    if lname == "nan" and not args:
+        return "double('NaN')"
+    if lname == "sha256" and len(args) == 1:
+        return f"sha2({args[0]}, 256)"
+    if lname == "sha512" and len(args) == 1:
+        return f"sha2({args[0]}, 512)"
+    if lname == "to_hex" and len(args) == 1:
+        # Spark's md5/sha1/sha2 already return lowercase hex strings where
+        # Presto's return varbinary — hex() of that string would hex the
+        # hex CHARACTERS. Presto's to_hex is uppercase.
+        if re.match(r"(?i)(md5|sha1|sha2)\s*\(", args[0].strip()):
+            return f"upper({args[0]})"
+        return f"hex({inner})"
+    if lname == "split" and len(args) >= 2 and _is_str_literal(args[1].strip()):
+        rest = "".join(f", {a.strip()}" for a in args[2:])
+        return f"split({args[0]}, '{_regex_escape_sql(args[1])}'{rest})"
+    if lname == "split_part" and len(args) == 3 and _is_str_literal(args[1].strip()):
+        esc = _regex_escape_sql(args[1])
+        return f"try_element_at(split({args[0]}, '{esc}'), {args[2]})"
+    if lname == "regexp_extract" and len(args) in (2, 3):
+        grp = args[2].strip() if len(args) == 3 else "0"
+        return f"nullif(regexp_extract({args[0]}, {args[1]}, {grp}), '')"
+    if lname == "json_array_get" and len(args) == 2 and args[1].strip().isdigit():
+        return f"get_json_object({args[0]}, '$[{args[1].strip()}]')"
+    if lname in ("json_parse", "json_format") and len(args) == 1:
+        return f"({args[0]})"  # JSON stays its textual form in Spark
+    if lname == "date_parse":
         if len(args) == 2:
             fmt = args[1].strip()
-            if fmt.startswith("'") and fmt.endswith("'"):
-                java = _mysql_format_to_java(fmt[1:-1])
-                # the pattern is itself a SQL string literal: double any
-                # internal quotes (Java-literal 'T' -> ''T'')
-                fmt = "'" + java.replace("'", "''") + "'"
+            if _is_str_literal(fmt):
+                fmt = _mysql_literal_to_java(fmt)
             return f"to_timestamp({args[0].strip()}, {fmt})"
-        return f"to_timestamp({m.group(1)})"
+        return f"to_timestamp({inner})"
+    if lname == "parse_datetime" and len(args) == 2:
+        return f"to_timestamp({args[0]}, {args[1]})"
+    if lname == "date_format" and len(args) == 2:
+        fmt = args[1].strip()
+        if _is_str_literal(fmt) and "%" in fmt:
+            return f"date_format({args[0]}, {_mysql_literal_to_java(fmt)})"
+        return f"date_format({inner})"
+    if lname == "date_add" and len(args) == 3 and _is_str_literal(args[0].strip()):
+        unit = args[0].strip()[1:-1]
+        return f"timestampadd({unit}, {args[1].strip()}, {args[2].strip()})"
+    if lname == "date_diff" and len(args) == 3 and _is_str_literal(args[0].strip()):
+        unit = args[0].strip()[1:-1]
+        return f"timestampdiff({unit}, {args[1].strip()}, {args[2].strip()})"
+    target = _PRESTO_RENAMES.get(lname)
+    if target:
+        return f"{target}({inner})"
+    return f"{name}({inner})"
 
-    out = re.sub(r"\bdate_parse\s*\(([^()]*)\)", fix_date_parse, out)
-    return out
+
+def _match_paren(s: str, open_idx: int) -> int:
+    """Index of the ')' matching s[open_idx]=='(' — quote-aware."""
+    depth, q = 0, None
+    for i in range(open_idx, len(s)):
+        ch = s[i]
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise SplError(f"unbalanced parentheses in expression: {s!r}")
+
+
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _translate_calls(expr: str) -> str:
+    """Quote-aware scan rewriting every function CALL bottom-up through
+    :func:`_rewrite_call`; bare identifiers, operators, and string literals
+    pass through untouched. Output is still PRESTO-layer text (string
+    literals verbatim) — :func:`_sql_escape_literals` finishes the job."""
+    out: list[str] = []
+    i, n = 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch in "'\"":
+            j = i + 1
+            while j < n and expr[j] != ch:
+                j += 1
+            out.append(expr[i : j + 1])
+            i = j + 1
+            continue
+        m = _IDENT_RE.match(expr, i)
+        if m:
+            k = m.end()
+            while k < n and expr[k] in " \t":
+                k += 1
+            if k < n and expr[k] == "(":
+                close = _match_paren(expr, k)
+                inner = _translate_calls(expr[k + 1 : close])
+                args = [] if not inner.strip() else [
+                    a.strip() for a in _split_top(inner, ",")
+                ]
+                out.append(_rewrite_call(m.group(0), args))
+                i = close + 1
+            else:
+                out.append(m.group(0))
+                i = m.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _sql_escape_literals(expr: str) -> str:
+    """Double every backslash inside single-quoted literals. Presto/ANSI SQL
+    literals are VERBATIM (backslash is an ordinary char); Spark's parser
+    processes backslash escapes in literals (escapedStringLiterals=false
+    default), so '\\d' would silently become 'd' in a regex argument. Runs
+    ONCE over the fully rewritten expression — every literal present, user
+    or handler-generated, is still at the verbatim layer at this point."""
+    out: list[str] = []
+    i, n = 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch == "'":
+            j = i + 1
+            while j < n and expr[j] != "'":
+                j += 1
+            out.append("'" + expr[i + 1 : j].replace("\\", "\\\\") + "'")
+            i = j + 1
+            continue
+        if ch == '"':  # quoted identifier — verbatim
+            j = i + 1
+            while j < n and expr[j] != '"':
+                j += 1
+            out.append(expr[i : j + 1])
+            i = j + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _translate_expr(expr: str) -> str:
+    """Presto-flavored SPL expression -> Spark SQL expression (see the
+    module docstring's translation summary and :func:`_rewrite_call`)."""
+    return _sql_escape_literals(_translate_calls(expr))
 
 
 def _unquote_ident(s: str) -> str:

@@ -853,6 +853,56 @@ def spl_multi_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "spl_presto_functions",
+    r"""
+    SELECT event_id,
+           event_type || '.example.com' AS host,
+           '/u/' || CAST(user_id AS VARCHAR) AS path,
+           CAST(8443 AS BIGINT) AS port,
+           CAST(event_id AS VARCHAR) AS qid,
+           event_type AS sub,
+           strpos(event_type || '.example.com', 'example') AS pos,
+           regexp_extract(props, '"k": (\d+)', 1) AS kval,
+           strftime(ts, '%H') AS hh,
+           strftime(date_trunc('day', ts) + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS nextday,
+           md5(event_type) AS sig
+    FROM events WHERE event_type = 'error'
+    """,
+    doc="processor_spl Presto-dialect expression surface (the reference "
+        "embeds the Presto-semantics SPL engine, ProcessorSPL.h): "
+        "url_extract_* -> parse_url (PORT re-derived off AUTHORITY — Spark "
+        "lacks that part), literal-delimiter split_part, NULL-on-no-match "
+        "regexp_extract, MySQL %-date patterns, timestampadd, and the "
+        "to_hex(md5(to_utf8())) hash composition, all compiled at plan "
+        "time into Catalyst expressions over a URL synthesized per row; "
+        "the oracle derives every field independently of URL parsing",
+)
+def spl_presto_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.spl import compile_spl
+
+    ev = load_table(spark, sf_dir, "events")
+    return compile_spl(
+        ev,
+        r"""* | where event_type = 'error'
+              | extend url = concat('https://', event_type, '.example.com:8443/u/',
+                                    cast(user_id as varchar), '?id=',
+                                    cast(event_id as varchar), '&x=1')
+              | extend host = url_extract_host(url), path = url_extract_path(url),
+                       port = url_extract_port(url),
+                       qid = url_extract_parameter(url, 'id')
+              | extend sub = split_part(host, '.', 1),
+                       pos = strpos(host, 'example'),
+                       kval = regexp_extract(props, '"k": (\d+)', 1)
+              | extend hh = date_format(ts, '%H'),
+                       nextday = date_format(date_add('day', 1, date_trunc('day', ts)),
+                                             '%Y-%m-%d %H:%i:%s'),
+                       sig = lower(to_hex(md5(to_utf8(event_type))))
+              | project event_id, host, path, port, qid, sub, pos, kval, hh,
+                        nextday, sig""",
+    )
+
+
+@register(
     "context_pack_sequences",
     """
     SELECT doc_id,

@@ -27,8 +27,16 @@ by a green test here or explicitly mapped N/A:
 | spl.txt: parse-kv -kv-sep/-prefix/-mode         | test_spl_parse_kv_flags                      |
 | SplBenchmark.cpp throughput loops               | N/A here — covered by bench.py spl_* queries |
 
-Anything else in the closed prebuilt SPL engine (full Presto function
-surface) remains a declared subset (operators/spl.py module docstring)."""
+The closed prebuilt engine's expression language is Presto's; the commonly
+used Presto function families are translated to Spark SQL with PRESTO
+semantics by _translate_expr (test_translate_expr_presto_function_table +
+test_spl_presto_semantics_e2e cover the mappings: url_extract_*,
+literal-delimiter split/split_part, NULL-on-no-match regexp_extract, MySQL
+%-date patterns, date_add/date_diff units, to_hex/hash composition, bitwise
+fns, approx_distinct/arbitrary aggregates). Presto names outside the table
+pass through to Spark SQL, whose surface covers most of the remainder;
+anything neither mapped nor shared remains the declared subset
+(operators/spl.py module docstring)."""
 
 from __future__ import annotations
 
@@ -397,3 +405,106 @@ def test_spl_parse_regexp_lookbehind_with_named_groups(spark):
     # Python spelling + lookahead mix still works
     out2 = compile_spl(df, r"* | parse-regexp content, '(?P<lvl>(?<=\[)\w+)'")
     assert [r.lvl for r in out2.collect()] == ["warn", "info"]
+
+
+def test_translate_expr_presto_function_table():
+    """Pure-translation table: Presto dialect -> Spark SQL text (the SLS SPL
+    expression language is Presto's; ProcessorSPL.h embeds that engine)."""
+    from loongcollector_spark.operators.spl import _translate_expr as T
+
+    table = {
+        "json_extract_scalar(props, '$.k')": "get_json_object(props, '$.k')",
+        "strpos(s, 'c') + 1": "instr(s, 'c') + 1",
+        "split(host, '.')": "split(host, '\\\\.')",
+        "split_part(host, '.', 2)": "try_element_at(split(host, '\\\\.'), 2)",
+        "regexp_extract(m, 'x')": "nullif(regexp_extract(m, 'x', 0), '')",
+        "url_extract_host(u)": "parse_url(u, 'HOST')",
+        "url_extract_parameter(u, 'id')": "parse_url(u, 'QUERY', 'id')",
+        "date_format(ts, '%H:%i')": "date_format(ts, 'HH:mm')",
+        "date_add('day', 1, ts)": "timestampadd(day, 1, ts)",
+        "date_diff('hour', a, b)": "timestampdiff(hour, a, b)",
+        "to_hex(md5(to_utf8(s)))": "upper(md5(encode(s, 'utf-8')))",
+        "to_hex(sha256(to_utf8(s)))": "upper(sha2(encode(s, 'utf-8'), 256))",
+        "to_hex(from_hex('0a'))": "hex(unhex('0a'))",
+        "bitwise_and(a, bitwise_or(b, 3))": "(a & (b | 3))",
+        "bitwise_not(x)": "(~x)",
+        "contains(arr, 'x')": "array_contains(arr, 'x')",
+        "arbitrary(v)": "any_value(v)",
+        "approx_distinct(uid)": "approx_count_distinct(uid)",
+        "cast(uid as varchar)": "cast(uid as string)",
+        "json_array_get(j, 2)": "get_json_object(j, '$[2]')",
+        "json_parse(s)": "(s)",
+        "is_nan(v)": "isnan(v)",
+        "infinity()": "double('Infinity')",
+        # literal backslashes survive the SQL-literal layer (Presto
+        # literals are verbatim; Spark's parser would eat single ones)
+        r"regexp_extract(m, '(\d+)', 1)":
+            r"nullif(regexp_extract(m, '(\\d+)', 1), '')",
+        # non-calls pass through
+        "CASE WHEN a > 1 THEN 'x' ELSE 'y' END":
+            "CASE WHEN a > 1 THEN 'x' ELSE 'y' END",
+        "coalesce(a, b) || '-' || upper(c)":
+            "coalesce(a, b) || '-' || upper(c)",
+    }
+    for presto, spark_sql in table.items():
+        assert T(presto) == spark_sql, presto
+
+
+def test_spl_presto_semantics_e2e(spark):
+    """Live-Spark parity with Presto's DOCUMENTED behavior for every mapped
+    function family: url_extract_* (incl. PORT, which Spark's parse_url
+    lacks), literal-delimiter split/split_part (NULL past last field),
+    regexp_extract NULL-on-no-match + group-0 default, MySQL date patterns,
+    timestampadd/diff, hash/hex composition, bitwise fns, bare-varchar cast."""
+    import hashlib
+
+    from loongcollector_spark.operators.spl import compile_spl
+
+    df = spark.createDataFrame(
+        [("https://u:p@api.example.com:8443/v1/items?id=42&x=1#frag",
+          "a.b.c", '{"k": 7}', "2024-03-05 07:09:11")],
+        "url string, host string, props string, ts_s string")
+    out = compile_spl(df, r"""*
+     | extend h = url_extract_host(url), p = url_extract_path(url),
+         port = url_extract_port(url), qid = url_extract_parameter(url, 'id'),
+         proto = url_extract_protocol(url), frag = url_extract_fragment(url)
+     | extend part2 = split_part(host, '.', 2), part9 = split_part(host, '.', 9),
+         parts = split(host, '.')
+     | extend pos = strpos(host, 'b'), miss = strpos(host, 'zz'),
+         nomatch = regexp_extract(host, 'zz'),
+         k = regexp_extract(props, '"k": (\d+)', 1)
+     | extend ts = date_parse(ts_s, '%Y-%m-%d %H:%i:%s')
+     | extend hh = date_format(ts, '%H:%i'),
+         nextday = date_add('day', 1, date_trunc('day', ts)),
+         dh = date_diff('hour', date_trunc('day', ts), ts)
+     | extend md = lower(to_hex(md5(to_utf8(host)))),
+         sh = to_hex(sha256(to_utf8(host)))
+     | extend band = bitwise_and(12, 10), shl = bitwise_left_shift(1, 4)
+     | extend uid = cast(7 as varchar), jag = json_array_get('[10,20,30]', 1)
+    """).first()
+    assert (out.h, out.p, out.port) == ("api.example.com", "/v1/items", 8443)
+    assert (out.qid, out.proto, out.frag) == ("42", "https", "frag")
+    assert (out.part2, out.part9) == ("b", None)  # Presto: NULL past end
+    assert out.parts == ["a", "b", "c"]           # literal '.', not regex
+    assert (out.pos, out.miss) == (3, 0)          # 1-based; 0 when absent
+    assert out.nomatch is None and out.k == "7"   # NULL on no-match
+    assert str(out.ts) == "2024-03-05 07:09:11" and out.hh == "07:09"
+    assert str(out.nextday) == "2024-03-06 00:00:00" and out.dh == 7
+    assert out.md == hashlib.md5(b"a.b.c").hexdigest()
+    assert out.sh == hashlib.sha256(b"a.b.c").hexdigest().upper()
+    assert (out.band, out.shl) == (8, 16)
+    assert (out.uid, out.jag) == ("7", "20")
+
+
+def test_spl_stats_presto_aggregates(spark):
+    """approx_distinct/arbitrary map to approx_count_distinct/any_value and
+    run inside the stats stage's groupBy."""
+    from loongcollector_spark.operators.spl import compile_spl
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 5)], "g string, v int")
+    rows = {r.g: r for r in compile_spl(
+        df, "* | stats approx_distinct(v) as nd, arbitrary(g) as any_g,"
+            " count() as n by g").collect()}
+    assert rows["a"].nd == 2 and rows["a"].n == 3 and rows["a"].any_g == "a"
+    assert rows["b"].nd == 1 and rows["b"].n == 1
