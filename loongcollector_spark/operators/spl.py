@@ -173,22 +173,40 @@ def validate_spl_config(config: dict) -> dict:
     }
 
 
+def _scan_quote(s: str, i: int) -> int:
+    """s[i] is a quote char; return the index just past the closing quote.
+    A DOUBLED quote char inside the span is the SQL escape for itself
+    (Presto '' inside '...', "" inside \"...\") and does not close it.
+    The single shared quote scanner — every depth/split/escape pass in this
+    module routes through it so escape handling cannot drift apart.
+    An unterminated span swallows the rest of the string (the surrounding
+    parser then fails with its own clearer error)."""
+    q = s[i]
+    j, n = i + 1, len(s)
+    while j < n:
+        if s[j] == q:
+            if j + 1 < n and s[j + 1] == q:
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
 def _split_top(s: str, sep: str) -> list[str]:
     """Split on a separator at depth 0: quotes ('...' / "...") and
     parentheses protected. When splitting stages on '|', the SQL
     string-concat operator '||' is NOT a separator."""
-    parts, buf, q, depth = [], [], None, 0
+    parts, buf, depth = [], [], 0
     i = 0
     while i < len(s):
         ch = s[i]
-        if q:
-            buf.append(ch)
-            if ch == q:
-                q = None
-        elif ch in "'\"":
-            q = ch
-            buf.append(ch)
-        elif ch == "(":
+        if ch in "'\"":
+            j = _scan_quote(s, i)
+            buf.append(s[i:j])
+            i = j
+            continue
+        if ch == "(":
             depth += 1
             buf.append(ch)
         elif ch == ")":
@@ -210,41 +228,57 @@ def _split_top(s: str, sep: str) -> list[str]:
 def _rsplit_as(s: str) -> tuple[str, str] | None:
     """Split at the LAST top-level ' as ' (quote/paren aware) — the word
     'as' inside a quoted regex must not terminate the pattern."""
-    q, depth = None, 0
+    depth = 0
     best = None
-    for i, ch in enumerate(s):
-        if q:
-            if ch == q:
-                q = None
-        elif ch in "'\"":
-            q = ch
-        elif ch == "(":
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch in "'\"":
+            i = _scan_quote(s, i)
+            continue
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif depth == 0 and q is None and re.match(r"\s[aA][sS]\s", s[i : i + 4]):
+        elif depth == 0 and re.match(r"\s[aA][sS]\s", s[i : i + 4]):
             best = i
+        i += 1
     if best is None:
         return None
     return s[:best], s[best + 4 :]
 
 
 _MYSQL_TO_JAVA = {
-    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
-    "%h": "hh", "%i": "mm", "%s": "ss", "%S": "ss", "%f": "SSSSSS",
-    "%T": "HH:mm:ss", "%p": "a",
+    "%Y": "yyyy", "%y": "yy",
+    "%M": "MMMM", "%b": "MMM", "%m": "MM", "%c": "M",
+    "%d": "dd", "%e": "d", "%j": "DDD",
+    "%W": "EEEE", "%a": "EEE",
+    "%H": "HH", "%k": "H", "%h": "hh", "%I": "hh", "%l": "h",
+    "%i": "mm", "%s": "ss", "%S": "ss", "%f": "SSSSSS",
+    "%T": "HH:mm:ss", "%r": "hh:mm:ss a", "%p": "a",
+    "%%": "%",
 }
 
 
 def _mysql_format_to_java(fmt: str) -> str:
     """MySQL %-format -> Java DateTimeFormatter pattern; literal LETTERS in
-    the input (e.g. the T in ISO timestamps) must be quoted in Java."""
+    the input (e.g. the T in ISO timestamps) must be quoted in Java.
+    Specifiers with no Java equivalent (%D English day suffix, %w numeric
+    weekday, and the %U/%u/%V/%v/%X/%x week-year family) raise SplError at
+    plan time — a bare-letter fallback would silently produce a DIFFERENT
+    field (e.g. %M month name -> Java 'M' month number)."""
     out: list[str] = []
     i = 0
     while i < len(fmt):
         if fmt[i] == "%" and i + 1 < len(fmt):
             tok = fmt[i : i + 2]
-            out.append(_MYSQL_TO_JAVA.get(tok, tok[1]))
+            if tok not in _MYSQL_TO_JAVA:
+                raise SplError(
+                    f"processor_spl: unsupported MySQL datetime specifier "
+                    f"{tok!r} in format {fmt!r} (supported: "
+                    f"{' '.join(sorted(_MYSQL_TO_JAVA))})"
+                )
+            out.append(_MYSQL_TO_JAVA[tok])
             i += 2
         elif fmt[i].isalpha():
             out.append(f"'{fmt[i]}'")
@@ -273,7 +307,6 @@ _PRESTO_RENAMES = {
     "levenshtein_distance": "levenshtein",
     "approx_distinct": "approx_count_distinct",
     "arbitrary": "any_value",
-    "random": "rand",
     "from_hex": "unhex",
     "to_utf8": None,                # handled: encode(x, 'utf-8')
     "from_utf8": None,              # handled: decode(x, 'utf-8')
@@ -303,25 +336,32 @@ _REGEX_SPECIALS = re.compile(r"[.^$*+?()\[\]{}|\\]")
 
 
 def _is_str_literal(s: str) -> bool:
-    return len(s) >= 2 and s[0] == "'" and s[-1] == "'" and "'" not in s[1:-1]
+    """True when s is ONE single-quoted SQL literal ('' doubling allowed)."""
+    if len(s) < 2 or s[0] != "'" or s[-1] != "'":
+        return False
+    return "'" not in s[1:-1].replace("''", "")
 
 
 def _regex_escape_sql(literal_arg: str) -> str:
     """Body of a quoted SQL literal, regex-escaped for re-embedding in a
     Spark SQL string literal. The parser processes backslash escapes inside
     literals (escapedStringLiterals=false default), so the escape must be
-    DOUBLED in the emitted SQL text: split(s, '.') -> split(s, '\\\\.')."""
-    lit = literal_arg.strip()[1:-1]
+    DOUBLED in the emitted SQL text: split(s, '.') -> split(s, '\\\\.').
+    '' doubling is unescaped to the raw quote for the regex layer, then
+    re-doubled for the emitted literal."""
+    lit = literal_arg.strip()[1:-1].replace("''", "'")
     # regex-escape each special char at the REGEX layer only ('.' -> '\.');
     # the SQL-literal layer (Spark's parser processes backslash escapes in
     # string literals) is handled once, at the end, by _sql_escape_literals
-    return _REGEX_SPECIALS.sub(lambda m: "\\" + m.group(0), lit)
+    esc = _REGEX_SPECIALS.sub(lambda m: "\\" + m.group(0), lit)
+    return esc.replace("'", "''")
 
 
 def _mysql_literal_to_java(fmt: str) -> str:
     """Rewrap a quoted MySQL-format SQL literal as a Java-pattern literal
     (internal Java quoting like 'T' doubles inside the SQL string)."""
-    return "'" + _mysql_format_to_java(fmt[1:-1]).replace("'", "''") + "'"
+    raw = fmt[1:-1].replace("''", "'")
+    return "'" + _mysql_format_to_java(raw).replace("'", "''") + "'"
 
 
 def _rewrite_call(name: str, args: list[str]) -> str:
@@ -336,9 +376,12 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         regex -> literal delimiters are regex-escaped.
       * split_part(s, delim, n): Presto returns NULL past the last field,
         Spark '' -> try_element_at over the literal split.
-      * regexp_extract(s, p[, g]): Presto returns NULL on no-match and
-        defaults to group 0; Spark returns '' and defaults to group 1
-        -> nullif(regexp_extract(s, p, g or 0), '').
+      * regexp_extract(s, p[, g]): Presto returns NULL on no-match (but ''
+        when the pattern matched and the group CAPTURED empty) and defaults
+        to group 0; Spark returns '' for both and defaults to group 1
+        -> case when regexp_like(s, p) then regexp_extract(s, p, g or 0) end.
+      * random(n): Presto draws a uniform INTEGER in [0, n); Spark's rand(n)
+        treats n as a SEED -> floor(rand() * n).
       * date_format/date_parse use MySQL %-patterns -> Java patterns.
       * date_add/date_diff('unit', ...) -> timestampadd/timestampdiff.
       * to_hex over md5/sha1/sha2 (whose Spark forms already yield lowercase
@@ -392,7 +435,23 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         return f"try_element_at(split({args[0]}, '{esc}'), {args[2]})"
     if lname == "regexp_extract" and len(args) in (2, 3):
         grp = args[2].strip() if len(args) == 3 else "0"
-        return f"nullif(regexp_extract({args[0]}, {args[1]}, {grp}), '')"
+        return (
+            f"case when regexp_like({args[0]}, {args[1]}) "
+            f"then regexp_extract({args[0]}, {args[1]}, {grp}) end"
+        )
+    if lname == "random":
+        if not args:
+            return "rand()"
+        if len(args) == 1:
+            return f"cast(floor(rand() * ({args[0]})) as bigint)"
+        raise SplError(
+            "processor_spl: random(lower, upper) 2-arg form is not supported"
+        )
+    if lname == "strpos" and len(args) == 3:
+        raise SplError(
+            "processor_spl: strpos(string, substring, instance) 3-arg form "
+            "is not supported (only the 2-arg form maps to Spark instr)"
+        )
     if lname == "json_array_get" and len(args) == 2 and args[1].strip().isdigit():
         return f"get_json_object({args[0]}, '$[{args[1].strip()}]')"
     if lname in ("json_parse", "json_format") and len(args) == 1:
@@ -425,20 +484,20 @@ def _rewrite_call(name: str, args: list[str]) -> str:
 
 def _match_paren(s: str, open_idx: int) -> int:
     """Index of the ')' matching s[open_idx]=='(' — quote-aware."""
-    depth, q = 0, None
-    for i in range(open_idx, len(s)):
+    depth = 0
+    i = open_idx
+    while i < len(s):
         ch = s[i]
-        if q:
-            if ch == q:
-                q = None
-        elif ch in "'\"":
-            q = ch
-        elif ch == "(":
+        if ch in "'\"":
+            i = _scan_quote(s, i)
+            continue
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
             if depth == 0:
                 return i
+        i += 1
     raise SplError(f"unbalanced parentheses in expression: {s!r}")
 
 
@@ -455,11 +514,9 @@ def _translate_calls(expr: str) -> str:
     while i < n:
         ch = expr[i]
         if ch in "'\"":
-            j = i + 1
-            while j < n and expr[j] != ch:
-                j += 1
-            out.append(expr[i : j + 1])
-            i = j + 1
+            j = _scan_quote(expr, i)
+            out.append(expr[i:j])
+            i = j
             continue
         m = _IDENT_RE.match(expr, i)
         if m:
@@ -495,18 +552,23 @@ def _sql_escape_literals(expr: str) -> str:
     while i < n:
         ch = expr[i]
         if ch == "'":
-            j = i + 1
-            while j < n and expr[j] != "'":
-                j += 1
-            out.append("'" + expr[i + 1 : j].replace("\\", "\\\\") + "'")
-            i = j + 1
+            j = _scan_quote(expr, i)
+            body = expr[i + 1 : j - 1] if expr[j - 1 : j] == "'" and j > i + 1 else expr[i + 1 : j]
+            # '' doubling stays as-is (valid Spark escape); only backslashes
+            # move from the verbatim layer to the escaped layer
+            out.append("'" + body.replace("\\", "\\\\") + "'")
+            i = j
             continue
-        if ch == '"':  # quoted identifier — verbatim
-            j = i + 1
-            while j < n and expr[j] != '"':
-                j += 1
-            out.append(expr[i : j + 1])
-            i = j + 1
+        if ch == '"':
+            # Presto quoted IDENTIFIER. Spark's default parser
+            # (doubleQuotedIdentifiers=false) would read "x" as a string
+            # LITERAL — rewrite to the backtick form so it stays a column
+            # reference. "" doubling unescapes to a raw quote in the name.
+            j = _scan_quote(expr, i)
+            body = expr[i + 1 : j - 1] if expr[j - 1 : j] == '"' and j > i + 1 else expr[i + 1 : j]
+            ident = body.replace('""', '"')
+            out.append("`" + ident.replace("`", "``") + "`")
+            i = j
             continue
         out.append(ch)
         i += 1
@@ -522,14 +584,14 @@ def _translate_expr(expr: str) -> str:
 def _unquote_ident(s: str) -> str:
     s = s.strip()
     if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
-        return s[1:-1]
+        return s[1:-1].replace('""', '"')
     return s
 
 
 def _unquote_str(s: str) -> str:
     s = s.strip()
     if len(s) >= 2 and s[0] == "'" and s[-1] == "'":
-        return s[1:-1]
+        return s[1:-1].replace("''", "'")
     return s
 
 

@@ -417,7 +417,8 @@ def test_translate_expr_presto_function_table():
         "strpos(s, 'c') + 1": "instr(s, 'c') + 1",
         "split(host, '.')": "split(host, '\\\\.')",
         "split_part(host, '.', 2)": "try_element_at(split(host, '\\\\.'), 2)",
-        "regexp_extract(m, 'x')": "nullif(regexp_extract(m, 'x', 0), '')",
+        "regexp_extract(m, 'x')":
+            "case when regexp_like(m, 'x') then regexp_extract(m, 'x', 0) end",
         "url_extract_host(u)": "parse_url(u, 'HOST')",
         "url_extract_parameter(u, 'id')": "parse_url(u, 'QUERY', 'id')",
         "date_format(ts, '%H:%i')": "date_format(ts, 'HH:mm')",
@@ -439,7 +440,18 @@ def test_translate_expr_presto_function_table():
         # literal backslashes survive the SQL-literal layer (Presto
         # literals are verbatim; Spark's parser would eat single ones)
         r"regexp_extract(m, '(\d+)', 1)":
-            r"nullif(regexp_extract(m, '(\\d+)', 1), '')",
+            r"case when regexp_like(m, '(\\d+)') "
+            r"then regexp_extract(m, '(\\d+)', 1) end",
+        # Presto random(n) is a uniform integer in [0,n); Spark rand(n)
+        # would treat n as a SEED (review r5 finding)
+        "random()": "rand()",
+        "random(100)": "cast(floor(rand() * (100)) as bigint)",
+        # Presto quoted identifiers must become backtick identifiers —
+        # Spark's default parser reads "x" as a string LITERAL
+        '"event type" = \'error\'': "`event type` = 'error'",
+        # '' doubling inside literals: still ONE literal to the scanners,
+        # and a literal-delimiter split stays literal (regex-escaped)
+        "split(s, 'a''.')": "split(s, 'a''\\\\.')",
         # non-calls pass through
         "CASE WHEN a > 1 THEN 'x' ELSE 'y' END":
             "CASE WHEN a > 1 THEN 'x' ELSE 'y' END",
@@ -494,6 +506,56 @@ def test_spl_presto_semantics_e2e(spark):
     assert out.sh == hashlib.sha256(b"a.b.c").hexdigest().upper()
     assert (out.band, out.shl) == (8, 16)
     assert (out.uid, out.jag) == ("7", "20")
+
+
+def test_spl_presto_edge_semantics(spark):
+    """Review-r5 edge fixes, live on Spark:
+
+    * random(n) draws uniform INTEGERS in [0, n) (Presto), never seeded
+      doubles (Spark rand(n) treats the arg as a seed).
+    * regexp_extract distinguishes matched-but-empty capture ('') from
+      no-match (NULL) — nullif conflated them.
+    * MySQL %-specifiers with names (%M/%a/%b/%W) map to the NAME patterns;
+      an unmappable specifier raises SplError at plan time instead of
+      silently emitting a different field.
+    * strpos 3-arg (instance) raises SplError instead of a plan-time
+      AnalysisException from instr.
+    * Presto double-quoted identifiers reach Spark as backtick identifiers
+      (default parser would read "x" as a string literal).
+    * '' doubling inside literals survives every scanner layer.
+    """
+    df = spark.createDataFrame(
+        [("key=val", "2024-03-05 07:09:11")], "s string, ts_s string")
+
+    r = compile_spl(df, "* | extend b = random(100), b0 = random()").first()
+    assert isinstance(r.b, int) and 0 <= r.b < 100
+    assert isinstance(r.b0, float) and 0.0 <= r.b0 < 1.0
+
+    r = compile_spl(df, r"""* | extend emptycap = regexp_extract(s, 'key=(\w*)x?', 1),
+        nomatch = regexp_extract(s, 'zz=(\w+)', 1)""").first()
+    assert r.emptycap == "val" and r.nomatch is None
+    r = compile_spl(df, r"* | extend e = regexp_extract(s, '=(q*)', 1)").first()
+    assert r.e == ""  # matched, group captured empty -> '' (not NULL)
+
+    r = compile_spl(df, """* | extend ts = date_parse(ts_s, '%Y-%m-%d %H:%i:%s')
+        | extend mon = date_format(ts, '%M'), dow = date_format(ts, '%a'),
+                 pct = date_format(ts, '%d%%')""").first()
+    assert (r.mon, r.dow, r.pct) == ("March", "Tue", "05%")
+    with pytest.raises(SplError, match="unsupported MySQL datetime"):
+        compile_spl(df, "* | extend x = date_format(ts_s, '%w')")
+
+    with pytest.raises(SplError, match="strpos.*instance"):
+        compile_spl(df, "* | extend p = strpos(s, 'e', 2)")
+
+    df2 = spark.createDataFrame([("error", 1)], "`event type` string, id int")
+    out = compile_spl(df2, """* | where "event type" = 'error'
+        | extend t2 = upper("event type") | project id, t2""")
+    assert out.first().t2 == "ERROR"
+    assert compile_spl(df2, '* | where "event type" = \'nope\'').count() == 0
+
+    df3 = spark.createDataFrame([("xa'.y", )], "s string")
+    r = compile_spl(df3, "* | extend parts = split(s, 'a''.')").first()
+    assert r.parts == ["x", "y"]  # literal 3-char delimiter a'. , not regex
 
 
 def test_spl_stats_presto_aggregates(spark):
