@@ -60,10 +60,16 @@ unix_timestamp, approx_distinct -> approx_count_distinct, ...), arg-aware
 rewrites (url_extract_* -> parse_url, date_add/date_diff('unit', ...) ->
 timestampadd/timestampdiff, bitwise_* -> infix operators, to_utf8/from_utf8
 -> encode/decode), and PRESTO-semantics fixes where the shared name
-diverges (split/split_part treat the delimiter as a LITERAL, regexp_extract
-returns NULL on no-match and defaults to group 0, date_format/date_parse
-use MySQL %-patterns, to_hex over md5/sha* composes with Spark's
-hex-string-returning hash functions). Unrecognized names pass through to
+diverges (split/split_part/split_to_map treat delimiters as LITERALS,
+regexp_extract returns NULL on no-match / '' on empty capture and defaults
+to group 0, date_format/date_parse use MySQL %-patterns, random(n) draws
+integers in [0,n), element_at is NULL past the end, day_of_week is ISO
+Mon=1, from_unixtime returns a TIMESTAMP, truncate goes toward zero,
+to_hex over md5/sha* composes with Spark's hex-string-returning hash
+functions, double-quoted identifiers become backtick identifiers).
+Constructs with no faithful Spark mapping (strpos instance arg, week-year
+%-specifiers, zoned from_unixtime) raise SplError at plan time rather than
+silently computing something else. Unrecognized names pass through to
 F.expr — Spark SQL's own surface covers the rest.
 
 ``stats`` compiles to groupBy().agg() — partial aggregation map-side, only
@@ -319,6 +325,22 @@ _PRESTO_RENAMES = {
     "nan": None,                    # handled: double('NaN')
     "bitwise_left_shift": "shiftleft",
     "bitwise_right_shift": "shiftright",
+    "from_base64": "unbase64",
+    "to_base64": "base64",
+    "array_agg": "collect_list",    # both: non-deterministic order
+    "format": "format_string",      # both: printf-style
+    "zip": "arrays_zip",            # array of rows ~= array of structs
+    "repeat": "array_repeat",       # Presto repeat(elem, n) builds an ARRAY
+    "regexp_split": "split",        # Spark split IS regex-delimited
+    "day_of_year": "dayofyear", "doy": "dayofyear",  # both 1-366
+    "week": "weekofyear", "week_of_year": "weekofyear",  # both ISO
+    "element_at": "try_element_at",  # Presto: NULL past end; ANSI element_at throws
+    "day_of_week": None,            # handled: ISO Mon=1 renumbering
+    "dow": None,                    # handled: ISO Mon=1 renumbering
+    "from_unixtime": None,          # handled: Presto returns TIMESTAMP
+    "split_to_map": None,           # handled: literal delims -> str_to_map regex
+    "truncate": None,               # handled: toward-zero, stays double
+    "to_iso8601": None,             # handled: ISO-8601 date_format
 }
 
 # url_extract_* -> parse_url part keyword
@@ -452,6 +474,34 @@ def _rewrite_call(name: str, args: list[str]) -> str:
             "processor_spl: strpos(string, substring, instance) 3-arg form "
             "is not supported (only the 2-arg form maps to Spark instr)"
         )
+    if lname in ("day_of_week", "dow") and len(args) == 1:
+        # Presto is ISO (Mon=1..Sun=7); Spark dayofweek is Sun=1..Sat=7
+        return f"((dayofweek({args[0]}) + 5) % 7 + 1)"
+    if lname == "from_unixtime":
+        # Presto returns a TIMESTAMP; Spark's from_unixtime returns a
+        # formatted STRING — timestamp_seconds keeps the Presto type
+        if len(args) == 1:
+            return f"timestamp_seconds({args[0]})"
+        raise SplError(
+            "processor_spl: from_unixtime with a time zone argument is not "
+            "supported (sessions run in a single fixed zone)"
+        )
+    if lname == "split_to_map" and len(args) == 3:
+        # Presto delimiters are LITERAL; Spark str_to_map's are regex
+        ed = (
+            f"'{_regex_escape_sql(args[1])}'"
+            if _is_str_literal(args[1].strip()) else args[1]
+        )
+        kd = (
+            f"'{_regex_escape_sql(args[2])}'"
+            if _is_str_literal(args[2].strip()) else args[2]
+        )
+        return f"str_to_map({args[0]}, {ed}, {kd})"
+    if lname == "truncate" and len(args) == 1:
+        # toward zero, result stays double (floor alone rounds negatives down)
+        return f"(sign({args[0]}) * floor(abs({args[0]})))"
+    if lname == "to_iso8601" and len(args) == 1:
+        return f"date_format({args[0]}, 'yyyy-MM-dd''T''HH:mm:ss.SSS')"
     if lname == "json_array_get" and len(args) == 2 and args[1].strip().isdigit():
         return f"get_json_object({args[0]}, '$[{args[1].strip()}]')"
     if lname in ("json_parse", "json_format") and len(args) == 1:

@@ -452,6 +452,23 @@ def test_translate_expr_presto_function_table():
         # '' doubling inside literals: still ONE literal to the scanners,
         # and a literal-delimiter split stays literal (regex-escaped)
         "split(s, 'a''.')": "split(s, 'a''\\\\.')",
+        # round-5 widening: common Presto names Spark spells differently
+        "from_base64(s)": "unbase64(s)",
+        "to_base64(b)": "base64(b)",
+        "array_agg(v)": "collect_list(v)",
+        "format('%s=%d', k, v)": "format_string('%s=%d', k, v)",
+        "zip(a, b)": "arrays_zip(a, b)",
+        "repeat(x, 3)": "array_repeat(x, 3)",
+        "regexp_split(s, ',+')": "split(s, ',+')",  # stays a REGEX split
+        "day_of_year(ts)": "dayofyear(ts)",
+        "week(ts)": "weekofyear(ts)",
+        "element_at(arr, 9)": "try_element_at(arr, 9)",  # NULL past end
+        "day_of_week(ts)": "((dayofweek(ts) + 5) % 7 + 1)",  # ISO Mon=1
+        "from_unixtime(t)": "timestamp_seconds(t)",  # Presto: TIMESTAMP
+        "split_to_map(s, '&', '=')": "str_to_map(s, '&', '=')",
+        "split_to_map(s, '.', ':')": "str_to_map(s, '\\\\.', ':')",
+        "truncate(x)": "(sign(x) * floor(abs(x)))",
+        "to_iso8601(ts)": "date_format(ts, 'yyyy-MM-dd''T''HH:mm:ss.SSS')",
         # non-calls pass through
         "CASE WHEN a > 1 THEN 'x' ELSE 'y' END":
             "CASE WHEN a > 1 THEN 'x' ELSE 'y' END",
@@ -556,6 +573,37 @@ def test_spl_presto_edge_semantics(spark):
     df3 = spark.createDataFrame([("xa'.y", )], "s string")
     r = compile_spl(df3, "* | extend parts = split(s, 'a''.')").first()
     assert r.parts == ["x", "y"]  # literal 3-char delimiter a'. , not regex
+
+
+def test_spl_presto_widened_functions_e2e(spark):
+    """Round-5 widened Presto surface, live on Spark: base64 round-trip,
+    element_at NULL past end (ANSI element_at would throw), ISO day_of_week,
+    timestamp-typed from_unixtime, literal-delimiter split_to_map,
+    toward-zero truncate, to_iso8601, array_agg in stats."""
+    df = spark.createDataFrame(
+        [("2024-03-05 07:09:11", "a=1&b=2", -2.7)], "ts_s string, kv string, x double")
+    r = compile_spl(df, """*
+      | extend ts = date_parse(ts_s, '%Y-%m-%d %H:%i:%s')
+      | extend b64 = to_base64(to_utf8('hi')), rt = from_utf8(from_base64(to_base64(to_utf8('hi')))),
+          arr = repeat('z', 2), third = element_at(split(kv, '&'), 9),
+          dow = day_of_week(ts), sun = day_of_week(date_parse('2024-03-03', '%Y-%m-%d')),
+          ut = from_unixtime(to_unixtime(ts)),
+          m = split_to_map(kv, '&', '='),
+          tr = truncate(x), iso = to_iso8601(ts),
+          fmt = format('%s/%d', 'p', 5)""").first()
+    assert r.b64 == "aGk=" and r.rt == "hi"
+    assert r.arr == ["z", "z"] and r.third is None
+    assert r.dow == 2 and r.sun == 7      # 2024-03-05 is Tuesday; 03-03 Sunday
+    assert str(r.ut) == "2024-03-05 07:09:11"  # TIMESTAMP, not string
+    assert r.m == {"a": "1", "b": "2"}
+    assert r.tr == -2.0                    # toward zero, not floor's -3
+    assert r.iso == "2024-03-05T07:09:11.000"
+    assert r.fmt == "p/5"
+
+    agg = compile_spl(
+        spark.createDataFrame([("g", 1), ("g", 2)], "g string, v int"),
+        "* | stats array_agg(v) as vs by g").first()
+    assert sorted(agg.vs) == [1, 2]
 
 
 def test_spl_stats_presto_aggregates(spark):
