@@ -66,11 +66,14 @@ to group 0, date_format/date_parse use MySQL %-patterns, random(n) draws
 integers in [0,n), element_at is NULL past the end, day_of_week is ISO
 Mon=1, from_unixtime returns a TIMESTAMP, truncate goes toward zero,
 to_hex over md5/sha* composes with Spark's hex-string-returning hash
-functions, double-quoted identifiers become backtick identifiers).
-Constructs with no faithful Spark mapping (strpos instance arg, week-year
-%-specifiers, zoned from_unixtime) raise SplError at plan time rather than
-silently computing something else. Unrecognized names pass through to
-F.expr — Spark SQL's own surface covers the rest.
+functions, double-quoted identifiers become backtick identifiers,
+strpos(s, sub, n) unrolls a locate() chain for literal n, try() maps onto
+Spark's try_ family for cast/to_timestamp/to_date/element_at shapes).
+Constructs with no faithful Spark mapping (non-literal strpos instance,
+week-year %-specifiers, zoned from_unixtime, try() over arbitrary
+arithmetic) raise SplError at plan time rather than silently computing
+something else. Unrecognized names pass through to F.expr — Spark SQL's
+own surface covers the rest.
 
 ``stats`` compiles to groupBy().agg() — partial aggregation map-side, only
 (group, partial) rows shuffle. ``sort by`` is a TOTAL order (Spark range
@@ -341,6 +344,23 @@ _PRESTO_RENAMES = {
     "split_to_map": None,           # handled: literal delims -> str_to_map regex
     "truncate": None,               # handled: toward-zero, stays double
     "to_iso8601": None,             # handled: ISO-8601 date_format
+    # corpus-driven widening (core/unittest/spl/spl.txt inventory)
+    "day_of_month": "dayofmonth",
+    "all_match": "forall",
+    "any_match": "exists",
+    "reduce": "aggregate",          # same (arr, init, merge[, finish]) order
+    "bitwise_arithmetic_shift_right": "shiftright",
+    "bitwise_right_shift_arithmetic": "shiftright",
+    "bitwise_logical_shift_right": "shiftrightunsigned",
+    "bitwise_shift_left": "shiftleft",
+    "millisecond": None,            # handled: no Spark extract field
+    "year_of_week": None, "yow": None,  # handled: ISO week-year
+    "strrpos": None,                # handled: reverse-locate composition
+    "from_base": None, "to_base": None,  # handled: conv()
+    "is_finite": None, "is_infinite": None,  # handled
+    "is_json_scalar": None, "json_size": None,  # handled
+    "json_array_contains": None,    # handled
+    "none_match": None,             # handled: NOT exists
 }
 
 # url_extract_* -> parse_url part keyword
@@ -470,9 +490,33 @@ def _rewrite_call(name: str, args: list[str]) -> str:
             "processor_spl: random(lower, upper) 2-arg form is not supported"
         )
     if lname == "strpos" and len(args) == 3:
+        # Presto: position of the instance-th occurrence (0 when fewer).
+        # Spark has no occurrence argument — unroll a locate() chain for a
+        # small LITERAL instance; each step restarts one past the previous
+        # hit, and nullif/coalesce propagate "ran out of occurrences" to 0.
+        inst = args[2].strip()
+        if inst.isdigit() and 1 <= int(inst) <= 8:
+            e = f"locate({args[1]}, {args[0]})"
+            for _ in range(int(inst) - 1):
+                e = f"locate({args[1]}, {args[0]}, nullif({e}, 0) + 1)"
+            return f"coalesce({e}, 0)"
         raise SplError(
-            "processor_spl: strpos(string, substring, instance) 3-arg form "
-            "is not supported (only the 2-arg form maps to Spark instr)"
+            "processor_spl: strpos(string, substring, instance) supports "
+            "only a literal instance in 1..8 (got {!r})".format(inst)
+        )
+    if lname == "try" and len(args) == 1:
+        # Presto try(expr) -> NULL on runtime error. Spark has no generic
+        # try() — map the common safe-parse shapes onto Spark's try_ family
+        # (the inner call is already rewritten at this point).
+        body = args[0].strip()
+        m = re.match(r"(?i)(cast|to_timestamp|to_date|to_number|element_at)\s*\(", body)
+        if m:
+            return "try_" + body[m.start(1) :]
+        if re.match(r"(?i)try_\w+\s*\(", body):
+            return body  # already a try_ form (e.g. via element_at mapping)
+        raise SplError(
+            "processor_spl: try() is only supported over "
+            "cast/to_timestamp/to_date/to_number/element_at"
         )
     if lname in ("day_of_week", "dow") and len(args) == 1:
         # Presto is ISO (Mon=1..Sun=7); Spark dayofweek is Sun=1..Sat=7
@@ -502,6 +546,47 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         return f"(sign({args[0]}) * floor(abs({args[0]})))"
     if lname == "to_iso8601" and len(args) == 1:
         return f"date_format({args[0]}, 'yyyy-MM-dd''T''HH:mm:ss.SSS')"
+    if lname == "millisecond" and len(args) == 1:
+        return f"cast(date_format({args[0]}, 'SSS') as int)"
+    if lname in ("year_of_week", "yow") and len(args) == 1:
+        # ISO week-year = calendar year of that week's Thursday (Spark bans
+        # the week-based 'YYYY' pattern; date_trunc('week') is the Monday)
+        return f"year(date_add(date_trunc('week', {args[0]}), 3))"
+    if lname == "strrpos" and len(args) == 2:
+        # position of the LAST occurrence: locate in the reversed string,
+        # then mirror the index back (0 stays "not found")
+        rev = f"locate(reverse({args[1]}), reverse({args[0]}))"
+        return (
+            f"(case when {rev} = 0 then 0 else "
+            f"length({args[0]}) - {rev} - length({args[1]}) + 2 end)"
+        )
+    if lname == "from_base" and len(args) == 2:
+        return f"cast(conv({args[0]}, {args[1]}, 10) as bigint)"
+    if lname == "to_base" and len(args) == 2:
+        return f"lower(conv(cast({args[0]} as string), 10, {args[1]}))"
+    if lname == "is_infinite" and len(args) == 1:
+        return f"(abs({args[0]}) = double('Infinity'))"
+    if lname == "is_finite" and len(args) == 1:
+        return f"(not (isnan({args[0]}) or abs({args[0]}) = double('Infinity')))"
+    if lname == "is_json_scalar" and len(args) == 1:
+        return (
+            f"(get_json_object({args[0]}, '$') is not null "
+            f"and json_array_length({args[0]}) is null "
+            f"and json_object_keys({args[0]}) is null)"
+        )
+    if lname == "json_size" and len(args) == 2:
+        v = f"get_json_object({args[0]}, {args[1]})"
+        return (
+            f"(case when {v} is null then null else "
+            f"coalesce(json_array_length({v}), size(json_object_keys({v})), 0) end)"
+        )
+    if lname == "json_array_contains" and len(args) == 2:
+        return (
+            f"array_contains(from_json({args[0]}, 'array<string>'), "
+            f"cast({args[1]} as string))"
+        )
+    if lname == "none_match" and len(args) == 2:
+        return f"(not exists({inner}))"
     if lname == "json_array_get" and len(args) == 2 and args[1].strip().isdigit():
         return f"get_json_object({args[0]}, '$[{args[1].strip()}]')"
     if lname in ("json_parse", "json_format") and len(args) == 1:

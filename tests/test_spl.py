@@ -469,6 +469,29 @@ def test_translate_expr_presto_function_table():
         "split_to_map(s, '.', ':')": "str_to_map(s, '\\\\.', ':')",
         "truncate(x)": "(sign(x) * floor(abs(x)))",
         "to_iso8601(ts)": "date_format(ts, 'yyyy-MM-dd''T''HH:mm:ss.SSS')",
+        "strpos(s, '.', 1)": "coalesce(locate('.', s), 0)",
+        "strpos(s, '.', 3)":
+            "coalesce(locate('.', s, nullif(locate('.', s, "
+            "nullif(locate('.', s), 0) + 1), 0) + 1), 0)",
+        "try(cast(s as bigint))": "try_cast(s as bigint)",
+        "try(element_at(arr, 9))": "try_element_at(arr, 9)",
+        # corpus-driven widening (core/unittest/spl/spl.txt inventory)
+        "day_of_month(ts)": "dayofmonth(ts)",
+        "all_match(a, x -> x > 0)": "forall(a, x -> x > 0)",
+        "any_match(a, x -> x > 0)": "exists(a, x -> x > 0)",
+        "none_match(a, x -> x > 0)": "(not exists(a, x -> x > 0))",
+        "reduce(a, 0, (s, x) -> s + x, s -> s)":
+            "aggregate(a, 0, (s, x) -> s + x, s -> s)",
+        "bitwise_logical_shift_right(x, 2, 64)":
+            "shiftrightunsigned(x, 2, 64)",
+        "millisecond(ts)": "cast(date_format(ts, 'SSS') as int)",
+        "year_of_week(ts)": "year(date_add(date_trunc('week', ts), 3))",
+        "from_base('ff', 16)": "cast(conv('ff', 16, 10) as bigint)",
+        "to_base(255, 16)": "lower(conv(cast(255 as string), 10, 16))",
+        "is_infinite(x)": "(abs(x) = double('Infinity'))",
+        "strrpos(s, '.')":
+            "(case when locate(reverse('.'), reverse(s)) = 0 then 0 else "
+            "length(s) - locate(reverse('.'), reverse(s)) - length('.') + 2 end)",
         # non-calls pass through
         "CASE WHEN a > 1 THEN 'x' ELSE 'y' END":
             "CASE WHEN a > 1 THEN 'x' ELSE 'y' END",
@@ -561,8 +584,20 @@ def test_spl_presto_edge_semantics(spark):
     with pytest.raises(SplError, match="unsupported MySQL datetime"):
         compile_spl(df, "* | extend x = date_format(ts_s, '%w')")
 
+    df_occ = spark.createDataFrame([("a.b.c.d",)], "t string")
+    r = compile_spl(df_occ, """* | extend p1 = strpos(t, '.', 1),
+        p2 = strpos(t, '.', 2), p3 = strpos(t, '.', 3),
+        p9 = strpos(t, '.', 4), miss = strpos(t, 'z', 2)""").first()
+    assert (r.p1, r.p2, r.p3) == (2, 4, 6)
+    assert r.p9 == 0 and r.miss == 0   # fewer than n occurrences -> 0
     with pytest.raises(SplError, match="strpos.*instance"):
-        compile_spl(df, "* | extend p = strpos(s, 'e', 2)")
+        compile_spl(df, "* | extend p = strpos(s, 'e', n)")  # non-literal
+
+    r = compile_spl(df, """* | extend ok = try(cast('12' as bigint)),
+        bad = try(cast('x' as bigint))""").first()
+    assert r.ok == 12 and r.bad is None
+    with pytest.raises(SplError, match="try"):
+        compile_spl(df, "* | extend v = try(1/0)")
 
     df2 = spark.createDataFrame([("error", 1)], "`event type` string, id int")
     out = compile_spl(df2, """* | where "event type" = 'error'
@@ -604,6 +639,36 @@ def test_spl_presto_widened_functions_e2e(spark):
         spark.createDataFrame([("g", 1), ("g", 2)], "g string, v int"),
         "* | stats array_agg(v) as vs by g").first()
     assert sorted(agg.vs) == [1, 2]
+
+
+def test_spl_corpus_function_families_e2e(spark):
+    """Functions appearing in the reference's SPL benchmark corpus
+    (core/unittest/spl/spl.txt), live on Spark with Presto semantics."""
+    df = spark.createDataFrame(
+        [("a.b.c", "2024-03-05 07:09:11.250", '{"k": [1, 2], "o": {"x": 1, "y": 2}}')],
+        "s string, ts_s string, j string")
+    r = compile_spl(df, """*
+      | extend ts = date_parse(ts_s, '%Y-%m-%d %H:%i:%s.%f')
+      | extend dom = day_of_month(ts), ms = millisecond(ts),
+          isoyr = year_of_week(ts),
+          last = strrpos(s, '.'), none = strrpos(s, 'z'),
+          fb = from_base('ff', 16), tb = to_base(255, 16),
+          fin = is_finite(1.5), inf = is_infinite(cast('Infinity' as double)),
+          sc1 = is_json_scalar('1'), sc2 = is_json_scalar(j),
+          ja = json_size(j, '$.k'), jo = json_size(j, '$.o'),
+          jsc = json_size(j, '$.o.x'), jmiss = json_size(j, '$.zz'),
+          hasv = json_array_contains('[1,2,3]', 2),
+          am = all_match(sequence(1, 3), x -> x > 0),
+          nm = none_match(sequence(1, 3), x -> x > 5),
+          red = reduce(sequence(1, 4), 0, (acc, x) -> acc + x, acc -> acc)""").first()
+    assert (r.dom, r.ms, r.isoyr) == (5, 250, 2024)
+    assert (r.last, r.none) == (4, 0)
+    assert (r.fb, r.tb) == (255, "ff")
+    assert (r.fin, r.inf) == (True, True)
+    assert (r.sc1, r.sc2) == (True, False)
+    assert (r.ja, r.jo, r.jsc, r.jmiss) == (2, 2, 0, None)
+    assert r.hasv is True
+    assert (r.am, r.nm, r.red) == (True, True, 10)
 
 
 def test_spl_stats_presto_aggregates(spark):
