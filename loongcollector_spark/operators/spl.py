@@ -71,9 +71,13 @@ strpos(s, sub, n) unrolls a locate() chain for literal n, try() maps onto
 Spark's try_ family for cast/to_timestamp/to_date/element_at shapes).
 Constructs with no faithful Spark mapping (non-literal strpos instance,
 week-year %-specifiers, zoned from_unixtime, try() over arbitrary
-arithmetic) raise SplError at plan time rather than silently computing
-something else. Unrecognized names pass through to F.expr — Spark SQL's
-own surface covers the rest.
+arithmetic, the hmac_*/spooky_*/xxhash64 hash family — Spark's xxhash64
+is a DIFFERENT value under the same name) raise SplError at plan time
+rather than silently computing something else. Unrecognized names pass
+through to F.expr — Spark SQL's own surface covers the rest (the full
+trig/array/map/lambda family is name-and-semantics identical; map_concat
+needs spark.sql.mapKeyDedupPolicy=LAST_WIN for Presto's
+duplicate-key-last-wins rule).
 
 ``stats`` compiles to groupBy().agg() — partial aggregation map-side, only
 (group, partial) rows shuffle. ``sort by`` is a TOTAL order (Spark range
@@ -361,6 +365,21 @@ _PRESTO_RENAMES = {
     "is_json_scalar": None, "json_size": None,  # handled
     "json_array_contains": None,    # handled
     "none_match": None,             # handled: NOT exists
+    "array_max": None, "array_min": None,  # handled: Presto NULL-if-any-null
+    "array_average": None,          # handled: single-pass struct fold
+    "array_normalize": None,        # handled: p-norm transform
+    "bit_count": None,              # handled: Presto 2-arg bit width
+}
+
+# Names Spark either lacks entirely or computes with a DIFFERENT algorithm
+# under the same name (xxhash64: Presto hashes the raw bytes -> varbinary,
+# Spark hashes its internal row encoding with seed 42 -> bigint). Letting
+# these pass through to F.expr would silently produce different values, so
+# they fail at plan time per the translator's error contract.
+_PRESTO_UNMAPPABLE = {
+    "hmac_md5", "hmac_sha1", "hmac_sha256", "hmac_sha512",
+    "spooky_hash_v2_32", "spooky_hash_v2_64", "xxhash64",
+    "empty_approx_set", "combinations",
 }
 
 # url_extract_* -> parse_url part keyword
@@ -587,6 +606,59 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         )
     if lname == "none_match" and len(args) == 2:
         return f"(not exists({inner}))"
+    if lname in ("array_max", "array_min") and len(args) == 1:
+        # Presto returns NULL when the array CONTAINS a null; Spark's
+        # array_max/min skip nulls — guard with an exists() probe.
+        return (
+            f"(case when exists({args[0]}, __e -> __e is null) then null "
+            f"else {lname}({args[0]}) end)"
+        )
+    if lname == "array_average" and len(args) == 1:
+        # Presto averages the non-null elements (NULL if there are none).
+        # One struct-fold pass: (sum, count) accumulator, finish divides.
+        return (
+            f"aggregate({args[0]}, "
+            f"named_struct('s', cast(0 as double), 'c', cast(0 as bigint)), "
+            f"(__a, __e) -> if(__e is null, __a, "
+            f"named_struct('s', __a.s + __e, 'c', __a.c + 1)), "
+            f"__a -> if(__a.c = 0, cast(null as double), __a.s / __a.c))"
+        )
+    if lname == "array_normalize" and len(args) == 2:
+        # Presto: divide by the p-norm; the array is returned unchanged
+        # when the norm is 0. Arrays here are short config vectors — the
+        # norm sub-expression repeating per element is acceptable.
+        norm = (
+            f"power(aggregate({args[0]}, cast(0 as double), "
+            f"(__a, __e) -> __a + power(abs(__e), {args[1]})), 1.0 / ({args[1]}))"
+        )
+        return (
+            f"(case when {norm} = 0 then {args[0]} "
+            f"else transform({args[0]}, __e -> __e / {norm}) end)"
+        )
+    if lname == "bit_count" and len(args) == 2:
+        # Presto bit_count(x, bits) counts over the bits-bit two's-
+        # complement form; Spark's 1-arg form is the 64-bit count.
+        bits = args[1].strip()
+        if bits == "64":
+            return f"bit_count({args[0]})"
+        if bits.isdigit() and 1 <= int(bits) < 64:
+            mask = (1 << int(bits)) - 1
+            return f"bit_count(({args[0]}) & {mask})"
+        raise SplError(
+            "processor_spl: bit_count(x, bits) needs a literal bit width "
+            "in 1..64 (got {!r})".format(bits)
+        )
+    if lname == "width_bucket" and len(args) == 2:
+        raise SplError(
+            "processor_spl: width_bucket(x, bins_array) 2-arg form has no "
+            "Spark mapping (the 4-arg bound form is supported)"
+        )
+    if lname in _PRESTO_UNMAPPABLE:
+        raise SplError(
+            f"processor_spl: {lname}() has no faithful Spark mapping "
+            "(Spark lacks it, or computes a different value under the "
+            "same name)"
+        )
     if lname == "json_array_get" and len(args) == 2 and args[1].strip().isdigit():
         return f"get_json_object({args[0]}, '$[{args[1].strip()}]')"
     if lname in ("json_parse", "json_format") and len(args) == 1:

@@ -903,6 +903,67 @@ def spl_presto_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "spl_corpus_functions",
+    r"""
+    SELECT event_id,
+           day(ts) AS dom,
+           CAST(extract(millisecond FROM ts) % 1000 AS BIGINT) AS ms,
+           isoyear(ts) AS isoyr,
+           CAST(len(json_keys(props)) AS BIGINT) AS kv,
+           lower(to_base(event_id, 16)) AS tb,
+           event_id AS fb,
+           CAST(bit_count(event_id & 65535) AS BIGINT) AS bc,
+           CAST(length(props) - strpos(reverse(props), '"') + 1 AS BIGINT) AS lastq,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                ELSE greatest(user_id, event_id) END AS amax,
+           CASE WHEN event_id % 7 = 0 THEN CAST(user_id AS DOUBLE)
+                ELSE (user_id + event_id) / 2.0 END AS aavg,
+           TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS tryv,
+           CAST(((event_id % 5 + 1) * (event_id % 5 + 2)) // 2 AS BIGINT) AS red
+    FROM events WHERE event_type = 'view'
+    """,
+    doc="processor_spl corpus-driven function inventory "
+        "(core/unittest/spl/spl.txt): day_of_month/millisecond/year_of_week "
+        "time extracts, json_size over an object, from_base/to_base radix "
+        "round-trip, Presto 2-arg bit_count (bits-bit two's complement), "
+        "strrpos reverse-locate, array_max's NULL-if-any-null rule, "
+        "array_average's skip-null single-pass fold, try() -> try_cast, and "
+        "lambda reduce() -> aggregate checked against the closed-form "
+        "1..n sum; every field re-derived independently in the oracle",
+)
+def spl_corpus_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.spl import compile_spl
+
+    ev = load_table(spark, sf_dir, "events")
+    return compile_spl(
+        ev,
+        r"""* | where event_type = 'view'
+              | extend dom = cast(day_of_month(ts) as bigint),
+                       ms = cast(millisecond(ts) as bigint),
+                       isoyr = cast(year_of_week(ts) as bigint),
+                       kv = cast(json_size(props, '$') as bigint),
+                       tb = to_base(event_id, 16)
+              | extend fb = from_base(tb, 16),
+                       bc = cast(bit_count(event_id, 16) as bigint),
+                       lastq = cast(strrpos(props, '"') as bigint),
+                       amax = array_max(array(user_id,
+                                if(event_id % 7 = 0, cast(null as bigint),
+                                   event_id))),
+                       aavg = array_average(array(cast(user_id as double),
+                                if(event_id % 7 = 0, cast(null as double),
+                                   cast(event_id as double)))),
+                       tryv = try(cast(regexp_extract(props, '(\d+)', 1)
+                                       as bigint)),
+                       red = cast(reduce(sequence(1, cast(event_id % 5 + 1
+                                                          as int)),
+                                         0, (a, x) -> a + x, a -> a)
+                                  as bigint)
+              | project event_id, dom, ms, isoyr, kv, tb, fb, bc, lastq,
+                        amax, aavg, tryv, red""",
+    )
+
+
+@register(
     "context_pack_sequences",
     """
     SELECT doc_id,

@@ -489,6 +489,11 @@ def test_translate_expr_presto_function_table():
         "from_base('ff', 16)": "cast(conv('ff', 16, 10) as bigint)",
         "to_base(255, 16)": "lower(conv(cast(255 as string), 10, 16))",
         "is_infinite(x)": "(abs(x) = double('Infinity'))",
+        "array_max(a)":
+            "(case when exists(a, __e -> __e is null) then null "
+            "else array_max(a) end)",
+        "bit_count(x, 64)": "bit_count(x)",
+        "bit_count(x, 8)": "bit_count((x) & 255)",
         "strrpos(s, '.')":
             "(case when locate(reverse('.'), reverse(s)) = 0 then 0 else "
             "length(s) - locate(reverse('.'), reverse(s)) - length('.') + 2 end)",
@@ -669,6 +674,26 @@ def test_spl_corpus_function_families_e2e(spark):
     assert (r.ja, r.jo, r.jsc, r.jmiss) == (2, 2, 0, None)
     assert r.hasv is True
     assert (r.am, r.nm, r.red) == (True, True, 10)
+
+    # Presto null rules + 2-arg bit_count over the same corpus inventory
+    r2 = compile_spl(df, """*
+      | extend amax = array_max(array(1, 2, 3)),
+          anull = array_max(array(1, null, 3)),
+          aavg = array_average(array(1, null, 4)),
+          aempty = array_average(array(cast(null as int))),
+          nrm = array_normalize(array(3.0, 4.0), 2),
+          nrm0 = array_normalize(array(0.0, 0.0), 2),
+          bc8 = bit_count(-1, 8), bc64 = bit_count(-1, 64)""").first()
+    assert (r2.amax, r2.anull) == (3, None)     # Presto: NULL if any null
+    assert (r2.aavg, r2.aempty) == (2.5, None)  # nulls skipped / all-null
+    assert r2.nrm == [0.6, 0.8] and r2.nrm0 == [0.0, 0.0]
+    assert (r2.bc8, r2.bc64) == (8, 64)         # bits-bit two's complement
+
+    # silent-divergence traps fail at plan time, not with wrong values
+    for bad in ("xxhash64(to_utf8(s))", "hmac_sha256(s, s)",
+                "combinations(sequence(1, 3), 2)", "bit_count(1, n)"):
+        with pytest.raises(SplError, match="processor_spl"):
+            compile_spl(df.selectExpr("s", "2 as n"), f"* | extend z = {bad}")
 
 
 def test_spl_stats_presto_aggregates(spark):
