@@ -624,20 +624,37 @@ def _rewrite_call(name: str, args: list[str]) -> str:
             f"__a -> if(__a.c = 0, cast(null as double), __a.s / __a.c))"
         )
     if lname == "array_normalize" and len(args) == 2:
-        # Presto: divide by the p-norm; the array is returned unchanged
-        # when the norm is 0. Arrays here are short config vectors — the
-        # norm sub-expression repeating per element is acceptable.
+        # Presto: divide by the p-norm; NULL when any element is null;
+        # the array is returned unchanged when p = 0 or the norm is 0
+        # (ArrayNormalizeFunction.java). Arrays here are short config
+        # vectors — the norm sub-expression repeating per element is
+        # acceptable.
+        p = args[1].strip()
+        try:
+            p_lit = float(p)
+        except ValueError:
+            p_lit = None
+        if p_lit is not None and p_lit < 0:
+            raise SplError(
+                "processor_spl: array_normalize requires a non-negative p "
+                "(got {!r})".format(p)
+            )
+        if p_lit == 0:
+            return f"({args[0]})"
         norm = (
             f"power(aggregate({args[0]}, cast(0 as double), "
             f"(__a, __e) -> __a + power(abs(__e), {args[1]})), 1.0 / ({args[1]}))"
         )
         return (
-            f"(case when {norm} = 0 then {args[0]} "
+            f"(case when exists({args[0]}, __e -> __e is null) then null "
+            f"when {norm} = 0 then {args[0]} "
             f"else transform({args[0]}, __e -> __e / {norm}) end)"
         )
     if lname == "bit_count" and len(args) == 2:
         # Presto bit_count(x, bits) counts over the bits-bit two's-
         # complement form; Spark's 1-arg form is the 64-bit count.
+        # Declared divergence: Presto raises when x doesn't FIT in bits
+        # bits (a per-row data error); the columnar form masks instead.
         bits = args[1].strip()
         if bits == "64":
             return f"bit_count({args[0]})"

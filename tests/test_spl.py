@@ -683,15 +683,20 @@ def test_spl_corpus_function_families_e2e(spark):
           aempty = array_average(array(cast(null as int))),
           nrm = array_normalize(array(3.0, 4.0), 2),
           nrm0 = array_normalize(array(0.0, 0.0), 2),
+          nrmn = array_normalize(array(1.0, cast(null as double)), 2),
+          nrmp0 = array_normalize(array(5.0, 12.0), 0),
           bc8 = bit_count(-1, 8), bc64 = bit_count(-1, 64)""").first()
     assert (r2.amax, r2.anull) == (3, None)     # Presto: NULL if any null
     assert (r2.aavg, r2.aempty) == (2.5, None)  # nulls skipped / all-null
     assert r2.nrm == [0.6, 0.8] and r2.nrm0 == [0.0, 0.0]
+    assert r2.nrmn is None                      # NULL if any element null
+    assert r2.nrmp0 == [5.0, 12.0]              # p = 0 -> identity
     assert (r2.bc8, r2.bc64) == (8, 64)         # bits-bit two's complement
 
     # silent-divergence traps fail at plan time, not with wrong values
     for bad in ("xxhash64(to_utf8(s))", "hmac_sha256(s, s)",
-                "combinations(sequence(1, 3), 2)", "bit_count(1, n)"):
+                "combinations(sequence(1, 3), 2)", "bit_count(1, n)",
+                "array_normalize(array(1.0), -2)"):
         with pytest.raises(SplError, match="processor_spl"):
             compile_spl(df.selectExpr("s", "2 as n"), f"* | extend z = {bad}")
 
