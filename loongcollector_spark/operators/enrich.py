@@ -11,6 +11,7 @@ desensitize, md5, base64 enc/dec, encrypt (aes), packjson, log_to_metric.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Mapping, Sequence
 from typing import Any
 
@@ -609,7 +610,7 @@ def _otlp_num_str(c: Column) -> Column:
 
 
 def _otlp_attr_kv(attrs: Column) -> Column:
-    """OTLP KeyValue list -> array of 'k=v' label strings (anyValueToString
+    """OTLP KeyValue list -> array of 'k#$#v' label entries (anyValueToString
     semantics, otlp_metric_parser.go:26-46, for the scalar kinds). Proto3
     JSON omits empty arrays, so a missing attributes field parses as null —
     coalesced to [] here, else every downstream concat would null out."""
@@ -617,7 +618,7 @@ def _otlp_attr_kv(attrs: Column) -> Column:
         attrs,
         lambda a: F.concat(
             a["key"],
-            F.lit("="),
+            F.lit(METRIC_KV_SEP),
             F.coalesce(
                 a["value"]["stringValue"],
                 a["value"]["intValue"],
@@ -640,8 +641,9 @@ def otel_metric_shape(
     expands to one SLS metric row per data point — gauge/sum scalar points,
     histogram sum/min/max (when non-zero) + count + CUMULATIVE 'le' buckets
     (otlpDataToSLSProto.go histogram path), summary sum + count + quantile
-    rows. Output: __name__, __labels__ (sorted k=v joined by '#$#', the
-    log_to_metric shape), __time_nano__, __value__.
+    rows. Output: __name__, __labels__ (sorted 'k#$#v' entries joined by
+    '|' — helper.MetricLabels.String, log_helper.go:209-225), __time_nano__,
+    __value__.
 
     Also emitted, matching the reference parser: exemplar rows
     (exemplarMetricToLogs — one ``name_exemplars`` row per exemplar on
@@ -704,11 +706,11 @@ def otel_metric_shape(
                 labels,
                 F.when(
                     ex["traceId"].isNotNull() & (ex["traceId"] != ""),
-                    F.array(F.concat(F.lit("traceId="), ex["traceId"])),
+                    F.array(F.concat(F.lit("traceId" + METRIC_KV_SEP), ex["traceId"])),
                 ).otherwise(empty_s),
                 F.when(
                     ex["spanId"].isNotNull() & (ex["spanId"] != ""),
-                    F.array(F.concat(F.lit("spanId="), ex["spanId"])),
+                    F.array(F.concat(F.lit("spanId" + METRIC_KV_SEP), ex["spanId"])),
                 ).otherwise(empty_s),
                 _otlp_attr_kv(ex["filteredAttributes"]),
             )
@@ -742,7 +744,7 @@ def otel_metric_shape(
     )
     if "sum" in branches:
         mono = F.concat(
-            F.lit("otlp.metric.ismonotonic="),
+            F.lit("otlp.metric.ismonotonic" + METRIC_KV_SEP),
             F.coalesce(F.col("__m__.sum.isMonotonic"), F.lit(False)).cast("string"),
         )
         summ = scalar_recs(F.col("__m__.sum.dataPoints"), mono)
@@ -770,7 +772,7 @@ def otel_metric_shape(
                     F.concat(name, F.lit("_bucket")),
                     F.concat(
                         labels,
-                        F.array(F.concat(F.lit("le="), F.element_at(bounds, j))),
+                        F.array(F.concat(F.lit("le" + METRIC_KV_SEP), F.element_at(bounds, j))),
                     ),
                     t,
                     F.aggregate(
@@ -819,7 +821,7 @@ def otel_metric_shape(
         def brec(key: Column, v: Column) -> Column:
             return rec(
                 F.concat(name, F.lit("_bucket")),
-                F.concat(labels, F.array(F.concat(F.lit("le="), key))),
+                F.concat(labels, F.array(F.concat(F.lit("le" + METRIC_KV_SEP), key))),
                 t,
                 v,
             )
@@ -892,7 +894,7 @@ def otel_metric_shape(
                     name,
                     F.concat(
                         labels,
-                        F.array(F.concat(F.lit("quantile="), _otlp_num_str(q["quantile"]))),
+                        F.array(F.concat(F.lit("quantile" + METRIC_KV_SEP), _otlp_num_str(q["quantile"]))),
                     ),
                     t,
                     q["value"],
@@ -1233,33 +1235,115 @@ def pack_json(df: DataFrame, source_keys: Sequence[str], dest_key: str, drop_pac
 
 # --- log -> metric shaping ---------------------------------------------------
 
-METRIC_LABEL_SEP = "#$#"
+# The SLS metric label wire format (helper.MetricLabels.String,
+# pkg/helper/log_helper.go:209-225): entries are ``key#$#value`` sorted by
+# key and joined by ``|``. Sorting the rendered entry strings equals sorting
+# by key because '#' (0x23) precedes every character the label-key regex
+# ^[a-zA-Z_][a-zA-Z0-9_]*$ admits.
+METRIC_KV_SEP = "#$#"
+METRIC_LABEL_SEP = "|"
+
+_METRIC_LABEL_KEY_RE = r"^[a-zA-Z_][a-zA-Z0-9_]*$"
+_METRIC_NAME_RE = r"^[a-zA-Z_:][a-zA-Z0-9_:]*$"
+
+
+def _label_entry(key: str, value: Column) -> Column:
+    return F.concat(F.lit(key + METRIC_KV_SEP), value.cast("string"))
+
+
+def _label_value_ok(value: Column) -> Column:
+    """A label value may not contain the entry or k/v separator
+    (processor_log_to_sls_metric.go errInvalidMetricLabelValue)."""
+    v = value.cast("string")
+    return (
+        v.isNotNull()
+        & ~v.contains(METRIC_LABEL_SEP)
+        & ~v.contains(METRIC_KV_SEP)
+    )
 
 
 def log_to_metric(
     df: DataFrame,
     label_keys: Sequence[str],
-    name_key: str,
-    value_key: str,
+    name_key: str | None = None,
+    value_key: str | None = None,
     time_col: str | None = None,
+    *,
+    metric_values: Mapping[str, str] | None = None,
+    custom_labels: Mapping[str, str] | None = None,
+    time_key: str | None = None,
 ) -> DataFrame:
-    """processor_log_to_sls_metric (logtoslsmetric/...go:31-56): project log
-    fields into metric shape — ``__labels__`` is the SORTED k=v list joined by
-    '#$#', ``__value__`` is the parsed double, names validated by regex."""
-    labels = F.array_join(
-        F.sort_array(
-            F.array(*[F.concat(F.lit(k + "="), F.col(k).cast("string")) for k in label_keys])
-        ),
-        METRIC_LABEL_SEP,
-    )
-    name_ok = F.col(name_key).rlike(r"^[a-zA-Z_:][a-zA-Z0-9_:]*$")
-    out = (
-        df.withColumn("__labels__", labels)
-        .withColumn("__name__", F.when(name_ok, F.col(name_key)))
-        .withColumn("__value__", F.col(value_key).cast("double"))
-    )
-    if time_col:
-        out = out.withColumn(
-            "__time_nano__", (F.col(time_col).cast("double") * 1e9).cast("long")
+    """processor_log_to_sls_metric (logtoslsmetric/processor_log_to_sls_metric.go):
+    project log fields into the SLS metric shape. ``metric_values`` maps a
+    name FIELD to a value FIELD — one metric row is emitted per pair per log
+    (go:309-333); the legacy 2-arg form is the single pair
+    ``{name_key: value_key}``. ``__labels__`` renders the sorted
+    ``key#$#value|...`` wire format; ``custom_labels`` adds constant entries
+    (CustomMetricLabels, validated at plan time).
+
+    Reference-faithful drop semantics (the Go skips the WHOLE log on any
+    violation, go:175-302): name must match ^[a-zA-Z_:][a-zA-Z0-9_:]*$,
+    value must parse as a double, every label field must be present with a
+    value free of '|'/'#$#', and ``time_key`` (MetricTimeKey) must be an
+    epoch of exactly 10/13/16/19 digits — normalized to nanoseconds by
+    zero-padding (go:255-275). ``time_col`` is the fallback log-time source
+    (seconds, numeric) used when no MetricTimeKey is configured."""
+    if metric_values is None:
+        if name_key is None or value_key is None:
+            raise ValueError("log_to_metric: metric_values or name_key+value_key required")
+        metric_values = {name_key: value_key}
+    if not metric_values:
+        raise ValueError("log_to_metric: MetricValues must be non-empty")
+    if not label_keys and not custom_labels:
+        raise ValueError("log_to_metric: MetricLabelKeys and CustomMetricLabels are empty")
+    for k in list(label_keys) + list(custom_labels or {}):
+        if not re.match(_METRIC_LABEL_KEY_RE, k):
+            raise ValueError(f"log_to_metric: invalid label key {k!r}")
+    for v in (custom_labels or {}).values():
+        if METRIC_LABEL_SEP in v or METRIC_KV_SEP in v:
+            raise ValueError(f"log_to_metric: invalid label value {v!r}")
+
+    entries = [_label_entry(k, F.col(k)) for k in label_keys] + [
+        F.concat(F.lit(k + METRIC_KV_SEP + v)) for k, v in (custom_labels or {}).items()
+    ]
+    labels = F.array_join(F.sort_array(F.array(*entries)), METRIC_LABEL_SEP)
+    labels_ok = F.lit(True)
+    for k in label_keys:
+        labels_ok = labels_ok & _label_value_ok(F.col(k))
+
+    # one output row per (nameField, valueField) pair; a single invalid
+    # name/value drops every pair of that log (the Go validates counts
+    # BEFORE emitting, go:286-302)
+    pair_ok = F.lit(True)
+    recs = []
+    for name_field, value_field in metric_values.items():
+        nm = F.col(name_field).cast("string")
+        val = F.col(value_field).cast("string")
+        pair_ok = (
+            pair_ok
+            & nm.isNotNull() & nm.rlike(_METRIC_NAME_RE)
+            & val.isNotNull() & val.try_cast("double").isNotNull()
         )
-    return out.filter(F.col("__name__").isNotNull() & F.col("__value__").isNotNull())
+        recs.append(F.struct(nm.alias("n"), val.cast("double").alias("v")))
+
+    if time_key:
+        tv = F.col(time_key).cast("string")
+        time_ok = tv.rlike(r"^\d{10}(\d{3}){0,3}$")
+        time_nano = F.rpad(tv, 19, "0").cast("long")
+    else:
+        time_ok = F.lit(True)
+        time_nano = (
+            (F.col(time_col).cast("double") * 1e9).cast("long")
+            if time_col else F.lit(None).cast("long")
+        )
+
+    out = (
+        df.filter(labels_ok & pair_ok & time_ok)
+        .withColumn("__labels__", labels)
+        .withColumn("__time_nano__", time_nano)
+        .withColumn("__rec__", F.explode(F.array(*recs)))
+        .withColumn("__name__", F.col("__rec__.n"))
+        .withColumn("__value__", F.col("__rec__.v"))
+        .drop("__rec__")
+    )
+    return out

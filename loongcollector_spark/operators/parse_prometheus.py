@@ -14,8 +14,9 @@ optional label set and timestamp, ``# HELP``/``# TYPE``/blank lines skipped,
 label-value escapes (\\\\, \\", \\n), and the special values +Inf/-Inf/NaN.
 
 Output shape matches the repo's metric convention (log_to_metric /
-otel_metric_shape): ``__name__``, ``__labels__`` (sorted k=v joined by
-'#$#'), ``__value__`` double, ``__time_nano__`` long; plus a ``labels_map``
+otel_metric_shape): ``__name__``, ``__labels__`` (sorted 'k#$#v' entries
+joined by '|'), ``__value__`` double, ``__time_nano__`` long; plus a
+``labels_map``
 map column kept for relabeling.
 """
 
@@ -101,12 +102,13 @@ def parse_prometheus(
 
 
 def render_labels(labels_map: Column) -> Column:
-    """map -> the repo's sorted 'k=v' '#$#'-joined label string."""
+    """map -> the SLS label wire format: sorted 'k#$#v' entries joined by
+    '|' (helper.MetricLabels.String, pkg/helper/log_helper.go:209-225)."""
     return F.array_join(
         F.sort_array(
             F.transform(
                 F.map_entries(labels_map),
-                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                lambda e: F.concat(e["key"], F.lit("#$#"), e["value"]),
             )
         ),
         METRIC_LABEL_SEP,

@@ -725,7 +725,7 @@ def otel_span_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id,
            'req_total' AS "__name__",
-           'host=h' || (user_id % 20) || '#$#otlp.metric.ismonotonic=true#$#type=' || event_type
+           'host#$#h' || (user_id % 20) || '|otlp.metric.ismonotonic#$#true|type#$#' || event_type
              AS "__labels__",
            event_id * 1000 AS "__time_nano__",
            CAST(CAST(floor(abs(value) * 100) AS BIGINT) AS DOUBLE) AS "__value__"
@@ -1045,7 +1045,7 @@ def otel_trace_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id,
            'req_total' AS "__name__",
-           'hostnum=' || (user_id % 20) || '#$#method=' || event_type AS "__labels__",
+           'hostnum#$#' || (user_id % 20) || '|method#$#' || event_type AS "__labels__",
            CAST(CAST(floor(abs(value) * 100) AS BIGINT) AS DOUBLE) AS "__value__",
            event_id * 1000 * 1000000 AS "__time_nano__"
     FROM events
@@ -1473,7 +1473,7 @@ def md5_base64_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     "log_to_metric_shape",
     """
     SELECT event_id, event_type AS __name__,
-           'type=' || event_type || '#$#uid=' || CAST(user_id AS VARCHAR) AS __labels__,
+           'type#$#' || event_type || '|uid#$#' || CAST(user_id AS VARCHAR) AS __labels__,
            round(value, 2) AS __value__
     FROM events
     """,
@@ -2456,7 +2456,7 @@ def spl_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH k AS (
       SELECT event_id, user_id,
              CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS kv,
-             'host=h' || (user_id % 20) AS host
+             'host#$#h' || (user_id % 20) AS host
       FROM events
     )
     SELECT event_id, 'req_lat_sum' AS "__name__", host AS "__labels__",
@@ -2467,25 +2467,25 @@ def spl_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, 'req_lat_count', host, event_id * 1000, CAST(kv * 2 + 1 AS DOUBLE) FROM k
     UNION ALL
     SELECT event_id, 'req_lat_exemplars',
-           host || '#$#pod=p' || user_id || '#$#traceId=74a',
+           host || '|pod#$#p' || user_id || '|traceId#$#74a',
            event_id * 1000 + 5, CAST(kv AS DOUBLE) FROM k
     UNION ALL
-    SELECT event_id, 'req_lat_bucket', host || '#$#le=(2,4]',
+    SELECT event_id, 'req_lat_bucket', host || '|le#$#(2,4]',
            event_id * 1000, CAST(kv AS DOUBLE) FROM k
     UNION ALL
-    SELECT event_id, 'req_lat_bucket', host || '#$#le=(4,8]',
+    SELECT event_id, 'req_lat_bucket', host || '|le#$#(4,8]',
            event_id * 1000, CAST(kv + 1 AS DOUBLE) FROM k
     UNION ALL
-    SELECT event_id, 'req_lat_bucket', host || '#$#le=positive.offset',
+    SELECT event_id, 'req_lat_bucket', host || '|le#$#positive.offset',
            event_id * 1000, 1.0 FROM k
     UNION ALL
-    SELECT event_id, 'req_lat_bucket', host || '#$#le=zero.count',
+    SELECT event_id, 'req_lat_bucket', host || '|le#$#zero.count',
            event_id * 1000, CAST(user_id % 5 AS DOUBLE) FROM k
     UNION ALL
-    SELECT event_id, 'req_lat_bucket', host || '#$#le=[-2,-1)',
+    SELECT event_id, 'req_lat_bucket', host || '|le#$#[-2,-1)',
            event_id * 1000, 2.0 FROM k
     UNION ALL
-    SELECT event_id, 'req_lat_bucket', host || '#$#le=negative.offset',
+    SELECT event_id, 'req_lat_bucket', host || '|le#$#negative.offset',
            event_id * 1000, 0.0 FROM k
     """,
     doc="processor_otel_metric ExponentialHistogram branch + exemplar rows "

@@ -90,13 +90,23 @@ def _serialize_expr(df: DataFrame, spec: SinkSpec):
         )
     elif enc == "influxdb":
         labels = F.col("__labels__")
-        from loongcollector_spark.operators.enrich import METRIC_LABEL_SEP
+        from loongcollector_spark.operators.enrich import (
+            METRIC_KV_SEP,
+            METRIC_LABEL_SEP,
+        )
 
+        # __labels__ carries 'k#$#v|k2#$#v2' (readSortedLabels,
+        # converter_sls_metric.go:101-130); line protocol wants ',k=v,k2=v2'
+        tags = F.replace(
+            F.replace(labels, F.lit(METRIC_KV_SEP), F.lit("=")),
+            F.lit(METRIC_LABEL_SEP),
+            F.lit(","),
+        )
         obj = F.concat(
             F.col("__name__"),
             F.when(
                 labels.isNotNull() & (labels != ""),
-                F.concat(F.lit(","), F.replace(labels, F.lit(METRIC_LABEL_SEP), F.lit(","))),
+                F.concat(F.lit(","), tags),
             ).otherwise(F.lit("")),
             F.lit(" value="),
             F.col("__value__").cast("string"),

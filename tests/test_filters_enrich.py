@@ -201,7 +201,7 @@ def test_log_to_metric(spark):
     )
     r = enrich.log_to_metric(df, ["host", "env"], "mname", "mval").first()
     assert r["__name__"] == "cpu_usage" and abs(r["__value__"] - 0.93) < 1e-9
-    assert r["__labels__"] == "env=prod#$#host=host1"  # sorted, #$# joined
+    assert r["__labels__"] == "env#$#prod|host#$#host1"  # sorted k#$#v, | joined
 
 
 def test_log_to_metric_invalid_name_dropped(spark):
@@ -253,18 +253,18 @@ def test_otel_metric_shape_histogram_and_summary(spark):
     rows = {(r["__name__"], r["__labels__"]): (r["__time_nano__"], r["__value__"])
             for r in otel_metric_shape(df, "body").collect()}
     # histogram: sum + count + cumulative le buckets (1, 1+2, 1+2+1)
-    assert rows[("lat_sum", "host=h1")] == (1000, 6.5)
-    assert rows[("lat_count", "host=h1")] == (1000, 4.0)
-    assert rows[("lat_bucket", "host=h1#$#le=0.5")] == (1000, 1.0)
-    assert rows[("lat_bucket", "host=h1#$#le=1")] == (1000, 3.0)
-    assert rows[("lat_bucket", "host=h1#$#le=+Inf")] == (1000, 4.0)
+    assert rows[("lat_sum", "host#$#h1")] == (1000, 6.5)
+    assert rows[("lat_count", "host#$#h1")] == (1000, 4.0)
+    assert rows[("lat_bucket", "host#$#h1|le#$#0.5")] == (1000, 1.0)
+    assert rows[("lat_bucket", "host#$#h1|le#$#1")] == (1000, 3.0)
+    assert rows[("lat_bucket", "host#$#h1|le#$#+Inf")] == (1000, 4.0)
     # summary: sum + count + quantile rows
-    assert rows[("q_sum", "host=h1")] == (2000, 9.0)
-    assert rows[("q_count", "host=h1")] == (2000, 3.0)
-    assert rows[("q", "host=h1#$#quantile=0.5")] == (2000, 2.0)
-    assert rows[("q", "host=h1#$#quantile=0.99")] == (2000, 4.0)
+    assert rows[("q_sum", "host#$#h1")] == (2000, 9.0)
+    assert rows[("q_count", "host#$#h1")] == (2000, 3.0)
+    assert rows[("q", "host#$#h1|quantile#$#0.5")] == (2000, 2.0)
+    assert rows[("q", "host#$#h1|quantile#$#0.99")] == (2000, 4.0)
     # gauge asInt + data-point attribute label
-    assert rows[("up", "host=h1#$#iface=eth0")] == (3000, 7.0)
+    assert rows[("up", "host#$#h1|iface#$#eth0")] == (3000, 7.0)
     assert len(rows) == 10
 
 

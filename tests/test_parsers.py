@@ -281,7 +281,7 @@ def test_parse_prometheus_lines(spark):
     rows = {r["__name__"]: r for r in out.collect()}
     assert set(rows) == {"http_requests_total", "node_load1", "bucket", "weird"}
     r = rows["http_requests_total"]
-    assert r["__labels__"] == "code=200#$#method=post"
+    assert r["__labels__"] == "code#$#200|method#$#post"
     assert r["__value__"] == 1027.0 and r["__time_nano__"] == 1395066363000 * 1_000_000
     assert rows["node_load1"]["__time_nano__"] == 1700000000000 * 1_000_000
     assert rows["bucket"]["labels_map"] == {"le": "+Inf"}
@@ -313,7 +313,7 @@ def test_prom_relabel_actions(spark):
     assert set(rows) == {"up", "scrape_duration"}  # job=db dropped
     assert rows["up"]["labels_map"]["host"] == "h1"
     assert "tmp_x" not in rows["scrape_duration"]["labels_map"]
-    assert rows["scrape_duration"]["__labels__"] == "job=api"
+    assert rows["scrape_duration"]["__labels__"] == "job#$#api"
 
 
 def test_grok_nested_alias_group_index(spark):

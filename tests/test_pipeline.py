@@ -204,7 +204,7 @@ def test_sink_converter_encodings(spark, tmp_path):
     assert s3 == "hello"
     # influxdb line protocol from metric-shaped rows
     mdf = spark.createDataFrame(
-        [("req_total", "host=h1#$#type=click", 5.0, 1000)],
+        [("req_total", "host#$#h1|type#$#click", 5.0, 1000)],
         "__name__ string, __labels__ string, __value__ double, __time_nano__ long",
     )
     s4 = serialize_rows(mdf, SinkSpec("s", encoding="influxdb")).first()[0]
