@@ -23,6 +23,7 @@ to a :class:`loongcollector_spark.pipeline.PipelineSpec`:
 from __future__ import annotations
 
 import json
+import re
 from typing import Any, Mapping
 
 from loongcollector_spark.operators.route import Condition, Route
@@ -470,6 +471,106 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
             rename=p.get("RenameMetadata") or {},
         )
         return "cloud_meta", {"metadata": meta}
+    if t == "processor_csv":
+        # processor_csv.go:30-49: SplitSep must be exactly one rune (Init
+        # fails otherwise); registration default is ','
+        sep = p.get("SplitSep", ",")
+        if len(sep) != 1:
+            raise ValueError(
+                f"processor_csv: invalid separator {sep!r} "
+                "(processor_csv.go:46-49)"
+            )
+        return "parse_csv", {
+            "source_key": src,
+            "keys": list(p.get("SplitKeys", ())),
+            "sep": sep,
+            "trim_leading_space": bool(p.get("TrimLeadingSpace", False)),
+            "preserve_others": bool(p.get("PreserveOthers", False)),
+            "expand_others": bool(p.get("ExpandOthers", False)),
+            "expand_key_prefix": p.get("ExpandKeyPrefix"),
+            "keep_source": bool(p.get("KeepSource", False)),
+        }
+    if t == "processor_split_string":
+        # split_string.go:126-128 registration defaults: SplitSep='\n',
+        # PreserveOthers=true
+        return "split_string_fields", {
+            "source_key": src,
+            "separator": p.get("SplitSep", "\n"),
+            "keys": list(p.get("SplitKeys", ())),
+            "preserve_others": bool(p.get("PreserveOthers", True)),
+            "expand_others": bool(p.get("ExpandOthers", False)),
+            "expand_key_prefix": p.get("ExpandKeyPrefix", "expand_"),
+            "keep_source": bool(p.get("KeepSource", False)),
+        }
+    if t == "processor_split_log_string":
+        # split_log_string.go:169-171 (SplitSep='\n', PreserveOthers=true).
+        # Columnar rows keep their other fields — the PreserveOthers=false
+        # field-dropping variant is not modeled (rarely used; the default
+        # preserves).
+        return "split_to_rows", {
+            "source_key": p.get("SplitKey", "content"),
+            "separator": p.get("SplitSep", "\n"),
+        }
+    if t == "processor_parse_apsara_native":
+        # ProcessorParseApsaraNative.cpp:36-75; Timezone must be the exact
+        # GMT±HH:MM form (TimeUtil.cpp:370-388) — an invalid value is
+        # warn-ignored, matching PARAM_WARNING_IGNORE
+        tz = p.get("Timezone") or None
+        if tz and not re.match(r"^GMT[+-]\d{2}:\d{2}$", tz):
+            tz = None
+        return "parse_apsara", {
+            "source_key": src,
+            "timezone": tz,
+            "options": _native_options(p),
+        }
+    if t == "processor_parse_timestamp_native":
+        # ProcessorParseTimestampNative.cpp:28-95; SourceYear=0 is the
+        # deduce-from-machine-clock mode (TimeUtil.cpp:140-160) —
+        # nondeterministic across a cluster, rejected at plan time
+        sy = p.get("SourceYear")
+        if sy == 0:
+            raise ValueError(
+                "processor_parse_timestamp_native: SourceYear=0 (deduce "
+                "year from the machine clock, TimeUtil.cpp:140) is "
+                "nondeterministic; set an explicit year"
+            )
+        tz = p.get("SourceTimezone") or None
+        if tz and not re.match(r"^GMT[+-]\d{2}:\d{2}$", tz):
+            tz = None
+        return "parse_timestamp", {
+            "source_key": src,
+            "source_format": p["SourceFormat"],
+            "source_timezone": tz,
+            "source_year": sy if sy and sy > 0 else None,
+        }
+    if t == "processor_log_to_sls_metric":
+        # processor_log_to_sls_metric.go:82-160 Init validation happens in
+        # the operator (label regexes, non-empty MetricValues/labels)
+        return "log_to_metric", {
+            "label_keys": list(p.get("MetricLabelKeys", ())),
+            "metric_values": dict(p.get("MetricValues") or {}),
+            "custom_labels": dict(p.get("CustomMetricLabels") or {}),
+            "time_key": p.get("MetricTimeKey") or None,
+        }
+    if t in ("processor_otel_trace", "processor_otel_metric"):
+        # processor_otel_trace.go:43-50 Init: empty Format is an error.
+        # 'json' rides the from_json expansion; 'protobuf' needs the otlp
+        # wheel (absent in this environment) — declared gate, same as the
+        # Iceberg jar. The *NeedDecode flags re-code base64 span ids; the
+        # json operators carry hex as-is.
+        fmt = str(p.get("Format", "")).lower()
+        if not fmt:
+            raise ValueError(f"{t}: the Format field is empty "
+                             "(processor_otel_trace.go:45-48)")
+        if fmt != "json":
+            raise ValueError(f"{t}: Format {fmt!r} is gated (no otlp "
+                             "protobuf wheel in this environment); use json")
+        if any(p.get(k) for k in
+               ("TraceIDNeedDecode", "SpanIDNeedDecode", "ParentSpanIDNeedDecode")):
+            raise ValueError(f"{t}: *NeedDecode base64 re-coding is not "
+                             "modeled; ship hex ids (the OTLP/JSON form)")
+        op = "otel_trace_parse" if t == "processor_otel_trace" else "otel_metric_shape"
+        return op, {"source_key": src}
     if t == "processor_rate_limit":
         # processor_rate_limit.go: Limit "N/(s|m|h)" per Fields combination.
         # Batch analogue caps rows per key per batch (window-group-limit

@@ -33,8 +33,13 @@ def parse_apsara(
     time_column: str = "apsara_time",
     level_column: str = "__LEVEL__",
     ordered_pairs_column: str | None = None,
+    timezone: str | None = None,
     options: ParserOptions | None = None,
 ) -> DataFrame:
+    """``timezone`` is the native Timezone param ("GMT+08:00" form,
+    ProcessorParseApsaraNative.cpp:52-70 / ParseLogTimeZoneOffsetSecond):
+    the log's wall-clock time is interpreted in that zone and normalized,
+    the columnar analogue of the offset subtraction."""
     options = options or ParserOptions()
     src = F.col(source_key)
     success = src.rlike(APSARA_TIME_RE)
@@ -53,7 +58,10 @@ def parse_apsara(
     )
     kv = F.map_from_entries(entries)
     extracted = {
-        time_column: F.to_timestamp(time_str),
+        time_column: (
+            F.to_utc_timestamp(F.to_timestamp(time_str), timezone)
+            if timezone else F.to_timestamp(time_str)
+        ),
         level_column: level,
         map_column: kv,
     }

@@ -232,6 +232,60 @@ def split_string(
     return df.withColumn(dest, F.split(F.col(source_key), re.escape(separator)))
 
 
+SPLIT_PRESERVE_KEY = "_split_preserve_"
+
+
+def split_string_fields(
+    df: DataFrame,
+    source_key: str,
+    separator: str,
+    keys: Sequence[str],
+    preserve_others: bool = False,
+    expand_others: bool = False,
+    expand_key_prefix: str = "expand_",
+    keep_source: bool = False,
+    max_expand_columns: int = 8,
+) -> DataFrame:
+    """processor_split_string key projection (split_string.go:60-110):
+    split SourceKey by the multi-byte literal SplitSep and assign pieces to
+    SplitKeys. Fewer pieces than keys leaves the tail keys null (the Go
+    appends only what exists, :80-88). Overflow pieces, when
+    ``preserve_others`` (SplitN count = len(keys)+1, :74-78):
+
+    - ``expand_others``: ``{prefix}1..N`` fields (:93-96), plan-width capped
+      at ``max_expand_columns`` (the reference is unbounded — size the cap);
+    - else the UNSPLIT remainder (separators intact) lands in
+      ``_split_preserve_`` (:97-99).
+
+    Empty ``keys`` mirrors :61-73 — the whole value expands (or lands in
+    ``_split_preserve_`` verbatim); nothing happens without
+    ``preserve_others``. One JVM split + pure column projections."""
+    src = F.col(source_key)
+    parts = F.split(src, re.escape(separator))
+    size = F.size(parts)
+    n = len(keys)
+    out = df
+    cols: dict[str, F.Column] = {}
+    if n:
+        for i, k in enumerate(keys):
+            cols[k] = F.try_element_at(parts, F.lit(i + 1))
+    if preserve_others:
+        if expand_others:
+            lo = n if n else 0
+            for j in range(max_expand_columns):
+                cols[f"{expand_key_prefix}{j + 1}"] = F.when(
+                    size > lo + j, F.try_element_at(parts, F.lit(lo + j + 1))
+                )
+        elif n:
+            cols[SPLIT_PRESERVE_KEY] = F.when(
+                size > n, F.array_join(F.slice(parts, n + 1, 2147483647), separator)
+            )
+        else:
+            cols[SPLIT_PRESERVE_KEY] = src
+    out = out.withColumns(cols)
+    return out if keep_source else out.drop(source_key)
+
+
 def split_to_rows(
     df: DataFrame, source_key: str, separator: str = "\n", keep_empty: bool = False
 ) -> DataFrame:

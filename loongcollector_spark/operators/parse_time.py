@@ -67,12 +67,23 @@ def parse_timestamp(
     source_timezone: str | None = None,
     dest: str = EVENT_TIME,
     keep_on_fail: bool = True,
+    source_year: int | None = None,
 ) -> DataFrame:
-    """Parse SourceKey with a strptime format into an event-time column."""
+    """Parse SourceKey with a strptime format into an event-time column.
+
+    ``source_year`` is the native SourceYear (TimeUtil.cpp Strptime mode 1,
+    :134-137): when the format carries no year specifier, fill that year
+    instead of the epoch default; a format that already has %Y/%y wins
+    (:128-131 'already got year information'). Mode 2 (SourceYear=0, deduce
+    from the machine clock) is nondeterministic and rejected upstream."""
     spark_fmt = strptime_to_spark(source_format)
+    src = F.col(source_key)
+    if source_year and not any(y in source_format for y in ("%Y", "%y")):
+        spark_fmt = "yyyy " + spark_fmt
+        src = F.concat(F.lit(f"{int(source_year)} "), src)
     # try_to_timestamp: malformed values null out instead of failing the
     # whole job under ANSI mode (the reference logs and keeps the event)
-    ts = F.try_to_timestamp(F.col(source_key), F.lit(spark_fmt))
+    ts = F.try_to_timestamp(src, F.lit(spark_fmt))
     if source_timezone:
         ts = F.to_utc_timestamp(ts, source_timezone)
     out = df.withColumn(dest, ts)

@@ -37,6 +37,7 @@ from loongcollector_spark.operators.parse_delimiter import (
     parse_csv,
     parse_delimiter,
     split_string,
+    split_string_fields,
     split_to_rows,
 )
 from loongcollector_spark.operators.parse_json import expand_json, parse_json
@@ -70,6 +71,7 @@ PROCESSORS: dict[str, Callable[..., DataFrame]] = {
     "reformat_time": reformat_time,
     "parse_grok": parse_grok,
     "split_string": split_string,
+    "split_string_fields": split_string_fields,
     "split_to_rows": split_to_rows,
     "merge_multiline": multiline.merge_multiline,
     "merge_multiline_rules": multiline.merge_multiline_rules,

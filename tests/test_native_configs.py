@@ -492,3 +492,108 @@ def test_native_enrich_chain_example_loads_and_runs(spark, tmp_path):
     # absent (null) — Missing fires only for an absent SourceKey.
     assert by_zone[None][1] is None
     assert all(r[3] is None for r in got)  # drop_last_key nulled the raw line
+
+
+def test_native_parser_family_translations(spark):
+    """processor_csv / split_string / split_log_string / parse_apsara_native
+    / parse_timestamp_native / log_to_sls_metric / otel_* translate to the
+    registry and run columnar — the last shipped plugin types with
+    implemented operators but no YAML path (round 5)."""
+    from loongcollector_spark.config import _native_processor
+    from loongcollector_spark.pipeline import PROCESSORS
+
+    # processor_csv -> parse_csv (processor_csv.go:30-49)
+    name, kw = _native_processor(
+        {"Type": "processor_csv", "SourceKey": "line",
+         "SplitKeys": ["a", "b"], "PreserveOthers": True})
+    assert name == "parse_csv" and kw["sep"] == ","
+    df = spark.createDataFrame([('1,"x,y",z',)], "line string")
+    r = PROCESSORS[name](df, **kw).first()
+    assert (r.a, r.b, r._decode_preserve_) == ("1", "x,y", "z")
+    with pytest.raises(ValueError, match="invalid separator"):
+        _native_processor({"Type": "processor_csv", "SplitSep": "ab"})
+
+    # processor_split_string -> split_string_fields (split_string.go:60-110):
+    # non-expand overflow keeps the UNSPLIT remainder
+    name, kw = _native_processor(
+        {"Type": "processor_split_string", "SourceKey": "line",
+         "SplitSep": "|", "SplitKeys": ["x", "y"]})
+    assert name == "split_string_fields"
+    r = PROCESSORS[name](
+        spark.createDataFrame([("a|b|c|d",)], "line string"), **kw).first()
+    assert (r.x, r.y, r._split_preserve_) == ("a", "b", "c|d")
+    # expand variant: prefix-numbered fields (:93-96)
+    name, kw = _native_processor(
+        {"Type": "processor_split_string", "SourceKey": "line",
+         "SplitSep": "|", "SplitKeys": ["x"], "ExpandOthers": True,
+         "ExpandKeyPrefix": "e_"})
+    r = PROCESSORS[name](
+        spark.createDataFrame([("a|b|c",)], "line string"), **kw).first()
+    assert (r.x, r.e_1, r.e_2) == ("a", "b", "c")
+
+    # processor_split_log_string -> one row per piece, empties dropped
+    # (split_log_string.go:93-97)
+    name, kw = _native_processor(
+        {"Type": "processor_split_log_string", "SplitKey": "content"})
+    out = PROCESSORS[name](
+        spark.createDataFrame([("l1\nl2\n",)], "content string"), **kw)
+    assert [r.content for r in out.collect()] == ["l1", "l2"]
+
+    # processor_parse_apsara_native + Timezone
+    # (ProcessorParseApsaraNative.cpp:52-70): wall clock read in GMT+08:00
+    name, kw = _native_processor(
+        {"Type": "processor_parse_apsara_native", "SourceKey": "content",
+         "Timezone": "GMT+08:00"})
+    assert name == "parse_apsara" and kw["timezone"] == "GMT+08:00"
+    df = spark.createDataFrame(
+        [("[2024-01-01 12:00:00.123456]\t[INFO]\tk:v",)], "content string")
+    r = PROCESSORS[name](df, **kw).first()
+    assert str(r.apsara_time) == "2024-01-01 04:00:00.123456"
+    # invalid Timezone form is warn-ignored (PARAM_WARNING_IGNORE)
+    _, kw2 = _native_processor(
+        {"Type": "processor_parse_apsara_native", "SourceKey": "content",
+         "Timezone": "UTC+8"})
+    assert kw2["timezone"] is None
+
+    # processor_parse_timestamp_native + SourceYear (TimeUtil.cpp:134-137)
+    name, kw = _native_processor(
+        {"Type": "processor_parse_timestamp_native", "SourceKey": "t",
+         "SourceFormat": "%m-%d %H:%M:%S", "SourceYear": 2023})
+    assert name == "parse_timestamp"
+    df = spark.createDataFrame([("02-17 10:11:12",)], "t string")
+    r = PROCESSORS[name](df, **kw).first()
+    assert str(r["__event_time__"]) == "2023-02-17 10:11:12"
+    with pytest.raises(ValueError, match="nondeterministic"):
+        _native_processor(
+            {"Type": "processor_parse_timestamp_native", "SourceKey": "t",
+             "SourceFormat": "%m", "SourceYear": 0})
+
+    # processor_log_to_sls_metric: one metric row per MetricValues pair,
+    # ms epoch normalized to ns (go:255-333)
+    name, kw = _native_processor(
+        {"Type": "processor_log_to_sls_metric",
+         "MetricLabelKeys": ["host"],
+         "MetricValues": {"n1": "v1", "n2": "v2"},
+         "CustomMetricLabels": {"dc": "us"},
+         "MetricTimeKey": "t"})
+    assert name == "log_to_metric"
+    df = spark.createDataFrame(
+        [("h1", "cpu", "1.5", "mem", "2.5", "1700000000000")],
+        "host string, n1 string, v1 string, n2 string, v2 string, t string")
+    rows = {r["__name__"]: r for r in PROCESSORS[name](df, **kw).collect()}
+    assert set(rows) == {"cpu", "mem"}
+    assert rows["cpu"]["__labels__"] == "dc#$#us|host#$#h1"
+    assert rows["cpu"]["__time_nano__"] == 1700000000000 * 10**6
+    assert rows["mem"]["__value__"] == 2.5
+
+    # otel processors: json rides the from_json expansion, protobuf and
+    # empty Format are plan-time errors (processor_otel_trace.go:43-50)
+    name, _ = _native_processor(
+        {"Type": "processor_otel_trace", "SourceKey": "body",
+         "Format": "json"})
+    assert name == "otel_trace_parse"
+    with pytest.raises(ValueError, match="Format field is empty"):
+        _native_processor({"Type": "processor_otel_trace", "SourceKey": "b"})
+    with pytest.raises(ValueError, match="gated"):
+        _native_processor({"Type": "processor_otel_metric", "SourceKey": "b",
+                           "Format": "protobuf"})
