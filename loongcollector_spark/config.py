@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import re
+from dataclasses import replace
 from typing import Any, Mapping
 
 from loongcollector_spark.operators.route import Condition, Route
@@ -687,6 +688,78 @@ def spec_from_native(
         _native_sink(f, sink_overrides, n)
         for f, n in zip(flushers, _native_sink_names(flushers))
     ]
+
+    # aggregators: pluginmanager runs them between processors and flushers
+    # (logstore_config.go plugin order). Pack/batch mechanics are Spark's
+    # job; the plan-shaping ones translate onto the spec.
+    route_mode = "fanout"
+    routes: list[Route] | None = None
+    drop_dismatch = False
+    shard_keys: tuple[str, ...] = ()
+    shard_count = 16
+    shard_connector = "_"
+    for a in doc.get("aggregators", []):
+        at = a["Type"]
+        if at in ("aggregator_base", "aggregator_default", "aggregator_context"):
+            # pack size/sequence mechanics — SinkSpec.max_records_per_file
+            # is the MaxLogCount analogue; aggregator_context's per-source
+            # ordered packs are the writer's per-partition order
+            continue
+        if at == "aggregator_shardhash":
+            # aggregator_shardhash.go:229-236 defaults: Connector='_',
+            # ShardCount=8 (power of 2 enforced by the operator)
+            shard_keys = tuple(a.get("SourceKeys", ()))
+            shard_count = int(a.get("ShardCount", 8))
+            shard_connector = str(a.get("Connector", "_"))
+            continue
+        if at in ("aggregator_content_value_group", "aggregator_metadata_group"):
+            # group-by-value packs -> file-sink partition columns: the same
+            # co-location contract (one pack per key combination)
+            keys = tuple(
+                a.get("GroupKeys") or a.get("GroupMetadataKeys") or ()
+            )
+            if not keys:
+                raise ValueError(f"{at}: must specify GroupKeys "
+                                 "(aggregator_content_value_group.go:87-89)")
+            sinks = [
+                s if s.partition_by or s.format not in ("parquet", "json", "csv")
+                else replace(s, partition_by=keys)
+                for s in sinks
+            ]
+            continue
+        if at == "aggregator_logstore_router":
+            regexes = list(a.get("RouterRegex") or ())
+            stores = list(a.get("RouterLogstore") or ())
+            if len(regexes) != len(stores):
+                raise ValueError(
+                    f"aggregator_logstore_router: router regex count "
+                    f"{len(regexes)}, logstore count {len(stores)} "
+                    "(aggregator_router.go:63-65)"
+                )
+            src = a.get("SourceKey") or "content"
+            # Condition.to_column full-anchors the regex, matching the
+            # aggregator's FindStringSubmatchIndex==whole-value rule
+            # (aggregator_router.go:97-106)
+            routes = [
+                Route(sink=st, condition=Condition(content_key=src, content_regex=rx))
+                for rx, st in zip(regexes, stores)
+            ]
+            route_mode = "first_match"
+            drop_dismatch = bool(a.get("DropDisMatch", False))
+            known = {s.name for s in sinks}
+            for st in stores:
+                if st not in known:
+                    # a logstore with no flusher twin delivers to a noop
+                    # sink unless sink_overrides binds it to a local path
+                    sinks.append(_native_sink({"Type": "flusher_sls"},
+                                              sink_overrides, st))
+                    known.add(st)
+            continue
+        raise ValueError(
+            f"aggregator {at!r} has no Spark translation "
+            "(aggregator_opentelemetry/skywalking are protocol shims of "
+            "their network flushers, which are connector-owned)"
+        )
     paths: list[str] = []
     for inp in doc.get("inputs", []):
         if inp.get("Type") in ("input_file", "input_static_file"):
@@ -708,10 +781,14 @@ def spec_from_native(
     spec = PipelineSpec(
         name=name,
         processors=processors,
-        routes=[Route(sink=s.name, condition=None) for s in sinks],
-        route_mode="fanout",
+        routes=(routes if routes is not None
+                else [Route(sink=s.name, condition=None) for s in sinks]),
+        route_mode=route_mode,
         default_sink=sinks[0].name if sinks else "default",
-        shard_keys=(),
+        drop_dismatch=drop_dismatch,
+        shard_keys=shard_keys,
+        shard_count=shard_count,
+        shard_connector=shard_connector,
         tags={},
         sinks={s.name: s for s in sinks},
         metrics_tokens_col=None,

@@ -125,6 +125,7 @@ class PipelineSpec:
     drop_dismatch: bool = False
     shard_keys: Sequence[str] = ("source", "doc_id")
     shard_count: int = 16
+    shard_connector: str = "_"  # aggregator_shardhash Connector
     tags: Mapping[str, str] = field(default_factory=dict)  # processor_tag
     sinks: Mapping[str, SinkSpec] = field(default_factory=dict)
     metrics_source_col: str = "source"
@@ -210,7 +211,8 @@ def compile_pipeline(
 
     if spec.shard_keys:
         out = agg_ops.shard_hash(
-            out, spec.shard_keys, spec.shard_count, repartition=False
+            out, spec.shard_keys, spec.shard_count,
+            connector=spec.shard_connector, repartition=False
         )
     out = metrics.observe_counts(out, f"{spec.name}.routed")
     return out

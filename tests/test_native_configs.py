@@ -597,3 +597,91 @@ def test_native_parser_family_translations(spark):
     with pytest.raises(ValueError, match="gated"):
         _native_processor({"Type": "processor_otel_metric", "SourceKey": "b",
                            "Format": "protobuf"})
+
+
+def test_native_aggregators_section(spark, tmp_path):
+    """The aggregators block translates onto the spec: logstore_router ->
+    first-match routes with full-anchored regexes (aggregator_router.go:
+    97-106), shardhash -> shard keys/count/connector, content_value_group ->
+    sink partition columns, base/default/context -> no plan effect, unknown
+    -> plan-time error."""
+    from loongcollector_spark.config import spec_from_native
+    from loongcollector_spark.pipeline import run_pipeline
+
+    out_a = str(tmp_path / "store_a")
+    out_def = str(tmp_path / "out_def")
+    spec, _ = spec_from_native(
+        {
+            "processors": [
+                {"Type": "processor_split_key_value", "SourceKey": "content",
+                 "Delimiter": ";", "Separator": "="},
+            ],
+            "aggregators": [
+                {"Type": "aggregator_base"},
+                {"Type": "aggregator_shardhash", "SourceKeys": ["level"],
+                 "ShardCount": 4, "Connector": "#"},
+                {"Type": "aggregator_logstore_router", "SourceKey": "level",
+                 "RouterRegex": ["ERR.*"], "RouterLogstore": ["store_a"]},
+            ],
+            "flushers": [{"Type": "flusher_file", "FileName": out_def}],
+        },
+        sink_overrides={"store_a": {"format": "parquet", "path": out_a}},
+    )
+    assert spec.route_mode == "first_match"
+    assert spec.shard_keys == ("level",) and spec.shard_count == 4
+    assert spec.shard_connector == "#"
+    df = spark.createDataFrame(
+        [("level=ERROR;m=boom",), ("level=INFO;m=fine",), ("m=nolevel",)],
+        "content string",
+    )
+    res = run_pipeline(df, spec)
+    assert res["store_a"]["delivered"]
+    routed = spark.read.parquet(out_a).collect()
+    # full-anchored ERR.* matches only the ERROR row
+    assert [r.level for r in routed] == ["ERROR"]
+    # no-match AND missing-key rows both land on the default sink
+    # (aggregator_router.go:119-127 DropDisMatch=false)
+    import json as _json
+    defaults = [
+        _json.loads(line)
+        for part in __import__("pathlib").Path(out_def).rglob("part-*")
+        for line in part.read_text().splitlines()
+    ]
+    assert {d.get("level") for d in defaults} == {"INFO", None}
+
+    # DropDisMatch drops non-matching rows instead
+    spec2, _ = spec_from_native(
+        {
+            "aggregators": [
+                {"Type": "aggregator_logstore_router", "SourceKey": "level",
+                 "RouterRegex": ["ERR.*"], "RouterLogstore": ["store_a"],
+                 "DropDisMatch": True},
+            ],
+            "flushers": [{"Type": "flusher_stdout"}],
+        },
+        sink_overrides={"store_a": {"format": "memory"}},
+    )
+    assert spec2.drop_dismatch is True
+
+    # content_value_group -> partition columns on file sinks
+    spec3, _ = spec_from_native(
+        {
+            "aggregators": [
+                {"Type": "aggregator_content_value_group",
+                 "GroupKeys": ["env", "svc"]},
+            ],
+            "flushers": [{"Type": "flusher_file", "FileName": str(tmp_path / "x")}],
+        },
+        sink_overrides={"file": {"format": "parquet", "path": str(tmp_path / "x")}},
+    )
+    assert spec3.sinks["file"].partition_by == ("env", "svc")
+
+    # mismatched regex/logstore counts and untranslatable aggregators fail
+    # at plan time
+    with pytest.raises(ValueError, match="router regex count"):
+        spec_from_native({"aggregators": [
+            {"Type": "aggregator_logstore_router", "RouterRegex": ["a", "b"],
+             "RouterLogstore": ["only"]}], "flushers": []})
+    with pytest.raises(ValueError, match="no Spark translation"):
+        spec_from_native({"aggregators": [
+            {"Type": "aggregator_skywalking"}], "flushers": []})
