@@ -488,19 +488,30 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
             "trim_leading_space": bool(p.get("TrimLeadingSpace", False)),
             "preserve_others": bool(p.get("PreserveOthers", False)),
             "expand_others": bool(p.get("ExpandOthers", False)),
-            "expand_key_prefix": p.get("ExpandKeyPrefix"),
+            # the Go zero value is "" (overflow fields named '1','2',...,
+            # processor_csv.go:92) — only a MISSING prefix in the repo's own
+            # dict API is an error
+            "expand_key_prefix": p.get("ExpandKeyPrefix", ""),
             "keep_source": bool(p.get("KeepSource", False)),
         }
     if t == "processor_split_string":
         # split_string.go:126-128 registration defaults: SplitSep='\n',
-        # PreserveOthers=true
+        # PreserveOthers=true; an explicitly empty SplitSep is an Init
+        # error ('no split separator', :49-51); the ExpandKeyPrefix zero
+        # value is "" (overflow fields named '1','2',..., :66,95)
+        sep = p.get("SplitSep", "\n")
+        if not sep:
+            raise ValueError(
+                "processor_split_string: no split separator "
+                "(split_string.go:49-51)"
+            )
         return "split_string_fields", {
             "source_key": src,
-            "separator": p.get("SplitSep", "\n"),
+            "separator": sep,
             "keys": list(p.get("SplitKeys", ())),
             "preserve_others": bool(p.get("PreserveOthers", True)),
             "expand_others": bool(p.get("ExpandOthers", False)),
-            "expand_key_prefix": p.get("ExpandKeyPrefix", "expand_"),
+            "expand_key_prefix": p.get("ExpandKeyPrefix", ""),
             "keep_source": bool(p.get("KeepSource", False)),
         }
     if t == "processor_split_log_string":
@@ -546,7 +557,11 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
         }
     if t == "processor_log_to_sls_metric":
         # processor_log_to_sls_metric.go:82-160 Init validation happens in
-        # the operator (label regexes, non-empty MetricValues/labels)
+        # the operator (label regexes, non-empty MetricValues/labels,
+        # errFieldRepeated). Without MetricTimeKey the Go stamps the log's
+        # INGEST time (GetLogTimeNano) — nondeterministic in a columnar
+        # replay, so __time_nano__ stays null and the influxdb encoding
+        # emits a timestamp-less line (valid line protocol).
         return "log_to_metric", {
             "label_keys": list(p.get("MetricLabelKeys", ())),
             "metric_values": dict(p.get("MetricValues") or {}),
@@ -722,7 +737,8 @@ def spec_from_native(
                 raise ValueError(f"{at}: must specify GroupKeys "
                                  "(aggregator_content_value_group.go:87-89)")
             sinks = [
-                s if s.partition_by or s.format not in ("parquet", "json", "csv")
+                s if s.partition_by
+                or s.format not in ("parquet", "json", "csv", "text")
                 else replace(s, partition_by=keys)
                 for s in sinks
             ]

@@ -1302,14 +1302,56 @@ def log_to_metric(
     for v in (custom_labels or {}).values():
         if METRIC_LABEL_SEP in v or METRIC_KV_SEP in v:
             raise ValueError(f"log_to_metric: invalid label value {v!r}")
+    # errFieldRepeated (go:96-160): every field name across __labels__,
+    # label keys, custom labels, and the MetricValues name/value fields
+    # must be distinct
+    seen = {"__labels__"}
+    for fld in (*label_keys, *(custom_labels or {}),
+                *metric_values.keys(), *metric_values.values()):
+        if fld in seen:
+            raise ValueError(f"log_to_metric: the field is repeated: {fld!r} "
+                             "(processor_log_to_sls_metric.go errFieldRepeated)")
+        seen.add(fld)
 
     entries = [_label_entry(k, F.col(k)) for k in label_keys] + [
         F.concat(F.lit(k + METRIC_KV_SEP + v)) for k, v in (custom_labels or {}).items()
     ]
-    labels = F.array_join(F.sort_array(F.array(*entries)), METRIC_LABEL_SEP)
     labels_ok = F.lit(True)
     for k in label_keys:
         labels_ok = labels_ok & _label_value_ok(F.col(k))
+
+    entries_arr = F.array(*entries)
+    if "__labels__" in df.columns:
+        # an incoming __labels__ field merges into the output labels
+        # (go:187-215): each 'k#$#v' entry needs exactly one separator, a
+        # regex-valid key not already among MetricLabelKeys, and a clean
+        # value — any violation drops the whole log
+        incoming = F.split(F.col("__labels__"), re.escape(METRIC_LABEL_SEP))
+        entry_re = (
+            "^[a-zA-Z_][a-zA-Z0-9_]*" + re.escape(METRIC_KV_SEP) + ".*$"
+        )
+        key_of = lambda e: F.split(e, re.escape(METRIC_KV_SEP))[0]  # noqa: E731
+        bad_keys = (
+            F.array(*[F.lit(k) for k in label_keys])
+            if label_keys else F.array().cast("array<string>")
+        )
+        labels_ok = labels_ok & F.coalesce(
+            F.forall(
+                incoming,
+                lambda e: e.rlike(entry_re)
+                & (F.size(F.split(e, re.escape(METRIC_KV_SEP))) == 2)
+                & ~F.array_contains(bad_keys, key_of(e)),
+            ),
+            F.lit(True),  # null/absent incoming labels: nothing to merge
+        )
+        entries_arr = F.concat(
+            entries_arr,
+            F.coalesce(
+                F.filter(incoming, lambda e: e != ""),
+                F.array().cast("array<string>"),
+            ),
+        )
+    labels = F.array_join(F.sort_array(entries_arr), METRIC_LABEL_SEP)
 
     # one output row per (nameField, valueField) pair; a single invalid
     # name/value drops every pair of that log (the Go validates counts

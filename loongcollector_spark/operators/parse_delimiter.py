@@ -173,7 +173,9 @@ def parse_csv(
     overflow fields are decoded (plan-time schema width; the reference is
     unbounded — size the cap to the widest expected record). An empty source
     decodes to one empty field (the io.EOF branch, line 84)."""
-    if expand_others and preserve_others and not expand_key_prefix:
+    if expand_others and preserve_others and expand_key_prefix is None:
+        # '' is Go-valid (the zero value: overflow fields named '1','2',...,
+        # processor_csv.go:92); only an omitted prefix is an API error here
         raise ValueError("expand_key_prefix is required when expand_others=True")
     src = F.col(source_key)
     n = len(keys)
@@ -242,7 +244,7 @@ def split_string_fields(
     keys: Sequence[str],
     preserve_others: bool = False,
     expand_others: bool = False,
-    expand_key_prefix: str = "expand_",
+    expand_key_prefix: str = "",
     keep_source: bool = False,
     max_expand_columns: int = 8,
 ) -> DataFrame:
@@ -260,6 +262,12 @@ def split_string_fields(
     Empty ``keys`` mirrors :61-73 — the whole value expands (or lands in
     ``_split_preserve_`` verbatim); nothing happens without
     ``preserve_others``. One JVM split + pure column projections."""
+    if not separator:
+        # Go Init fails the config ('no split separator', split_string.go:
+        # 49-51); F.split('') would silently explode per character
+        raise ValueError(
+            "split_string_fields: no split separator (split_string.go:49-51)"
+        )
     src = F.col(source_key)
     parts = F.split(src, re.escape(separator))
     size = F.size(parts)

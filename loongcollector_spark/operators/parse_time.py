@@ -78,7 +78,10 @@ def parse_timestamp(
     from the machine clock) is nondeterministic and rejected upstream."""
     spark_fmt = strptime_to_spark(source_format)
     src = F.col(source_key)
-    if source_year and not any(y in source_format for y in ("%Y", "%y")):
+    # strip literal '%%' pairs first so an escaped '%%Y' (literal text) does
+    # not count as a year specifier
+    fmt_specs = source_format.replace("%%", "")
+    if source_year and not any(y in fmt_specs for y in ("%Y", "%y")):
         spark_fmt = "yyyy " + spark_fmt
         src = F.concat(F.lit(f"{int(source_year)} "), src)
     # try_to_timestamp: malformed values null out instead of failing the

@@ -47,10 +47,12 @@ class Condition:
         if self.tag_key is not None:
             conds.append(F.col(self.tag_key) == F.lit(self.tag_value))
         if self.content_key is not None:
-            # router regex is a FULL match (aggregator_router.go:106)
-            pat = self.content_regex or ""
-            if not pat.startswith("^"):
-                pat = "^(?:" + pat + ")$"
+            # router regex is a FULL match (aggregator_router.go:106 —
+            # the leftmost match must span the whole value). Wrap
+            # unconditionally: a user-supplied leading '^' would otherwise
+            # downgrade to a prefix match; nested anchors inside (?:...)
+            # stay valid and keep full-match semantics.
+            pat = "^(?:" + (self.content_regex or "") + ")$"
             conds.append(F.col(self.content_key).rlike(pat))
         if not conds:
             return F.lit(True)

@@ -633,8 +633,14 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         try:
             p_lit = float(p)
         except ValueError:
-            p_lit = None
-        if p_lit is not None and p_lit < 0:
+            # non-literal p can't honor Presto's p=0 identity / negative-p
+            # error at plan time — fail per the translator's error contract
+            # rather than silently diverging at runtime
+            raise SplError(
+                "processor_spl: array_normalize needs a literal numeric p "
+                "(got {!r})".format(p)
+            ) from None
+        if p_lit < 0:
             raise SplError(
                 "processor_spl: array_normalize requires a non-negative p "
                 "(got {!r})".format(p)

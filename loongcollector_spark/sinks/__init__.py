@@ -110,8 +110,13 @@ def _serialize_expr(df: DataFrame, spec: SinkSpec):
             ).otherwise(F.lit("")),
             F.lit(" value="),
             F.col("__value__").cast("string"),
-            F.lit(" "),
-            F.col("__time_nano__").cast("string"),
+            # line protocol allows a timestamp-less line; a null
+            # __time_nano__ (no MetricTimeKey configured) must not null
+            # out the whole row
+            F.coalesce(
+                F.concat(F.lit(" "), F.col("__time_nano__").cast("string")),
+                F.lit(""),
+            ),
         )
     elif enc == "otlp_log":
         # aggregator_opentelemetry / flusher_opentelemetry shape
@@ -154,8 +159,11 @@ def _serialize_expr(df: DataFrame, spec: SinkSpec):
 
 
 def serialize_rows(df: DataFrame, spec: SinkSpec) -> DataFrame:
-    """Each row serialized to one string in column ``value``."""
-    return df.select(_serialize_expr(df, spec).alias("value"))
+    """Each row serialized to one string in column ``value``; partition
+    columns ride along (the text writer pulls them out as directories, so
+    grouped-pack sinks keep their co-location contract)."""
+    keep = [F.col(c) for c in spec.partition_by if c in df.columns]
+    return df.select(_serialize_expr(df, spec).alias("value"), *keep)
 
 
 def kafka_records(df: DataFrame, spec: SinkSpec) -> DataFrame:

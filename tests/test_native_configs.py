@@ -685,3 +685,70 @@ def test_native_aggregators_section(spark, tmp_path):
     with pytest.raises(ValueError, match="no Spark translation"):
         spec_from_native({"aggregators": [
             {"Type": "aggregator_skywalking"}], "flushers": []})
+
+
+def test_native_translation_review_fixes(spark):
+    """Round-5 review fixes: anchored '^'-prefixed router regexes, Go
+    zero-value ExpandKeyPrefix, empty-SplitSep Init error, log_to_metric
+    field-repeat Init check + incoming __labels__ merge, %%Y escape in
+    SourceYear detection."""
+    from loongcollector_spark.config import _native_processor, spec_from_native
+    from loongcollector_spark.operators import enrich
+    from loongcollector_spark.operators.route import Condition
+    from loongcollector_spark.pipeline import PROCESSORS
+
+    # '^'-prefixed regex stays a FULL match (aggregator_router.go:106)
+    df = spark.createDataFrame([("ERROR",), ("ERR",)], "level string")
+    matched = df.filter(
+        Condition(content_key="level", content_regex="^ERR").to_column()
+    ).collect()
+    assert [r.level for r in matched] == ["ERR"]
+
+    # ExpandKeyPrefix zero value: overflow fields named '1','2' (Go :92-95)
+    name, kw = _native_processor(
+        {"Type": "processor_split_string", "SourceKey": "line",
+         "SplitSep": "|", "SplitKeys": ["x"], "ExpandOthers": True})
+    r = PROCESSORS[name](
+        spark.createDataFrame([("a|b|c",)], "line string"), **kw).first()
+    assert (r.x, r["1"], r["2"]) == ("a", "b", "c")
+    name, kw = _native_processor(
+        {"Type": "processor_csv", "SourceKey": "line",
+         "SplitKeys": ["a"], "PreserveOthers": True, "ExpandOthers": True})
+    r = PROCESSORS[name](
+        spark.createDataFrame([("p,q,r",)], "line string"), **kw).first()
+    assert (r.a, r["1"], r["2"]) == ("p", "q", "r")
+
+    # empty SplitSep fails at plan time (split_string.go:49-51)
+    with pytest.raises(ValueError, match="no split separator"):
+        _native_processor({"Type": "processor_split_string",
+                           "SourceKey": "line", "SplitSep": ""})
+
+    # errFieldRepeated: label key colliding with a custom label
+    with pytest.raises(ValueError, match="repeated"):
+        enrich.log_to_metric(
+            spark.createDataFrame([("h", "n", "1")], "host string, n string, v string"),
+            ["host"], metric_values={"n": "v"}, custom_labels={"host": "dc"})
+
+    # incoming __labels__ merges into the output (go:187-215); a malformed
+    # entry or a key repeating MetricLabelKeys drops the log
+    df = spark.createDataFrame(
+        [("region#$#eu", "h1", "cpu", "1.5"),
+         ("badentry", "h2", "cpu", "2.5"),
+         ("host#$#dup", "h3", "cpu", "3.5")],
+        "__labels__ string, host string, mname string, mval string")
+    rows = enrich.log_to_metric(df, ["host"], "mname", "mval").collect()
+    assert len(rows) == 1
+    assert rows[0]["__labels__"] == "host#$#h1|region#$#eu"
+
+    # %%Y is literal text, not a year specifier
+    from loongcollector_spark.operators.parse_time import parse_timestamp
+    df = spark.createDataFrame([("%Y 02-17 10:11:12",)], "t string")
+    r = parse_timestamp(df, "t", "%%Y %m-%d %H:%M:%S", source_year=2023).first()
+    assert str(r["__event_time__"]) == "2023-02-17 10:11:12"
+
+    # grouped packs partition TEXT sinks too (flusher_file default shape)
+    spec3, _ = spec_from_native(
+        {"aggregators": [{"Type": "aggregator_content_value_group",
+                          "GroupKeys": ["env"]}],
+         "flushers": [{"Type": "flusher_file", "FileName": "/tmp/x"}]})
+    assert spec3.sinks["file"].partition_by == ("env",)
