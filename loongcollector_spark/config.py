@@ -490,8 +490,9 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
             "expand_others": bool(p.get("ExpandOthers", False)),
             # the Go zero value is "" (overflow fields named '1','2',...,
             # processor_csv.go:92) — only a MISSING prefix in the repo's own
-            # dict API is an error
-            "expand_key_prefix": p.get("ExpandKeyPrefix", ""),
+            # dict API is an error; `or ""` so an explicit YAML null also
+            # lands on the zero value instead of flowing None downstream
+            "expand_key_prefix": p.get("ExpandKeyPrefix") or "",
             "keep_source": bool(p.get("KeepSource", False)),
         }
     if t == "processor_split_string":
@@ -511,7 +512,9 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
             "keys": list(p.get("SplitKeys", ())),
             "preserve_others": bool(p.get("PreserveOthers", True)),
             "expand_others": bool(p.get("ExpandOthers", False)),
-            "expand_key_prefix": p.get("ExpandKeyPrefix", ""),
+            # `or ""`: YAML null == the Go zero value (overflow fields
+            # named '1','2',..., split_string.go:66,95)
+            "expand_key_prefix": p.get("ExpandKeyPrefix") or "",
             "keep_source": bool(p.get("KeepSource", False)),
         }
     if t == "processor_split_log_string":

@@ -1331,6 +1331,11 @@ def log_to_metric(
             "^[a-zA-Z_][a-zA-Z0-9_]*" + re.escape(METRIC_KV_SEP) + ".*$"
         )
         key_of = lambda e: F.split(e, re.escape(METRIC_KV_SEP))[0]  # noqa: E731
+        # only MetricLabelKeys count as repeats — the Go's metricLabelKeysMap
+        # (go:100-117) never holds CustomMetricLabels keys, so an incoming
+        # key colliding with a custom label passes and BOTH entries land in
+        # the wire format (go:304-306 appends custom labels unconditionally,
+        # GetLabel does not dedupe) — reference-faithful duplicate keys
         bad_keys = (
             F.array(*[F.lit(k) for k in label_keys])
             if label_keys else F.array().cast("array<string>")
@@ -1344,12 +1349,12 @@ def log_to_metric(
             ),
             F.lit(True),  # null/absent incoming labels: nothing to merge
         )
+        # no empty-entry filter needed: any row with an empty entry (empty
+        # __labels__, trailing '|') already failed the forall above — the
+        # Go drops those logs too (split('', '#$#') has len 1, go:191-194)
         entries_arr = F.concat(
             entries_arr,
-            F.coalesce(
-                F.filter(incoming, lambda e: e != ""),
-                F.array().cast("array<string>"),
-            ),
+            F.coalesce(incoming, F.array().cast("array<string>")),
         )
     labels = F.array_join(F.sort_array(entries_arr), METRIC_LABEL_SEP)
 

@@ -630,16 +630,18 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         # vectors — the norm sub-expression repeating per element is
         # acceptable.
         p = args[1].strip()
-        try:
-            p_lit = float(p)
-        except ValueError:
+        # a strict SQL numeric-literal shape, NOT bare float(): Python also
+        # parses 'inf'/'nan'/'1_5', which are not Spark SQL literals and
+        # would leak past this plan-time gate into an AnalysisException
+        if not re.fullmatch(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?", p):
             # non-literal p can't honor Presto's p=0 identity / negative-p
             # error at plan time — fail per the translator's error contract
             # rather than silently diverging at runtime
             raise SplError(
                 "processor_spl: array_normalize needs a literal numeric p "
                 "(got {!r})".format(p)
-            ) from None
+            )
+        p_lit = float(p)
         if p_lit < 0:
             raise SplError(
                 "processor_spl: array_normalize requires a non-negative p "

@@ -161,9 +161,22 @@ def _serialize_expr(df: DataFrame, spec: SinkSpec):
 def serialize_rows(df: DataFrame, spec: SinkSpec) -> DataFrame:
     """Each row serialized to one string in column ``value``; partition
     columns ride along (the text writer pulls them out as directories, so
-    grouped-pack sinks keep their co-location contract)."""
-    keep = [F.col(c) for c in spec.partition_by if c in df.columns]
-    return df.select(_serialize_expr(df, spec).alias("value"), *keep)
+    grouped-pack sinks keep their co-location contract). A partition column
+    absent from the frame fails HERE with the sink name instead of as a
+    bare writer error; a partition column itself named ``value`` pushes the
+    serialized column to a non-colliding name (the text writer only needs
+    one data column, its name is not part of the output)."""
+    missing = [c for c in spec.partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"sink {spec.name!r}: partition column(s) {missing} not in frame "
+            f"(have {df.columns})"
+        )
+    val = "value"
+    while val in spec.partition_by:
+        val = "_" + val
+    keep = [F.col(c) for c in spec.partition_by]
+    return df.select(_serialize_expr(df, spec).alias(val), *keep)
 
 
 def kafka_records(df: DataFrame, spec: SinkSpec) -> DataFrame:

@@ -752,3 +752,60 @@ def test_native_translation_review_fixes(spark):
                           "GroupKeys": ["env"]}],
          "flushers": [{"Type": "flusher_file", "FileName": "/tmp/x"}]})
     assert spec3.sinks["file"].partition_by == ("env",)
+
+
+def test_native_translation_review_fixes_round2(spark, tmp_path):
+    """Second review pass over the parity-fix commit: YAML-null
+    ExpandKeyPrefix, incoming-__labels__ duplicate-key parity, SPL
+    pseudo-numeric p, and serialize_rows partition-column edge cases."""
+    from loongcollector_spark.config import _native_processor
+    from loongcollector_spark.operators import enrich
+    from loongcollector_spark.operators.spl import SplError, compile_spl
+    from loongcollector_spark.pipeline import PROCESSORS
+    from loongcollector_spark.sinks import SinkSpec, serialize_rows
+
+    # explicit YAML null == the Go zero value "" (overflow names '1','2')
+    name, kw = _native_processor(
+        {"Type": "processor_split_string", "SourceKey": "line",
+         "SplitSep": "|", "SplitKeys": ["x"], "ExpandOthers": True,
+         "ExpandKeyPrefix": None})
+    r = PROCESSORS[name](
+        spark.createDataFrame([("a|b",)], "line string"), **kw).first()
+    assert r["1"] == "b"
+    _, kw = _native_processor(
+        {"Type": "processor_csv", "SourceKey": "line", "SplitKeys": ["a"],
+         "PreserveOthers": True, "ExpandOthers": True,
+         "ExpandKeyPrefix": None})
+    assert kw["expand_key_prefix"] == ""
+
+    # incoming __labels__ key colliding with a CUSTOM label key passes and
+    # both entries land in the wire format (go:100-117 metricLabelKeysMap
+    # never holds custom keys; :304-306 appends custom labels unconditionally)
+    df = spark.createDataFrame(
+        [("dc#$#eu", "h1", "cpu", "1.5")],
+        "__labels__ string, host string, mname string, mval string")
+    rows = enrich.log_to_metric(
+        df, ["host"], "mname", "mval", custom_labels={"dc": "us"}).collect()
+    assert rows[0]["__labels__"] == "dc#$#eu|dc#$#us|host#$#h1"
+    # an empty __labels__ entry (trailing '|') drops the log, like the Go's
+    # len(kv)!=2 branch on split('', '#$#')
+    df2 = spark.createDataFrame(
+        [("a#$#1|", "h1", "cpu", "1.5")],
+        "__labels__ string, host string, mname string, mval string")
+    assert enrich.log_to_metric(df2, ["host"], "mname", "mval").count() == 0
+
+    # Python-float-but-not-SQL literals ('inf', '1_5') fail at plan time
+    vdf = spark.createDataFrame([([1.0, 2.0],)], "v array<double>")
+    for bad_p in ("inf", "nan", "1_5", "other_col"):
+        with pytest.raises(SplError, match="literal numeric p"):
+            compile_spl(vdf, f"* | extend n = array_normalize(v, {bad_p})")
+
+    # a partition column named 'value' must not collide with the serialized
+    # column; a missing partition column fails with the sink name
+    df3 = spark.createDataFrame([("a", "x")], "value string, msg string")
+    out = serialize_rows(
+        df3, SinkSpec("s", encoding="jsonline", partition_by=("value",)))
+    assert out.columns == ["_value", "value"]
+    with pytest.raises(ValueError, match="sink 's'.*not in frame"):
+        serialize_rows(
+            df3, SinkSpec("s", encoding="jsonline", partition_by=("nope",)))
