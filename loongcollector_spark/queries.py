@@ -3517,6 +3517,178 @@ def token_repeated_substrings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =============================================================================
 # Driver-window ordering
 # =============================================================================
+# =============================================================================
+# Round-5 additions: driver-signable oracles for previously unit-only rows
+# (syslog RFC3164 decode, pick/drop key projections, processor_tag injection)
+# =============================================================================
+
+_SYSLOG_RE_SQL = (
+    r"^<(\d{1,3})>([A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) (\S+) "
+    r"(?:([^:\[\s]+)(?:\[(\d+)\])?: )?(.*)$"
+)
+
+
+@register(
+    "syslog_rfc3164_parse",
+    f"""
+    WITH lines AS (
+      SELECT event_id,
+             CASE WHEN event_id % 11 = 0 THEN props
+                  ELSE '<' || CAST(event_id % 192 AS VARCHAR) || '>'
+                       || strftime(ts, '%b %d %H:%M:%S') || ' '
+                       || 'host-' || CAST(user_id % 50 AS VARCHAR) || ' '
+                       || CASE WHEN event_id % 3 = 0
+                                 THEN event_type || '[' || CAST(user_id % 1000 AS VARCHAR) || ']: '
+                               WHEN event_id % 3 = 1 THEN event_type || ': '
+                               ELSE '' END
+                       || props
+             END AS content
+      FROM events)
+    SELECT event_id,
+           CASE WHEN regexp_matches(content, '{_SYSLOG_RE_SQL}')
+                THEN CAST(regexp_extract(content, '{_SYSLOG_RE_SQL}', 1) AS INTEGER)
+                ELSE -1 END AS priority,
+           CASE WHEN regexp_matches(content, '{_SYSLOG_RE_SQL}')
+                THEN CAST(regexp_extract(content, '{_SYSLOG_RE_SQL}', 1) AS INTEGER) // 8
+                ELSE -1 END AS facility,
+           CASE WHEN regexp_matches(content, '{_SYSLOG_RE_SQL}')
+                THEN CAST(regexp_extract(content, '{_SYSLOG_RE_SQL}', 1) AS INTEGER) % 8
+                ELSE -1 END AS severity,
+           CASE WHEN regexp_matches(content, '{_SYSLOG_RE_SQL}')
+                THEN regexp_extract(content, '{_SYSLOG_RE_SQL}', 2) END AS syslog_timestamp,
+           CASE WHEN regexp_matches(content, '{_SYSLOG_RE_SQL}')
+                THEN regexp_extract(content, '{_SYSLOG_RE_SQL}', 3) END AS hostname,
+           CASE WHEN regexp_matches(content, '{_SYSLOG_RE_SQL}')
+                THEN regexp_extract(content, '{_SYSLOG_RE_SQL}', 4) END AS program,
+           CASE WHEN regexp_matches(content, '{_SYSLOG_RE_SQL}')
+                THEN NULLIF(regexp_extract(content, '{_SYSLOG_RE_SQL}', 5), '') END AS pid,
+           CASE WHEN regexp_matches(content, '{_SYSLOG_RE_SQL}')
+                THEN regexp_extract(content, '{_SYSLOG_RE_SQL}', 6)
+                ELSE content END AS content
+    FROM lines
+    """,
+    doc="input_syslog RFC3164 decode (plugins/input/syslog/parser.go:28-118):"
+        " PRI -> priority/facility/severity, timestamp, hostname, optional"
+        " program[pid] tag; unmatched lines keep the raw payload with -1"
+        " numeric fields. Lines rendered deterministically from `events`"
+        " (1/11 malformed, tag/pid presence cycling by event_id%3).",
+)
+def syslog_rfc3164_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.sources.network import parse_syslog_rfc3164
+
+    ev = load_table(spark, sf_dir, "events")
+    pri = (F.col("event_id") % 192).cast("string")
+    tstr = F.date_format("ts", "MMM dd HH:mm:ss")
+    host = F.concat(F.lit("host-"), (F.col("user_id") % 50).cast("string"))
+    tag = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.col("event_type"), F.lit("["),
+                     (F.col("user_id") % 1000).cast("string"), F.lit("]: ")),
+        )
+        .when(F.col("event_id") % 3 == 1, F.concat(F.col("event_type"), F.lit(": ")))
+        .otherwise(F.lit(""))
+    )
+    line = F.when(F.col("event_id") % 11 == 0, F.col("props")).otherwise(
+        F.concat(F.lit("<"), pri, F.lit(">"), tstr, F.lit(" "), host,
+                 F.lit(" "), tag, F.col("props"))
+    )
+    return parse_syslog_rfc3164(
+        ev.select("event_id", line.alias("content")), "content"
+    )
+
+
+@register(
+    "pick_drop_keys_projection",
+    """
+    WITH parts AS (
+      SELECT event_id,
+             CASE WHEN event_id % 4 = 0
+                  THEN event_type || '|' || CAST(user_id AS VARCHAR)
+                  ELSE event_type || '|' || CAST(user_id AS VARCHAR)
+                       || '|' || CAST(event_id % 100 AS VARCHAR)
+             END AS line
+      FROM events),
+    split3 AS (
+      SELECT event_id, line,
+             string_split(line, '|') AS xs
+      FROM parts)
+    SELECT event_id,
+           xs[1] AS f1,
+           xs[2] AS f2,
+           CASE WHEN len(xs) >= 3 THEN xs[3] END AS f3,
+           CASE WHEN xs[1] IS NOT NULL AND xs[2] IS NOT NULL
+                     AND (CASE WHEN len(xs) >= 3 THEN xs[3] END) IS NOT NULL
+                THEN NULL ELSE line END AS line
+    FROM split3
+    """,
+    doc="processor_split_string + processor_drop_last_key + pick_key chain: "
+        "the raw line drops (nulls) only where EVERY Include key parsed "
+        "(processor_drop_last_key.go:25-60); short rows (event_id%4=0 emit "
+        "two fields for three keys) keep the raw line.",
+)
+def pick_drop_keys_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.filters import drop_last_key, pick_keys
+    from loongcollector_spark.operators.parse_delimiter import split_string_fields
+
+    ev = load_table(spark, sf_dir, "events")
+    line = F.when(
+        F.col("event_id") % 4 == 0,
+        F.concat(F.col("event_type"), F.lit("|"), F.col("user_id").cast("string")),
+    ).otherwise(
+        F.concat(F.col("event_type"), F.lit("|"), F.col("user_id").cast("string"),
+                 F.lit("|"), (F.col("event_id") % 100).cast("string"))
+    )
+    parsed = split_string_fields(
+        ev.select("event_id", line.alias("line")), "line", "|",
+        keys=["f1", "f2", "f3"], keep_source=True,
+    )
+    dropped = drop_last_key(parsed, include=["f1", "f2", "f3"], drop_key="line")
+    return pick_keys(dropped, include=["event_id", "f1", "f2", "f3", "line"])
+
+
+@register(
+    "tag_route_rollup",
+    """
+    SELECT 'prod' AS env, 'eu-1' AS region,
+           CASE WHEN event_type = 'error' THEN 'errors'
+                WHEN event_type = 'click' OR event_type = 'view' THEN 'traffic'
+                ELSE 'default' END AS __sink__,
+           COUNT(*) AS rows,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="processor_tag injection (PipelineSpec.tags -> add_fields, "
+        "pipeline.py tag stage) composed with first-match routing: constant "
+        "tag columns ride every routed row into the sink rollup.",
+)
+def tag_route_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.pipeline import PipelineSpec, compile_pipeline
+
+    ev = load_table(spark, sf_dir, "events")
+    spec = PipelineSpec(
+        name="tagq",
+        processors=[
+            ("parse_json", {"source_key": "props", "keys": ["k"],
+                            "options": {"keep_source_on_success": True,
+                                        "keep_source_on_fail": True}}),
+        ],
+        routes=[
+            Route("errors", Condition(content_key="event_type", content_regex="error")),
+            Route("traffic", Condition(content_key="event_type", content_regex="click|view")),
+        ],
+        tags={"env": "prod", "region": "eu-1"},
+        shard_keys=("event_type", "event_id"),
+        shard_count=16,
+    )
+    routed = compile_pipeline(ev, spec)
+    return routed.groupBy("env", "region", "__sink__").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("k").cast("long")).alias("k_sum"),
+    )
+
+
 # The driver's correctness gate records only the FIRST 50 registry entries.
 # Round-5 rotation (VERDICT r4 "Next round" #1): the 29 queries that were in
 # NEITHER r3's nor r4's driver window go in-window this round so every query
@@ -3567,6 +3739,12 @@ _DRIVER_WINDOW_TAIL = [
     "embedding_norms",             # embeddings: ann_cosine_top10 in-window
     "multimodal_frame_plan",       # multimodal plan test: signed r3+r4
     "fingerprint_normalized",      # text: quality_scores in-window
+    # r5 session 7: demoted (signed r4) to open slots for the three new
+    # never-signed queries syslog_rfc3164_parse / pick_drop_keys_projection
+    # / tag_route_rollup
+    "parse_regex_extract",         # regex parse: grok_firstmatch in-window
+    "parse_json_fields",           # json parse: spl_parse_json_keys in-window
+    "otel_exp_histogram",          # otel: metric/span/log projections in-window
 ]
 
 

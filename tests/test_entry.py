@@ -48,6 +48,9 @@ SPOT = [
     "dedup_ngram_jaccard",
     "ann_cosine_top10",
     "salted_source_rollup",
+    "syslog_rfc3164_parse",
+    "pick_drop_keys_projection",
+    "tag_route_rollup",
 ]
 
 
@@ -68,7 +71,9 @@ def test_new_parse_queries_are_shuffle_free(spark):
     projection+filter plans: zero exchanges, fused into the scan."""
     from loongcollector_spark.queries import QUERIES
 
-    for name in ("parse_container_stdio", "prom_parse_relabel", "spl_pipeline_extract"):
+    for name in ("parse_container_stdio", "prom_parse_relabel",
+                 "spl_pipeline_extract", "syslog_rfc3164_parse",
+                 "pick_drop_keys_projection"):
         plan = (
             QUERIES[name]
             .spark(spark, "/root/testdata/sf0.001")
