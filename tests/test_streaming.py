@@ -584,3 +584,84 @@ def test_streaming_session_rollup_gap_and_merge(spark, tmp_path):
     write_batch("b3", [(t0 + timedelta(minutes=30), "u1")])
     got3 = run()
     assert got3[("u1", "2024-01-01 10:10:00")] == ("2024-01-01 10:13:00", 2)
+
+
+def test_streaming_log_rotation_exactly_once(spark, tmp_path):
+    """Mirrors test/e2e/test_cases/reader_log_rotate: logrotate renames the
+    live file to app.log.<N> and a fresh live app.log appears; every rotated
+    generation must be collected exactly once — no loss, no duplication —
+    across collector restarts. The reference survives the rename by tracking
+    dev+inode (core/file_server's rotation queue); the Spark graft's
+    contract is the atomic-rename pattern: the checkpointed file stream
+    watches the ROTATED names (`app.log.*`) — renaming INTO the glob is the
+    rotation event, each rotated file is immutable and read exactly once,
+    and the live file is invisible until it rotates."""
+    import yaml
+
+    from loongcollector_spark.streaming.pipeline import run_native_streaming
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = tmp_path / "rotate.yaml"
+    cfg.write_text(yaml.safe_dump({
+        "inputs": [{"Type": "input_file",
+                    "FilePaths": [str(logs / "app.log.*")]}],
+        "flushers": [{"Type": "flusher_file", "FilePath": out}],
+    }))
+
+    def run():
+        return run_native_streaming(
+            spark, str(cfg), str(logs / "app.log.*"), str(tmp_path / "fanout"),
+            ckpt,
+            sink_overrides={"file": {"format": "parquet", "path": out}},
+            timeout_sec=120.0,
+        )
+
+    # generation 1: lines land in the live file (outside the glob), then
+    # logrotate renames it into the watched namespace
+    live = logs / "app.log"
+    live.write_text("gen1-a\ngen1-b\n")
+    live.rename(logs / "app.log.1")
+    run()
+    got1 = sorted(r.content for r in spark.read.parquet(out).collect())
+    assert got1 == ["gen1-a", "gen1-b"]
+
+    # generation 2: a fresh live file rotates; resume from the checkpoint —
+    # generation 1 must NOT re-read even though its path still matches
+    live.write_text("gen2-a\n")
+    live.rename(logs / "app.log.2")
+    run()
+    got2 = sorted(r.content for r in spark.read.parquet(out).collect())
+    assert got2 == ["gen1-a", "gen1-b", "gen2-a"]
+
+
+def test_streaming_unterminated_final_line_flushes(spark, tmp_path):
+    """Mirrors test/e2e/test_cases/reader_flush_timeout: the reference
+    flushes a final line that never received its newline once the flush
+    timeout fires (LogFileReader's read-timeout path). The graft's
+    whole-file stream is the availableNow analogue — EOF IS the flush — so
+    an unterminated trailing line must still become an event (only a
+    trailing newline's empty remainder is dropped)."""
+    import yaml
+
+    from loongcollector_spark.streaming.pipeline import run_native_streaming
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "a.log").write_text("done-line\npending-line-no-newline")
+    out = str(tmp_path / "out")
+    cfg = tmp_path / "flush.yaml"
+    cfg.write_text(yaml.safe_dump({
+        "inputs": [{"Type": "input_file", "FilePaths": [str(logs / "*.log")]}],
+        "flushers": [{"Type": "flusher_file", "FilePath": out}],
+    }))
+    run_native_streaming(
+        spark, str(cfg), str(logs), str(tmp_path / "fanout"),
+        str(tmp_path / "ckpt"),
+        sink_overrides={"file": {"format": "parquet", "path": out}},
+        timeout_sec=120.0,
+    )
+    got = sorted(r.content for r in spark.read.parquet(out).collect())
+    assert got == ["done-line", "pending-line-no-newline"]
