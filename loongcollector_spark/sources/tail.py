@@ -1,0 +1,335 @@
+"""True file-tail streaming source — LogFileReader semantics on the PySpark
+Python Streaming Data Source API (pyspark>=4.0).
+
+The whole-file streams in streaming/pipeline.py treat every file as
+immutable once read (the atomic-rename contract). The reference's core
+capability is stronger: LogFileReader (core/file_server/reader/
+LogFileReader.h) tails a GROWING file by byte offset, keyed by
+(dev, inode) so logrotate's rename keeps the reader attached to the same
+generation (test/e2e/test_cases/reader_log_rotate), re-enters appended
+bytes from the recorded offset (reader_new_line_after_timeout), and
+flushes a final line that never received its newline once the read
+timeout fires (reader_flush_timeout). This module reimplements that
+contract as a custom streaming data source:
+
+- **Offsets are the only state.** ``{"files": {"<dev>:<ino>": {"path": p,
+  "pos": n}}}`` — JSON in the streaming checkpoint, so restart is
+  exactly-once with zero side-files (the Spark analogue of the
+  reference's CheckPointManager file-offset checkpoints).
+- **Driver stats, executors read.** ``latestOffset`` only ``os.stat``-s
+  the glob and scans backward for the last newline (bounded tail-block
+  I/O); the byte ranges ship to executors as InputPartitions, chunked at
+  ``max_partition_bytes`` with the Hadoop text-split ownership rule
+  (a chunk owns lines STARTING inside it; the first chunk of a range
+  owns its first line), so one hot file parallelizes across the cluster.
+- **Rotation by inode.** A rename inside the watched glob keeps the
+  dev:ino key: the rotated generation finishes from its recorded offset
+  while the fresh live file starts at 0. A truncate-in-place
+  (logrotate copytruncate) shows as pos < recorded offset → re-read
+  from 0, as the reference does on file-size regression.
+- **Read-timeout flush.** When bytes past the last newline have been idle
+  for ``flush_timeout_ms`` (mtime-based), the boundary advances to EOF
+  and the unterminated line becomes an event; bytes arriving later for
+  that line form a NEW event — identical to the reference, which commits
+  the offset when the timeout flush fires.
+
+Trigger note: Python data sources don't implement Trigger.AvailableNow —
+Spark logs a warning and falls back to ONE micro-batch per start (drain to
+the latestOffset taken at start). That is exactly the collect-then-stop
+shape the tests use; a continuous query (processingTime trigger) tails
+indefinitely like the reference's file watcher.
+
+Race caveat (documented divergence): the reference holds the fd across a
+rename, so a rotate between its stat and read is invisible. Here read()
+re-resolves the dev:ino against the glob if the planned path no longer
+matches; a file deleted between planning and read drops that range
+(reader_deleted asks for no-error, no-duplicate — already-read data is
+never re-read).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import time
+from typing import TYPE_CHECKING, Iterator, Sequence, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+_BLOCK = 65536
+
+SCHEMA = StructType(
+    [
+        StructField("content", StringType()),
+        StructField("__path__", StringType()),
+        StructField("__offset__", LongType()),  # byte offset of line start
+    ]
+)
+
+
+def _file_key(st: os.stat_result) -> str:
+    return f"{st.st_dev}:{st.st_ino}"
+
+
+def _newline_boundary(path: str, size: int) -> int:
+    """Exclusive end of the last newline-terminated line: scan backward from
+    EOF in blocks (normally one). 0 when the file holds no newline yet."""
+    if size <= 0:
+        return 0
+    with open(path, "rb") as f:
+        pos = size
+        while pos > 0:
+            block_start = max(0, pos - _BLOCK)
+            f.seek(block_start)
+            buf = f.read(pos - block_start)
+            nl = buf.rfind(b"\n")
+            if nl >= 0:
+                return block_start + nl + 1
+            pos = block_start
+    return 0
+
+
+class _TailRange(InputPartition):
+    """One executor-side byte range of one file generation.
+
+    ``chunk_start/chunk_end`` bound line OWNERSHIP (Hadoop split rule);
+    ``range_start/range_end`` bound this micro-batch's bytes — a chunk may
+    read past chunk_end (never past range_end) to finish its last line,
+    and skips a partial first line finished by the previous chunk.
+    """
+
+    def __init__(
+        self,
+        key: str,
+        path: str,
+        pattern: str,
+        range_start: int,
+        range_end: int,
+        chunk_start: int,
+        chunk_end: int,
+    ) -> None:
+        self.key = key
+        self.path = path
+        self.pattern = pattern
+        self.range_start = range_start
+        self.range_end = range_end
+        self.chunk_start = chunk_start
+        self.chunk_end = chunk_end
+
+
+def _resolve_path(part: _TailRange) -> str | None:
+    """The planned path, unless the file rotated between planning and read —
+    then find the same dev:ino under the glob (logrotate rename); None when
+    the generation is gone entirely (deleted mid-flight → drop the range)."""
+    try:
+        if _file_key(os.stat(part.path)) == part.key:
+            return part.path
+    except OSError:
+        pass
+    for p in _glob.glob(part.pattern, recursive=True):
+        try:
+            if _file_key(os.stat(p)) == part.key:
+                return p
+        except OSError:
+            continue
+    return None
+
+
+def _first_owned_line_start(f, chunk_start: int, chunk_end: int) -> int | None:
+    """First line start in [chunk_start, chunk_end) given the line containing
+    byte chunk_start-1 belongs to the previous chunk. Scan is bounded by the
+    chunk itself: a newline at p >= chunk_end-1 starts a line owned later."""
+    pos = chunk_start - 1
+    limit = chunk_end - 1
+    f.seek(pos)
+    while pos < limit:
+        buf = f.read(min(_BLOCK, limit - pos))
+        if not buf:
+            return None
+        nl = buf.find(b"\n")
+        if nl >= 0:
+            start = pos + nl + 1
+            return start if start < chunk_end else None
+        pos += len(buf)
+    return None
+
+
+class LogTailStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self._pattern = options.get("path") or options.get("paths")
+        if not self._pattern:
+            raise ValueError("log_tail requires a `path` option (file or glob)")
+        self._flush_timeout_s = int(options.get("flush_timeout_ms", 5000)) / 1000.0
+        self._max_partition_bytes = int(
+            options.get("max_partition_bytes", 64 * 1024 * 1024)
+        )
+        if self._max_partition_bytes <= 0:
+            raise ValueError("max_partition_bytes must be positive")
+        self._start_at = options.get("start_at", "beginning")
+        if self._start_at not in ("beginning", "end"):
+            raise ValueError("start_at must be 'beginning' or 'end'")
+
+    # -- driver side ------------------------------------------------------
+    def _scan(self, skip_to_end: bool = False) -> dict:
+        files: dict[str, dict] = {}
+        now = time.time()
+        for p in sorted(_glob.glob(self._pattern, recursive=True)):
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue  # vanished between glob and stat
+            if not os.path.isfile(p):
+                continue
+            if skip_to_end:
+                pos = st.st_size
+            else:
+                pos = _newline_boundary(p, st.st_size)
+                if pos < st.st_size and (now - st.st_mtime) >= self._flush_timeout_s:
+                    pos = st.st_size  # read-timeout flush of the partial line
+            files[_file_key(st)] = {"path": p, "pos": pos}
+        return {"files": files}
+
+    def initialOffset(self) -> dict:
+        if self._start_at == "end":
+            return self._scan(skip_to_end=True)
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        return self._scan()
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        parts: list[InputPartition] = []
+        start_files = start.get("files", {})
+        for key, ent in end.get("files", {}).items():
+            spos = int(start_files.get(key, {}).get("pos", 0))
+            epos = int(ent["pos"])
+            if epos < spos:
+                spos = 0  # truncate-in-place (copytruncate): size regressed
+            if epos <= spos:
+                continue
+            chunk = spos
+            while chunk < epos:
+                cend = min(chunk + self._max_partition_bytes, epos)
+                parts.append(
+                    _TailRange(key, ent["path"], self._pattern, spos, epos, chunk, cend)
+                )
+                chunk = cend
+        return parts
+
+    def commit(self, end: dict) -> None:  # offsets ARE the state
+        pass
+
+    # -- executor side ----------------------------------------------------
+    def read(self, partition: InputPartition) -> Iterator[Tuple]:
+        part: _TailRange = partition  # type: ignore[assignment]
+        path = _resolve_path(part)
+        if path is None:
+            return iter(())  # generation deleted mid-flight (reader_deleted)
+        return self._read_range(path, part)
+
+    def _read_range(self, path: str, part: _TailRange) -> Iterator[Tuple]:
+        with open(path, "rb") as f:
+            if part.chunk_start == part.range_start:
+                actual_start = part.chunk_start
+            else:
+                found = _first_owned_line_start(f, part.chunk_start, part.chunk_end)
+                if found is None:
+                    return  # a single line spans this whole chunk
+                actual_start = found
+            f.seek(actual_start)
+            data = f.read(part.chunk_end - actual_start)
+            # finish the line straddling chunk_end (never read past range_end:
+            # bytes beyond it belong to the next micro-batch / may be mid-write)
+            pos = actual_start + len(data)
+            if data and not data.endswith(b"\n"):
+                while pos < part.range_end:
+                    block = f.read(min(_BLOCK, part.range_end - pos))
+                    if not block:
+                        break
+                    nl = block.find(b"\n")
+                    if nl >= 0:
+                        data += block[: nl + 1]
+                        pos += nl + 1
+                        break
+                    data += block
+                    pos += len(block)
+        if not data:
+            return
+        end = actual_start + len(data)
+        terminated = data.endswith(b"\n")
+        off = actual_start
+        for line in data.split(b"\n"):
+            if off >= part.chunk_end:
+                break  # a line starting at/after chunk_end is the next chunk's
+            line_end = off + len(line)
+            if line_end < end or not terminated:
+                # interior lines (incl. empty ones) always; the final piece
+                # only when unterminated (a trailing '\n' leaves an empty
+                # remainder that is NOT a line — LogFileReader contract)
+                yield (line.decode("utf-8", "replace"), path, off)
+            off = line_end + 1
+
+    def stop(self) -> None:
+        pass
+
+
+class LogTailDataSource(DataSource):
+    """``spark.readStream.format("log_tail").option("path", glob)`` — see
+    module docstring. Options: path (required), flush_timeout_ms (5000),
+    max_partition_bytes (64 MiB), start_at (beginning|end)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "log_tail"
+
+    def schema(self) -> StructType:
+        return SCHEMA
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return LogTailStreamReader(self.options)
+
+
+def register_tail_source(spark: "SparkSession") -> None:
+    spark.dataSource.register(LogTailDataSource)
+
+
+def tail_log_files(
+    spark: "SparkSession",
+    path: str,
+    *,
+    line_col: str = "content",
+    path_tag: bool = True,
+    flush_timeout_ms: int = 5000,
+    max_partition_bytes: int = 64 * 1024 * 1024,
+    start_at: str = "beginning",
+) -> "DataFrame":
+    """Streaming DataFrame tailing ``path`` (file or glob) with the batch
+    read_log_files shape: (line_col, __tag__:__path__, __offset__) where
+    __offset__ is the line's byte offset inside its file generation — an
+    exact per-file ordering key for streaming multiline / context packing."""
+    from pyspark.sql import functions as F
+
+    from loongcollector_spark.sources.files import PATH_TAG
+
+    register_tail_source(spark)
+    df = (
+        spark.readStream.format("log_tail")
+        .option("path", path)
+        .option("flush_timeout_ms", flush_timeout_ms)
+        .option("max_partition_bytes", max_partition_bytes)
+        .option("start_at", start_at)
+        .load()
+    )
+    return df.select(
+        F.col("content").alias(line_col),
+        F.col("__path__").alias(PATH_TAG if path_tag else "__path__"),
+        F.col("__offset__"),
+    )

@@ -189,6 +189,7 @@ def run_native_streaming(
     checkpoint_dir: str,
     sink_overrides: dict | None = None,
     flush_timeout_ms: int = 5_000,
+    tail: bool = False,
     **kwargs: Any,
 ) -> dict[str, Any]:
     """Run an UNMODIFIED reference pipeline YAML as a streaming query: the
@@ -208,7 +209,15 @@ def run_native_streaming(
     have no streaming state machine yet and raise.
 
     ``input_path`` overrides the YAML's FilePaths (those point at the
-    reference host's /home/test-log); pass the directory/glob to tail."""
+    reference host's /home/test-log); pass the directory/glob to tail.
+
+    ``tail=True`` swaps the whole-file text stream (atomic-rename contract:
+    a file is immutable once read) for the log_tail data source
+    (sources/tail.py): per-file BYTE-offset checkpoints, rotation tracked
+    by dev:inode, appended lines re-collected from the recorded offset,
+    and ``flush_timeout_ms`` doubling as the reference's read-timeout
+    flush of a never-terminated final line — full LogFileReader semantics
+    over a live, growing log directory."""
     import dataclasses
 
     from loongcollector_spark.config import load_native_config
@@ -249,9 +258,17 @@ def run_native_streaming(
                 f"input_format={input_format!r} is not applicable"
             )
         max_files = kwargs.pop("max_files_per_trigger", None)
-        lines = _streaming_file_lines(
-            spark, input_path, max_files_per_trigger=max_files
-        )
+        if tail:
+            from loongcollector_spark.sources.tail import tail_log_files
+
+            # real byte offsets from the tail source order lines exactly
+            lines = tail_log_files(
+                spark, input_path, flush_timeout_ms=flush_timeout_ms
+            )
+        else:
+            lines = _streaming_file_lines(
+                spark, input_path, max_files_per_trigger=max_files
+            )
         merged = streaming_merge_multiline(
             lines,
             params.get("line_col", "content"),
@@ -269,6 +286,17 @@ def run_native_streaming(
         )
         spec = dataclasses.replace(
             spec, processors=list(spec.processors[1:])
+        )
+        return start_fanout_query(
+            stream, spec, output_base, checkpoint_dir, **kwargs
+        )
+
+    if tail:
+        from loongcollector_spark.sources.tail import tail_log_files
+
+        # the tail source already yields `content` + path tag + byte offset
+        stream = tail_log_files(
+            spark, input_path, flush_timeout_ms=flush_timeout_ms
         )
         return start_fanout_query(
             stream, spec, output_base, checkpoint_dir, **kwargs
