@@ -526,6 +526,49 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
             "source_key": p.get("SplitKey", "content"),
             "separator": p.get("SplitSep", "\n"),
         }
+    if t == "processor_parse_container_log_native":
+        # ProcessorParseContainerLogNative.cpp:62-105 optional params with
+        # header defaults (.h:59-62). The reference picks containerd-text
+        # vs docker-json per event group from runtime metadata; here the
+        # Format param selects it (containerd_text is the e2e cases' shape)
+        return "parse_container_log", {
+            "source_key": p.get("SourceKey", "content"),
+            "fmt": p.get("Format", "containerd_text"),
+            "ignore_stdout": bool(p.get("IgnoringStdout", False)),
+            "ignore_stderr": bool(p.get("IgnoringStderr", False)),
+            "keep_source_on_fail": bool(p.get("KeepingSourceWhenParseFail", True)),
+        }
+    if t == "processor_merge_multiline_log_native":
+        # ProcessorMergeMultilineLogNative.cpp:50-75: MergeType is
+        # mandatory; "flag" merges container partial chunks (the P flag
+        # parse_container_log surfaces as __is_partial__), "regex" is the
+        # Start/Continue/End machine over the Multiline fields at the same
+        # config level (mMultiline.Init(config)); anything else is a
+        # PARAM_ERROR
+        from loongcollector_spark.operators.parse_container import PARTIAL_KEY
+        from loongcollector_spark.sources.files import PATH_TAG
+
+        merge_type = p.get("MergeType")
+        if merge_type == "flag":
+            return "merge_by_flag", {
+                "line_col": p.get("SourceKey", "content"),
+                "file_col": PATH_TAG,
+                "offset_col": "__offset__",
+                "partial_flag_col": PARTIAL_KEY,
+            }
+        if merge_type == "regex":
+            return _native_processor(
+                {
+                    "Type": "processor_split_multiline_log_string_native",
+                    "SourceKey": p.get("SourceKey", "content"),
+                    "Multiline": p,
+                }
+            )
+        raise ValueError(
+            "processor_merge_multiline_log_native: string param MergeType "
+            f"is not valid: {merge_type!r} "
+            "(ProcessorMergeMultilineLogNative.cpp:50-75)"
+        )
     if t == "processor_parse_apsara_native":
         # ProcessorParseApsaraNative.cpp:36-75; Timezone must be the exact
         # GMT±HH:MM form (TimeUtil.cpp:370-388) — an invalid value is
@@ -781,6 +824,47 @@ def spec_from_native(
         )
     paths: list[str] = []
     for inp in doc.get("inputs", []):
+        if inp.get("Type") == "input_container_stdio":
+            # InputContainerStdio::CreateInnerProcessors
+            # (InputContainerStdio.cpp:299-365): line split (the source's
+            # job here), container parse, BY_FLAG partial merge, then the
+            # user Multiline block as a regex merge. The reference
+            # discovers container stdout paths from the runtime; the graft
+            # reads FilePaths (the e2e cases mount the runtime log files).
+            paths.extend(inp.get("FilePaths", []))
+            inner = [
+                _native_processor(
+                    {
+                        "Type": "processor_parse_container_log_native",
+                        "IgnoringStdout": inp.get("IgnoringStdout", False),
+                        "IgnoringStderr": inp.get("IgnoringStderr", False),
+                        "KeepingSourceWhenParseFail": inp.get(
+                            "KeepingSourceWhenParseFail", True
+                        ),
+                        "Format": inp.get("Format", "containerd_text"),
+                    }
+                ),
+                _native_processor(
+                    {
+                        "Type": "processor_merge_multiline_log_native",
+                        "MergeType": "flag",
+                    }
+                ),
+            ]
+            ml = inp.get("Multiline")
+            if ml and (ml.get("StartPattern") or ml.get("EndPattern")):
+                inner.append(
+                    _native_processor(
+                        {
+                            "Type": (
+                                "processor_split_multiline_log_string_native"
+                            ),
+                            "Multiline": ml,
+                        }
+                    )
+                )
+            processors[:0] = inner
+            continue
         if inp.get("Type") in ("input_file", "input_static_file"):
             paths.extend(inp.get("FilePaths", []))
             ml = inp.get("Multiline")

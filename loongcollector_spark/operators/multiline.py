@@ -119,8 +119,13 @@ def merge_by_flag(
     merged_col: str | None = None,
 ) -> DataFrame:
     """BY_FLAG mode (ProcessorMergeMultilineLogNative.h:26-51): container
-    runtimes mark partial chunks; a block ends at the first non-partial row.
-    Session id = running count of COMPLETED blocks before this row."""
+    runtimes mark partial chunks; a block ends at the first non-partial row
+    (inclusive — its content is the block's tail, MergeLogsByFlag
+    ProcessorMergeMultilineLogNative.cpp:113-158). Session id = running
+    count of COMPLETED blocks before this row. Merge semantics follow
+    MergeEvents (:insertLineBreak=false): chunks concatenate with NO
+    separator, the merged event keeps the FIRST event's other fields, and
+    the partial-flag field is deleted from the output."""
     merged_col = merged_col or line_col
     w = (
         Window.partitionBy(file_col)
@@ -131,22 +136,37 @@ def merge_by_flag(
         F.sum((~F.col(partial_flag_col)).cast("int")).over(w), F.lit(0)
     )
     tagged = df.withColumn("__mls__", closed_before)
-    return (
-        tagged.groupBy(file_col, "__mls__")
-        .agg(
-            F.min(offset_col).alias(offset_col),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col(offset_col).alias("o"), F.col(line_col).alias("l")))
-                    ),
-                    lambda s: s["l"],
+    others = [
+        c
+        for c in df.columns
+        if c not in (file_col, offset_col, line_col, partial_flag_col, merged_col)
+    ]
+    aggs = [
+        F.min(offset_col).alias(offset_col),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(offset_col).alias("o"), F.col(line_col).alias("l")))
                 ),
-                "",
-            ).alias(merged_col),
+                lambda s: s["l"],
+            ),
+            "",
+        ).alias(merged_col),
+    ]
+    if others:
+        # the merged event is the FIRST event of the block (MergeEvents
+        # keeps logEvents[0] and only rewrites its SourceKey content)
+        aggs.append(
+            F.min_by(
+                F.struct(*[F.col(c).alias(c) for c in others]), F.col(offset_col)
+            ).alias("__first__")
         )
-        .drop("__mls__")
-    )
+    out = tagged.groupBy(file_col, "__mls__").agg(*aggs).drop("__mls__")
+    if others:
+        out = out.select(
+            file_col, offset_col, merged_col, *[F.col(f"__first__.{c}").alias(c) for c in others]
+        )
+    return out
 
 
 def _assemble_blocks(

@@ -74,21 +74,32 @@ def parse_container_log(
     else:
         raise ValueError(f"unknown container log format {fmt!r}")
 
+    # materialize the parse verdict BEFORE the content column is replaced:
+    # `ok` references the source column by name, so evaluating it after the
+    # withColumn(CONTENT_KEY, ...) replacement would re-parse the PARSED
+    # value (always failing) and the Ignoring*/KeepingSource filters would
+    # never fire
     out = (
-        df.withColumn(TIME_KEY, F.when(ok, time_v))
-        .withColumn(SOURCE_KEY, F.when(ok, source_v))
-        .withColumn(PARTIAL_KEY, F.when(ok, partial_v).otherwise(F.lit(False)))
+        df.withColumn("__ok__", ok)
+        .withColumn(TIME_KEY, F.when(F.col("__ok__"), time_v))
+        .withColumn(SOURCE_KEY, F.when(F.col("__ok__"), source_v))
+        .withColumn(
+            PARTIAL_KEY,
+            F.when(F.col("__ok__"), partial_v).otherwise(F.lit(False)),
+        )
         .withColumn(
             CONTENT_KEY,
-            F.when(ok, content_v).otherwise(src if keep_source_on_fail else F.lit(None)),
+            F.when(F.col("__ok__"), content_v).otherwise(
+                src if keep_source_on_fail else F.lit(None)
+            ),
         )
     )
     if source_key != CONTENT_KEY:
         out = out.drop(source_key)
     if not keep_source_on_fail:
-        out = out.filter(ok)
+        out = out.filter(F.col("__ok__"))
     if ignore_stdout:
-        out = out.filter(~ok | (F.col(SOURCE_KEY) != "stdout"))
+        out = out.filter(~F.col("__ok__") | (F.col(SOURCE_KEY) != "stdout"))
     if ignore_stderr:
-        out = out.filter(~ok | (F.col(SOURCE_KEY) != "stderr"))
-    return out
+        out = out.filter(~F.col("__ok__") | (F.col(SOURCE_KEY) != "stderr"))
+    return out.drop("__ok__")

@@ -75,6 +75,7 @@ PROCESSORS: dict[str, Callable[..., DataFrame]] = {
     "split_to_rows": split_to_rows,
     "merge_multiline": multiline.merge_multiline,
     "merge_multiline_rules": multiline.merge_multiline_rules,
+    "merge_by_flag": multiline.merge_by_flag,
     "filter_expression": filters.filter_expression,
     "filter_rule": filters.filter_rule,
     "filter_include_exclude": filters.filter_include_exclude,

@@ -1270,6 +1270,59 @@ def multiline_merge_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "container_flag_merge_fields",
+    """
+    WITH lines AS (
+      SELECT CAST(user_id % 8 AS VARCHAR) AS file,
+             event_id,
+             't' || event_id AS t,
+             CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS src,
+             event_id % 4 IN (1, 2) AS part,
+             'msg ' || event_type AS content
+      FROM events),
+    sess AS (
+      SELECT *,
+             COALESCE(SUM(CASE WHEN part THEN 0 ELSE 1 END)
+               OVER (PARTITION BY file ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS mls
+      FROM lines)
+    SELECT file, MIN(event_id) AS head_id,
+           string_agg(content, '' ORDER BY event_id) AS content,
+           arg_min(t, event_id) AS "_time_",
+           arg_min(src, event_id) AS "_source_"
+    FROM sess GROUP BY file, mls
+    """,
+    doc="input_container_stdio inner chain (InputContainerStdio.cpp:299-365): "
+        "containerd P/F decode then BY_FLAG merge; the merged event keeps the "
+        "FIRST chunk's _time_/_source_ and drops the flag (MergeEvents keeps "
+        "logEvents[0], ProcessorMergeMultilineLogNative.cpp:113-158)",
+)
+def container_flag_merge_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.multiline import merge_by_flag
+    from loongcollector_spark.operators.parse_container import parse_container_log
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.concat(
+        F.lit("t"), F.col("event_id").cast("string"),
+        F.when(F.col("event_id") % 2 == 0, " stdout ").otherwise(" stderr "),
+        F.when(F.col("event_id") % 4 == 1, "P ")
+        .when(F.col("event_id") % 4 == 2, "P ")
+        .otherwise("F "),
+        F.lit("msg "), F.col("event_type"),
+    )
+    lines = ev.select(
+        (F.col("user_id") % 8).cast("string").alias("file"),
+        "event_id",
+        raw.alias("raw"),
+    )
+    parsed = parse_container_log(lines, source_key="raw")
+    merged = merge_by_flag(
+        parsed, "content", "file", "event_id", "__is_partial__"
+    )
+    return merged.withColumnRenamed("event_id", "head_id")
+
+
+@register(
     "rate_limit_first_n",
     """
     SELECT user_id, event_id FROM (
@@ -3745,6 +3798,10 @@ _DRIVER_WINDOW_TAIL = [
     "parse_regex_extract",         # regex parse: grok_firstmatch in-window
     "parse_json_fields",           # json parse: spl_parse_json_keys in-window
     "otel_exp_histogram",          # otel: metric/span/log projections in-window
+    # r5 session 8: demoted (signed r4) to keep the never-signed
+    # tag_route_rollup in-window after container_flag_merge_fields joined
+    "multiline_merge_blocks",      # multiline: start_end/start_continue/
+                                   #   by_flag/continue_end all in-window
 ]
 
 

@@ -228,9 +228,71 @@ def run_native_streaming(
 
     ml_idx = next(
         (i for i, (name, _) in enumerate(spec.processors)
-         if name in ("merge_multiline", "merge_multiline_rules")),
+         if name in ("merge_multiline", "merge_multiline_rules",
+                     "merge_by_flag")),
         None,
     )
+    if ml_idx is not None and spec.processors[ml_idx][0] == "merge_by_flag":
+        # container partial-chunk merge (input_container_stdio's inner
+        # BY_FLAG stage): per-row prefix processors (the container parse
+        # that produces __is_partial__) run on the line stream, then the
+        # stateful flag merge; a regex multiline AFTER the flag merge would
+        # chain two stateful operators in one query — batch runner territory
+        from loongcollector_spark.pipeline import PROCESSORS
+        from loongcollector_spark.sources.files import PATH_TAG
+        from loongcollector_spark.streaming.multiline import (
+            streaming_merge_by_flag,
+        )
+
+        row_wise = {"parse_container_log", "noop", "rename", "add_fields"}
+        bad = [n for n, _ in spec.processors[:ml_idx] if n not in row_wise]
+        if bad:
+            raise NotImplementedError(
+                f"processors {bad} before merge_by_flag are not supported "
+                "in streaming (only per-row stages may precede the "
+                "stateful flag merge)"
+            )
+        if any(
+            n in ("merge_multiline", "merge_multiline_rules")
+            for n, _ in spec.processors[ml_idx + 1:]
+        ):
+            raise NotImplementedError(
+                "a regex multiline after the BY_FLAG merge chains two "
+                "stateful operators in one streaming query; use the batch "
+                "runner (read_log_files(line_offset=True) + run_pipeline)"
+            )
+        _, ml_params = spec.processors[ml_idx]
+        max_files = kwargs.pop("max_files_per_trigger", None)
+        if tail:
+            from loongcollector_spark.sources.tail import tail_log_files
+
+            lines = tail_log_files(
+                spark, input_path, flush_timeout_ms=flush_timeout_ms
+            )
+        else:
+            lines = _streaming_file_lines(
+                spark, input_path, max_files_per_trigger=max_files
+            )
+        for pname, pparams in spec.processors[:ml_idx]:
+            lines = PROCESSORS[pname](lines, **pparams)
+        line_col = ml_params.get("line_col", "content")
+        merged = streaming_merge_by_flag(
+            lines,
+            line_col,
+            ml_params.get("file_col", PATH_TAG),
+            ml_params.get("offset_col", "__offset__"),
+            ml_params.get("partial_flag_col", "__is_partial__"),
+            flush_timeout_ms=flush_timeout_ms,
+        )
+        stream = merged.withColumnRenamed("file", PATH_TAG).withColumnRenamed(
+            "offset", "__offset__"
+        )
+        spec = dataclasses.replace(
+            spec, processors=list(spec.processors[ml_idx + 1:])
+        )
+        return start_fanout_query(
+            stream, spec, output_base, checkpoint_dir, **kwargs
+        )
     if ml_idx is not None:
         name, params = spec.processors[ml_idx]
         if name == "merge_multiline_rules" and (

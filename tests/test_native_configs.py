@@ -809,3 +809,112 @@ def test_native_translation_review_fixes_round2(spark, tmp_path):
     with pytest.raises(ValueError, match="sink 's'.*not in frame"):
         serialize_rows(
             df3, SinkSpec("s", encoding="jsonline", partition_by=("nope",)))
+
+
+def test_native_container_stdio_inner_processors(spark, tmp_path):
+    """input_container_stdio mirrors InputContainerStdio::CreateInnerProcessors
+    (InputContainerStdio.cpp:299-365): container parse → BY_FLAG partial
+    merge → user Multiline regex merge, translated from an unmodified-shape
+    YAML doc. Mirrors the input_container_stdio_multiline e2e case: P-flagged
+    containerd chunks concatenate with no separator keeping the FIRST chunk's
+    _time_/_source_, stderr is droppable, and the flag-merged logical lines
+    then merge again under the user StartPattern."""
+    from loongcollector_spark.config import spec_from_native
+    from loongcollector_spark.pipeline import run_pipeline
+    from loongcollector_spark.sources.files import read_log_files
+
+    out = str(tmp_path / "out")
+    doc = {
+        "inputs": [
+            {
+                "Type": "input_container_stdio",
+                "IgnoringStderr": True,
+                "Multiline": {"StartPattern": r"\[\w+\].*"},
+            }
+        ],
+        "flushers": [{"Type": "flusher_sls"}],
+    }
+    spec, _ = spec_from_native(
+        doc, sink_overrides={"sls": {"format": "parquet", "path": out}}
+    )
+    assert [p[0] for p in spec.processors] == [
+        "parse_container_log",
+        "merge_by_flag",
+        "merge_multiline_rules",
+    ]
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "c.log").write_text(
+        "2024-01-01T10:00:00.1Z stdout P [A] hel\n"
+        "2024-01-01T10:00:00.2Z stdout P lo wo\n"
+        "2024-01-01T10:00:00.3Z stdout F rld\n"
+        "2024-01-01T10:00:01.0Z stderr F dropped\n"
+        "2024-01-01T10:00:02.0Z stdout F   continuation of A\n"
+        "2024-01-01T10:00:03.0Z stdout F [B] second\n"
+    )
+    df = read_log_files(spark, str(logs), line_offset=True)
+    run_pipeline(df, spec)
+    got = sorted(r.content for r in spark.read.parquet(out).collect())
+    # flag merge: "[A] hel"+"lo wo"+"rld" (no separator, first chunk's tag);
+    # regex merge: the F-only continuation joins block A with '\n'
+    assert got == ["[A] hello world\n  continuation of A", "[B] second"]
+
+
+def test_native_merge_by_flag_keeps_first_fields(spark, tmp_path):
+    """MergeEvents keeps logEvents[0] intact (ProcessorMergeMultilineLogNative
+    .cpp MergeEvents): the merged row carries the FIRST chunk's _time_ and
+    _source_, and the partial flag column is consumed."""
+    from loongcollector_spark.config import spec_from_native
+    from loongcollector_spark.pipeline import run_pipeline
+    from loongcollector_spark.sources.files import read_log_files
+
+    out = str(tmp_path / "out")
+    doc = {
+        "inputs": [{"Type": "input_container_stdio"}],
+        "flushers": [{"Type": "flusher_sls"}],
+    }
+    spec, _ = spec_from_native(
+        doc, sink_overrides={"sls": {"format": "parquet", "path": out}}
+    )
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "c.log").write_text(
+        "2024-01-01T10:00:00.1Z stdout P a-\n"
+        "2024-01-01T10:00:00.9Z stderr F b\n"
+    )
+    df = read_log_files(spark, str(logs), line_offset=True)
+    run_pipeline(df, spec)
+    (row,) = spark.read.parquet(out).collect()
+    assert row.content == "a-b"
+    assert row._time_ == "2024-01-01T10:00:00.1Z"  # first chunk's fields
+    assert row._source_ == "stdout"
+    assert "__is_partial__" not in row.asDict()
+
+
+def test_native_merge_multiline_log_native_param_errors():
+    """MergeType is mandatory and only flag|regex are valid
+    (ProcessorMergeMultilineLogNative.cpp:50-75 PARAM_ERROR)."""
+    from loongcollector_spark.config import _native_processor
+
+    with pytest.raises(ValueError, match="MergeType"):
+        _native_processor({"Type": "processor_merge_multiline_log_native"})
+    with pytest.raises(ValueError, match="MergeType"):
+        _native_processor(
+            {"Type": "processor_merge_multiline_log_native",
+             "MergeType": "json"}
+        )
+    name, params = _native_processor(
+        {"Type": "processor_merge_multiline_log_native", "MergeType": "flag"}
+    )
+    assert name == "merge_by_flag"
+    assert params["partial_flag_col"] == "__is_partial__"
+    name, params = _native_processor(
+        {
+            "Type": "processor_merge_multiline_log_native",
+            "MergeType": "regex",
+            "StartPattern": r"^\[",
+        }
+    )
+    assert name == "merge_multiline_rules"
+    assert params["start_pattern"] == r"^\["

@@ -665,3 +665,61 @@ def test_streaming_unterminated_final_line_flushes(spark, tmp_path):
     )
     got = sorted(r.content for r in spark.read.parquet(out).collect())
     assert got == ["done-line", "pending-line-no-newline"]
+
+
+def test_streaming_container_stdio_flag_merge_across_runs(spark, tmp_path):
+    """Mirrors test/e2e/test_cases/input_container_stdio_multiline on the
+    tail source: an unmodified input_container_stdio YAML runs as a
+    streaming query — container parse feeds the stateful BY_FLAG merge, and
+    a partial chunk whose closing F chunk arrives in a LATER run (appended
+    to the same live file) merges across the checkpointed restart, keeping
+    the first chunk's _time_/_source_."""
+    import yaml
+
+    from loongcollector_spark.streaming.pipeline import run_native_streaming
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    out = str(tmp_path / "out")
+    cfg = tmp_path / "stdio.yaml"
+    cfg.write_text(yaml.safe_dump({
+        "inputs": [{"Type": "input_container_stdio",
+                    "FilePaths": [str(logs / "*.log")]}],
+        "flushers": [{"Type": "flusher_file", "FilePath": out}],
+    }))
+
+    def run():
+        return run_native_streaming(
+            spark, str(cfg), str(logs / "*.log"), str(tmp_path / "fanout"),
+            str(tmp_path / "ckpt"),
+            sink_overrides={"file": {"format": "parquet", "path": out}},
+            tail=True,
+            flush_timeout_ms=3_600_000,  # merge state must NOT timeout-flush
+            timeout_sec=120.0,
+        )
+
+    live = logs / "app.log"
+    live.write_text(
+        "2024-01-01T10:00:00.1Z stdout F complete\n"
+        "2024-01-01T10:00:00.2Z stdout P pend-"
+        "\n"
+    )
+    run()
+    got1 = sorted(
+        (r.content, r._source_)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got1 == [("complete", "stdout")]  # partial held in GroupState
+
+    with live.open("a") as f:
+        f.write("2024-01-01T10:00:00.9Z stderr F ing\n")
+    run()
+    got2 = sorted(
+        (r.content, r._time_, r._source_)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got2 == [
+        ("complete", "2024-01-01T10:00:00.1Z", "stdout"),
+        # merged across runs; fields from the FIRST (P) chunk
+        ("pend-ing", "2024-01-01T10:00:00.2Z", "stdout"),
+    ]
