@@ -723,3 +723,49 @@ def test_streaming_container_stdio_flag_merge_across_runs(spark, tmp_path):
         # merged across runs; fields from the FIRST (P) chunk
         ("pend-ing", "2024-01-01T10:00:00.2Z", "stdout"),
     ]
+
+
+def test_streaming_flag_merge_cross_batch_and_end_flush(spark, tmp_path):
+    """BY_FLAG GroupState twin of the cross-batch test: a partial run whose
+    closing F chunk arrives in the next micro-batch merges across batches
+    keeping the FIRST chunk's extra fields; a trailing partial run with no
+    closing chunk flushes when the drain ends — MergeLogsByFlag's
+    end-of-group flush (ProcessorMergeMultilineLogNative.cpp:154-157)."""
+    import pandas as pd
+
+    from loongcollector_spark.streaming.multiline import streaming_merge_by_flag
+
+    src = tmp_path / "bf_in"
+    src.mkdir()
+    pd.DataFrame(
+        {"file": ["f"] * 2, "offset": [0, 1], "line": ["a-", "b-"],
+         "part": [True, True], "tag": ["t0", "t1"]}
+    ).to_parquet(str(src / "b1.parquet"))
+    pd.DataFrame(
+        {"file": ["f"] * 3, "offset": [2, 3, 4], "line": ["c", "solo", "pend"],
+         "part": [False, False, True], "tag": ["t2", "t3", "t4"]}
+    ).to_parquet(str(src / "b2.parquet"))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("file string, offset long, line string, part boolean, tag string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    merged = streaming_merge_by_flag(
+        stream, "line", "file", "offset", "part", flush_timeout_ms=100
+    )
+    out = str(tmp_path / "bf_out")
+    q = (
+        merged.writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "bf_ck"))
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["offset"]: (r["line"], r["tag"]) for r in spark.read.parquet(out).collect()}
+    assert got[0] == ("a-b-c", "t0")  # cross-batch, first chunk's tag, no sep
+    assert got[3] == ("solo", "t3")
+    assert got[4] == ("pend", "t4")  # end-of-drain flush of the pending run
+    assert len(got) == 3
