@@ -234,3 +234,219 @@ def streaming_merge_by_flag(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def streaming_merge_rules(
+    df: DataFrame,
+    line_col: str,
+    file_col: str,
+    offset_col: str,
+    start_pattern: str | None = None,
+    continue_pattern: str | None = None,
+    end_pattern: str | None = None,
+    flush_timeout_ms: int = 60_000,
+    unmatched: str = "single_line",
+) -> DataFrame:
+    """Stateful streaming twin of operators.multiline.merge_multiline_rules —
+    ALL Start/Continue/End combos, reference-exact per
+    ProcessorSplitMultilineLogStringNative.cpp:167-310 and the config
+    normalization in MultilineOptions.cpp:125-151. The C++ automaton is
+    sequential per file, so it ports directly onto GroupState: the pending
+    block (per-line offsets + lines) lives across micro-batches, and
+    end-of-group flush semantics run on the state timeout:
+
+    - start / start+continue: a trailing open block flushes MERGED
+      (.cpp:253-283);
+    - start+end / end-only / continue+end: a trailing open block is
+      UNMATCHED and replays through HandleUnmatchLogs (.cpp:295-308) —
+      line-by-line singles, or dropped under 'discard'.
+
+    Mode normalization mirrors the batch operator: Start+Continue+End
+    drops ContinuePattern with a warning; Continue-only ignores the
+    multiline config entirely (identity projection, no state).
+
+    Output schema: (file, offset of event head, block)."""
+    import re
+    import warnings
+
+    if start_pattern and continue_pattern and end_pattern:
+        warnings.warn(
+            "Start+Continue+End all set: ContinuePattern ignored "
+            "(MultilineOptions.cpp:139-151)", stacklevel=2,
+        )
+        continue_pattern = None
+    if continue_pattern and not start_pattern and not end_pattern:
+        warnings.warn(
+            "ContinuePattern without Start/End: multiline config ignored "
+            "(MultilineOptions.cpp:125-138)", stacklevel=2,
+        )
+        from pyspark.sql import functions as F
+
+        return df.select(
+            F.col(file_col).alias("file"),
+            F.col(offset_col).cast("long").alias("offset"),
+            F.col(line_col).alias("block"),
+        )
+    if not (start_pattern or continue_pattern or end_pattern):
+        raise ValueError("at least one of start/continue/end is required")
+
+    s_re = re.compile(start_pattern) if start_pattern else None
+    c_re = re.compile(continue_pattern) if continue_pattern else None
+    e_re = re.compile(end_pattern) if end_pattern else None
+    # trailing open block at group end: merged for start/start+continue,
+    # HandleUnmatchLogs replay for the end-closed modes
+    flush_merged = bool(start_pattern and not end_pattern)
+    discard = unmatched == "discard"
+
+    def merge(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        file_id = key[0]
+        out_offs: list = []
+        out_blocks: list = []
+
+        def emit_merged(offs: list, lines: list) -> None:
+            out_offs.append(int(offs[0]))
+            out_blocks.append("\n".join(lines))
+
+        def emit_unmatched(offs: list, lines: list) -> None:
+            if discard:
+                return
+            for o, l in zip(offs, lines):
+                out_offs.append(int(o))
+                out_blocks.append(l)
+
+        def flush(offs: list, lines: list) -> None:
+            if flush_merged:
+                emit_merged(offs, lines)
+            else:
+                emit_unmatched(offs, lines)
+
+        if state.hasTimedOut:
+            if state.exists:
+                _, lines, offs = state.get
+                state.remove()
+                flush(list(offs), list(lines))
+            if out_offs:
+                yield pd.DataFrame(
+                    {"file": [file_id] * len(out_offs),
+                     "offset": out_offs, "block": out_blocks}
+                )
+            return
+
+        pending: tuple[list, list] | None = None  # (offs, lines)
+        if state.exists:
+            _, lines, offs = state.get
+            pending = (list(offs), list(lines))
+
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values(offset_col)
+            for off, line in zip(pdf[offset_col], pdf[line_col]):
+                off = int(off)
+                line = "" if line is None else str(line)
+                s = bool(s_re and s_re.search(line))
+                c = bool(c_re and c_re.search(line))
+                e = bool(e_re and e_re.search(line))
+                if s_re and e_re:
+                    # open/close automaton (.cpp:180-183, 231-250): while
+                    # open only the end pattern is consulted
+                    if pending is None:
+                        if s:
+                            pending = ([off], [line])
+                        else:
+                            emit_unmatched([off], [line])
+                    else:
+                        pending[0].append(off)
+                        pending[1].append(line)
+                        if e:
+                            emit_merged(*pending)
+                            pending = None
+                elif s_re and c_re:
+                    # continue is checked first inside a block
+                    # (.cpp:207-211): a line matching both absorbs
+                    if pending is None:
+                        if s:
+                            pending = ([off], [line])
+                        else:
+                            emit_unmatched([off], [line])
+                    elif c:
+                        pending[0].append(off)
+                        pending[1].append(line)
+                    elif s:
+                        emit_merged(*pending)
+                        pending = ([off], [line])
+                    else:
+                        emit_merged(*pending)
+                        pending = None
+                        emit_unmatched([off], [line])
+                elif s_re:
+                    # start only: a start-match closes the previous block
+                    if pending is None:
+                        if s:
+                            pending = ([off], [line])
+                        else:
+                            emit_unmatched([off], [line])
+                    elif s:
+                        emit_merged(*pending)
+                        pending = ([off], [line])
+                    else:
+                        pending[0].append(off)
+                        pending[1].append(line)
+                elif c_re and e_re:
+                    # run of continue-matches + ONE closer (.cpp:218-230);
+                    # standalone end-match = matched single (.cpp:189-194)
+                    if pending is None:
+                        if c:
+                            pending = ([off], [line])
+                        elif e:
+                            emit_merged([off], [line])
+                        else:
+                            emit_unmatched([off], [line])
+                    elif c:
+                        pending[0].append(off)
+                        pending[1].append(line)
+                    else:
+                        pending[0].append(off)
+                        pending[1].append(line)
+                        if e:
+                            emit_merged(*pending)
+                        else:
+                            emit_unmatched(*pending)
+                        pending = None
+                else:
+                    # end only: every line absorbs; end-match closes
+                    # (.cpp:166-170)
+                    if pending is None:
+                        pending = ([off], [line])
+                    else:
+                        pending[0].append(off)
+                        pending[1].append(line)
+                    if e:
+                        emit_merged(*pending)
+                        pending = None
+
+        if pending is not None:
+            state.update(
+                (int(pending[0][0]),
+                 [str(l) for l in pending[1]],
+                 [int(o) for o in pending[0]])
+            )
+            state.setTimeoutDuration(flush_timeout_ms)
+        elif state.exists:
+            state.remove()
+
+        if out_offs:
+            yield pd.DataFrame(
+                {"file": [file_id] * len(out_offs),
+                 "offset": out_offs, "block": out_blocks}
+            )
+
+    return df.groupBy(file_col).applyInPandasWithState(
+        merge,
+        outputStructType=OUT_SCHEMA_SUFFIX,
+        stateStructType="head_offset long, lines array<string>, offs array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -202,11 +202,12 @@ def run_native_streaming(
     Multiline YAMLs (processor_split_log_regex, or a start-pattern
     Multiline block) run through the stateful cross-batch operator
     (streaming/multiline.py): the file stream becomes per-line rows with
-    exact per-file offsets, streaming_merge_multiline holds each file's
+    exact per-file offsets, the stateful automaton holds each file's
     pending block in GroupState (flushed by the next start line, the
     ``flush_timeout_ms`` timer, or the availableNow drain), and the merged
-    blocks feed the remaining processor chain. Continue/End rule modes
-    have no streaming state machine yet and raise.
+    blocks feed the remaining processor chain. All Start/Continue/End
+    rule combos run via streaming_merge_rules (reference-exact, including
+    HandleUnmatchLogs replay of unterminated end-closed blocks).
 
     ``input_path`` overrides the YAML's FilePaths (those point at the
     reference host's /home/test-log); pass the directory/glob to tail.
@@ -295,15 +296,6 @@ def run_native_streaming(
         )
     if ml_idx is not None:
         name, params = spec.processors[ml_idx]
-        if name == "merge_multiline_rules" and (
-            params.get("continue_pattern") or params.get("end_pattern")
-        ):
-            raise NotImplementedError(
-                "streaming multiline supports the Start-pattern mode only; "
-                "Continue/End rule combos need a cross-batch state machine "
-                "(use the batch runner: read_log_files(line_offset=True) + "
-                "run_pipeline)"
-            )
         if ml_idx != 0:
             raise NotImplementedError(
                 "a multiline processor after other processors is not "
@@ -331,15 +323,34 @@ def run_native_streaming(
             lines = _streaming_file_lines(
                 spark, input_path, max_files_per_trigger=max_files
             )
-        merged = streaming_merge_multiline(
-            lines,
-            params.get("line_col", "content"),
-            PATH_TAG,
-            params.get("offset_col", "__offset__"),
-            params["start_pattern"],
-            flush_timeout_ms=flush_timeout_ms,
-            unmatched=params.get("unmatched", "single_line"),
-        )
+        if name == "merge_multiline_rules":
+            # full Start/Continue/End combo surface on the stateful
+            # cross-batch automaton (streaming_merge_rules)
+            from loongcollector_spark.streaming.multiline import (
+                streaming_merge_rules,
+            )
+
+            merged = streaming_merge_rules(
+                lines,
+                params.get("line_col", "content"),
+                PATH_TAG,
+                params.get("offset_col", "__offset__"),
+                start_pattern=params.get("start_pattern"),
+                continue_pattern=params.get("continue_pattern"),
+                end_pattern=params.get("end_pattern"),
+                flush_timeout_ms=flush_timeout_ms,
+                unmatched=params.get("unmatched", "single_line"),
+            )
+        else:
+            merged = streaming_merge_multiline(
+                lines,
+                params.get("line_col", "content"),
+                PATH_TAG,
+                params.get("offset_col", "__offset__"),
+                params["start_pattern"],
+                flush_timeout_ms=flush_timeout_ms,
+                unmatched=params.get("unmatched", "single_line"),
+            )
         # back to the batch shape the remaining processors address
         stream = merged.select(
             F.col("file").alias(PATH_TAG),

@@ -417,24 +417,38 @@ def test_native_streaming_multiline_across_restart(spark, tmp_path):
     assert any(r.content == hdr3 + "\n\tat one.more(Line.java:1)" for r in rows2)
 
 
-def test_native_streaming_refuses_continue_end_multiline(spark, tmp_path):
-    """Continue/End rule combos have no streaming state machine: the runner
-    must say so instead of silently running start-only semantics."""
+def test_native_streaming_start_end_multiline(spark, tmp_path):
+    """A Start+End Multiline YAML runs as a streaming query on the stateful
+    automaton (streaming_merge_rules): blocks span start..end inclusive,
+    lines outside blocks are unmatched singles, and an unterminated
+    trailing block replays line-by-line at the drain-end flush
+    (HandleUnmatchLogs, ProcessorSplitMultilineLogStringNative.cpp:295-308)
+    — matching the batch operator's reference-exact semantics."""
     import yaml
 
     from loongcollector_spark.streaming.pipeline import run_native_streaming
 
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "a.log").write_text(
+        "loose\nB one\nmid\nE two\nB dangling\ntail\n"
+    )
+    out = str(tmp_path / "out")
     cfg = tmp_path / "ml.yaml"
     cfg.write_text(yaml.safe_dump({
-        "inputs": [{"Type": "input_file", "FilePaths": ["/x/*.log"],
-                    "Multiline": {"StartPattern": "^B", "EndPattern": "^E"}}],
-        "flushers": [{"Type": "flusher_stdout"}],
+        "inputs": [{"Type": "input_file", "FilePaths": [str(logs / "*.log")],
+                    "Multiline": {"StartPattern": "^B.*", "EndPattern": "^E.*"}}],
+        "flushers": [{"Type": "flusher_file", "FilePath": out}],
     }))
-    with pytest.raises(NotImplementedError, match="Start-pattern mode only"):
-        run_native_streaming(
-            spark, str(cfg),
-            str(tmp_path), str(tmp_path / "o"), str(tmp_path / "c"),
-        )
+    run_native_streaming(
+        spark, str(cfg), str(logs), str(tmp_path / "fanout"),
+        str(tmp_path / "ckpt"),
+        sink_overrides={"file": {"format": "parquet", "path": out}},
+        flush_timeout_ms=100,
+        timeout_sec=120.0,
+    )
+    got = sorted(r.content for r in spark.read.parquet(out).collect())
+    assert got == ["B dangling", "B one\nmid\nE two", "loose", "tail"]
 
 
 def test_native_gotime_epoch_and_location():

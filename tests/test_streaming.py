@@ -769,3 +769,108 @@ def test_streaming_flag_merge_cross_batch_and_end_flush(spark, tmp_path):
     assert got[3] == ("solo", "t3")
     assert got[4] == ("pend", "t4")  # end-of-drain flush of the pending run
     assert len(got) == 3
+
+
+def _run_rules_stream(spark, tmp_path, batches, tag, **rules):
+    """Feed line batches (one parquet file per micro-batch) through
+    streaming_merge_rules and return {offset: block}."""
+    import pandas as pd
+
+    from loongcollector_spark.streaming.multiline import streaming_merge_rules
+
+    src = tmp_path / f"in_{tag}"
+    src.mkdir()
+    off = 0
+    for i, lines in enumerate(batches):
+        pd.DataFrame({
+            "file": ["f"] * len(lines),
+            "offset": list(range(off, off + len(lines))),
+            "line": lines,
+        }).to_parquet(str(src / f"b{i}.parquet"))
+        off += len(lines)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("file string, offset long, line string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    merged = streaming_merge_rules(
+        stream, "line", "file", "offset", flush_timeout_ms=100, **rules
+    )
+    out = str(tmp_path / f"out_{tag}")
+    q = (
+        merged.writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {r["offset"]: r["block"] for r in spark.read.parquet(out).collect()}
+
+
+def test_streaming_rules_start_end(spark, tmp_path):
+    """Start+End across micro-batches: the block spans start..end inclusive
+    even when the end arrives in a later batch; a line matching BOTH only
+    toggles once; an unterminated trailing block replays UNMATCHED
+    line-by-line at the drain flush (.cpp:295-308), unlike start-only."""
+    got = _run_rules_stream(
+        spark, tmp_path,
+        [["x", "B a", "mid"], ["E z", "B d", "t"]],
+        "se", start_pattern="^B", end_pattern="^E",
+    )
+    assert got == {0: "x", 1: "B a\nmid\nE z", 4: "B d", 5: "t"}
+
+
+def test_streaming_rules_continue_end(spark, tmp_path):
+    """Continue+End: a run of continue-matches + ONE closer — merged iff the
+    closer matches end (.cpp:218-230); a standalone end-match is a matched
+    single (.cpp:189-194); a run closed by a plain line replays unmatched."""
+    got = _run_rules_stream(
+        spark, tmp_path,
+        [["C a", "C b"], ["E fin", "E solo", "C bad", "plain", "last"]],
+        "ce", continue_pattern="^C", end_pattern="^E",
+    )
+    assert got == {
+        0: "C a\nC b\nE fin",  # run closed by end — merged across batches
+        3: "E solo",           # standalone end-match: matched single
+        4: "C bad",            # run closed by a non-end line:
+        5: "plain",            #   HandleUnmatchLogs line-by-line
+        6: "last",             # plain standalone: unmatched single
+    }
+
+
+def test_streaming_rules_end_only(spark, tmp_path):
+    """End-only: every line absorbs (isPartialLog sticks, .cpp:166-170);
+    lines after the last end-match replay unmatched at the flush."""
+    got = _run_rules_stream(
+        spark, tmp_path,
+        [["a", "E1"], ["b", "c", "E2", "tail"]],
+        "eo", end_pattern=r"^E\d",
+    )
+    assert got == {0: "a\nE1", 2: "b\nc\nE2", 5: "tail"}
+
+
+def test_streaming_rules_start_continue(spark, tmp_path):
+    """Start+Continue: block = start + run of continue-matches; the first
+    line matching neither flushes the block and is itself unmatched; the
+    trailing open block flushes MERGED (.cpp:253-283)."""
+    got = _run_rules_stream(
+        spark, tmp_path,
+        [["S a", "C b"], ["C c", "x", "S d", "C e"]],
+        "sc", start_pattern="^S", continue_pattern="^C",
+    )
+    assert got == {0: "S a\nC b\nC c", 3: "x", 4: "S d\nC e"}
+
+
+def test_streaming_rules_discard_and_normalization(spark, tmp_path):
+    """unmatched='discard' drops HandleUnmatchLogs lines;
+    Start+Continue+End drops ContinuePattern (MultilineOptions.cpp:139-151)."""
+    got = _run_rules_stream(
+        spark, tmp_path,
+        [["x", "B a", "C mid", "E z", "tail"]],
+        "dn", start_pattern="^B", continue_pattern="^C", end_pattern="^E",
+        unmatched="discard",
+    )
+    # continue dropped -> start+end; 'x'/'tail' discarded; C mid absorbed
+    assert got == {1: "B a\nC mid\nE z"}
