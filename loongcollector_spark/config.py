@@ -300,6 +300,11 @@ def _native_processor(p: Mapping[str, Any]) -> tuple[str, dict]:
                 .lower() == "discard"
                 else "single_line"
             ),
+            # the C++ merge keeps the first event's other fields
+            # (MergeEvents keeps logEvents[0]) — matters when the merge
+            # runs after a parser, e.g. the container chain's
+            # _time_/_source_
+            "keep_fields": True,
         }
     if t == "processor_default":
         # literal identity passthrough (processor_default.go:36-41: returns

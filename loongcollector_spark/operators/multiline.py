@@ -176,8 +176,15 @@ def _assemble_blocks(
     offset_col: str,
     merged_col: str,
     unmatched: str,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Shared emission stage for every rule mode.
+
+    ``keep_cols``: extra input columns to carry through — a merged block
+    keeps the FIRST line's values (MergeEvents keeps logEvents[0],
+    ProcessorMergeMultilineLogNative.cpp MergeEvents), while unmatched
+    replay and singles keep each line's OWN values (HandleUnmatchLogs
+    re-emits the original events untouched).
 
     ``tagged`` must carry three boolean/int helper columns:
 
@@ -194,39 +201,45 @@ def _assemble_blocks(
     ``unmatched`` treatment; other non-block lines and the lines of
     non-matched blocks follow HandleUnmatchLogs (.cpp:343-383): one event
     per line when 'single_line', dropped when 'discard'."""
+    keep = [
+        c for c in keep_cols
+        if c not in (file_col, offset_col, line_col, merged_col)
+    ]
+    ev_fields = [
+        F.col(offset_col).cast("long").alias("o"),
+        F.col(line_col).alias("l"),
+    ] + [F.col(c).alias(c) for c in keep]
     grouped = (
         tagged.filter(F.col("__in_block__"))
         .groupBy(file_col, "__mls__")
         .agg(
             F.min(offset_col).alias("__head_off__"),
             F.max(F.col("__matched__").cast("boolean")).alias("__ok__"),
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col(offset_col).alias("o"), F.col(line_col).alias("l"))
-                )
-            ).alias("__lines__"),
+            # o leads the struct and is unique per file, so array_sort
+            # orders by offset regardless of the trailing fields
+            F.array_sort(F.collect_list(F.struct(*ev_fields))).alias(
+                "__lines__"
+            ),
         )
     )
     emit_singles = F.lit(unmatched == UNMATCH_SINGLE_LINE)
+    merged_struct = F.struct(
+        F.col("__head_off__").cast("long").alias("o"),
+        F.array_join(F.transform("__lines__", lambda s: s["l"]), "\n").alias("l"),
+        # the merged event is the block's FIRST event (MergeEvents)
+        *[F.element_at("__lines__", 1)[c].alias(c) for c in keep],
+    )
     blocks = (
         grouped.select(
             file_col,
             F.explode(
-                F.when(
-                    F.col("__ok__"),
-                    F.array(
-                        F.struct(
-                            F.col("__head_off__").alias("o"),
-                            F.array_join(
-                                F.transform("__lines__", lambda s: s["l"]), "\n"
-                            ).alias("l"),
-                        )
-                    ),
-                ).otherwise(
+                F.when(F.col("__ok__"), F.array(merged_struct)).otherwise(
                     # un-matched block (unterminated / closed by a non-end
-                    # line): HandleUnmatchLogs replays it line by line
+                    # line): HandleUnmatchLogs replays it line by line,
+                    # each event keeping its own fields
                     F.when(emit_singles, F.col("__lines__")).otherwise(
-                        F.array().cast("array<struct<o:long,l:string>>")
+                        # empty array of the SAME element type
+                        F.slice(F.col("__lines__"), 1, 0)
                     )
                 )
             ).alias("__ev__"),
@@ -235,6 +248,7 @@ def _assemble_blocks(
             file_col,
             F.col("__ev__.o").cast("long").alias(offset_col),
             F.col("__ev__.l").alias(merged_col),
+            *[F.col(f"__ev__.{c}").alias(c) for c in keep],
         )
     )
     loose = tagged.filter(~F.col("__in_block__"))
@@ -244,6 +258,7 @@ def _assemble_blocks(
         file_col,
         F.col(offset_col).cast("long").alias(offset_col),
         F.col(line_col).alias(merged_col),
+        *[F.col(c) for c in keep],
     )
     return blocks.unionByName(singles)
 
@@ -258,8 +273,15 @@ def merge_multiline_rules(
     end_pattern: str | None = None,
     unmatched: str = UNMATCH_SINGLE_LINE,
     merged_col: str | None = None,
+    keep_fields: bool = False,
 ) -> DataFrame:
     """The reference's full multiline rule set, reference-exact.
+
+    ``keep_fields=True`` carries every other input column through: merged
+    blocks keep the FIRST line's values (MergeEvents keeps logEvents[0]),
+    unmatched replay keeps each line's own — needed when the merge runs
+    AFTER a parser (the container chain's _time_/_source_); default False
+    keeps the historical (file, offset, merged) projection.
 
     Semantics follow the C++ state machine in
     ``ProcessorSplitMultilineLogStringNative.cpp:167-310`` plus the config
@@ -439,13 +461,30 @@ def merge_multiline_rules(
             "__mls__", F.sum(F.col("__head__").cast("int")).over(w_incl)
         ).withColumn("__matched__", F.col("__in_block__"))
     elif start_pattern:
-        return merge_multiline(
-            df, line_col, file_col, offset_col, start_pattern,
-            unmatched=unmatched, merged_col=merged_col,
+        if not keep_fields:
+            return merge_multiline(
+                df, line_col, file_col, offset_col, start_pattern,
+                unmatched=unmatched, merged_col=merged_col,
+            )
+        # start-only through the shared assembler so keep_fields applies:
+        # a start-match opens a block, everything else absorbs, every block
+        # is matched (no end pattern to wait for); leading lines unmatched
+        s = line.rlike(start_pattern).cast("int")
+        t0 = df.withColumn("__s__", s)
+        tagged = (
+            t0.withColumn("__mls__", F.sum("__s__").over(w_incl))
+            .withColumn("__in_block__", F.col("__mls__") > 0)
+            .withColumn("__matched__", F.col("__mls__") > 0)
         )
     else:
         raise ValueError("need at least one of start/continue/end pattern")
 
+    keep_cols = (
+        tuple(c for c in df.columns if c not in (file_col, offset_col, line_col))
+        if keep_fields
+        else ()
+    )
     return _assemble_blocks(
-        tagged, line_col, file_col, offset_col, merged_col, unmatched
+        tagged, line_col, file_col, offset_col, merged_col, unmatched,
+        keep_cols=keep_cols,
     )

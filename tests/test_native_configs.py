@@ -932,3 +932,47 @@ def test_native_merge_multiline_log_native_param_errors():
     )
     assert name == "merge_multiline_rules"
     assert params["start_pattern"] == r"^\["
+
+
+def test_native_docker_stdout_multiline(spark, tmp_path):
+    """Mirrors test/e2e/test_cases/input_docker_stdout_multiline: docker
+    json-file lines parsed (one trailing \\n stripped per complete line),
+    then merged under BeginLineRegex — expected content 'today\\nhello'
+    with _source_=stdout and the FIRST line's _time_ (the case.feature
+    kv expectations; MergeEvents keeps logEvents[0])."""
+    from loongcollector_spark.config import spec_from_native
+    from loongcollector_spark.pipeline import run_pipeline
+    from loongcollector_spark.sources.files import read_log_files
+
+    out = str(tmp_path / "out")
+    doc = {
+        "inputs": [
+            {
+                "Type": "input_container_stdio",
+                "Format": "docker_json-file",
+                "Multiline": {"StartPattern": "today.*"},
+            }
+        ],
+        "flushers": [{"Type": "flusher_sls"}],
+    }
+    spec, _ = spec_from_native(
+        doc, sink_overrides={"sls": {"format": "parquet", "path": out}}
+    )
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "c.log").write_text(
+        '{"log":"today\\n","stream":"stdout","time":"2024-01-01T10:00:00.1Z"}\n'
+        '{"log":"hello\\n","stream":"stdout","time":"2024-01-01T10:00:00.2Z"}\n'
+        '{"log":"today\\n","stream":"stdout","time":"2024-01-01T10:00:00.3Z"}\n'
+        '{"log":"world\\n","stream":"stdout","time":"2024-01-01T10:00:00.4Z"}\n'
+    )
+    df = read_log_files(spark, str(logs), line_offset=True)
+    run_pipeline(df, spec)
+    got = sorted(
+        (r.content, r._time_, r._source_)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        ("today\nhello", "2024-01-01T10:00:00.1Z", "stdout"),
+        ("today\nworld", "2024-01-01T10:00:00.3Z", "stdout"),
+    ]
