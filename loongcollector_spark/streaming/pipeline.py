@@ -23,6 +23,65 @@ from loongcollector_spark.pipeline import PipelineSpec, compile_pipeline
 from loongcollector_spark.sinks import SinkSpec, write_sink
 
 
+def drain_available_now(
+    query, timeout_sec: float | None = 300.0, settle_sec: float = 0.0
+) -> None:
+    """Drain an availableNow query to completion and STOP it.
+
+    A plan containing a stateful operator with ProcessingTimeTimeout
+    (applyInPandasWithState — the multiline/flag mergers) never
+    self-terminates under Trigger.AvailableNow: Spark's
+    shouldRunAnotherBatch answers true whenever a processing-time timeout
+    is configured, so the query keeps scheduling EMPTY micro-batches
+    forever (measured: 137 batches in 120 s on a 3-row input). A bare
+    ``awaitTermination(timeout)`` therefore always burns the full timeout
+    AND leaks a spinning query into the shared session.
+
+    This helper waits for genuine quiescence instead: the query is stopped
+    after three consecutive completed batches with zero input rows and
+    zero state updates/removals — by then all data batches have run and
+    any due state timeout (the drain-end flush) has fired and emptied or
+    settled the state. Stateless plans terminate on their own and return
+    through the ``awaitTermination`` fast path.
+
+    ``settle_sec``: minimum quiet time after the last busy batch before
+    stopping — set it just above the operator's flush timeout so a
+    pending block's read-timeout flush is guaranteed to fire before the
+    drain stops (the native runner passes flush_timeout_ms + 1 s).
+    Operators with PERSISTENT state (streaming dedup, token buckets)
+    should leave it 0: their state never empties and a grace period only
+    delays the stop."""
+    import time as _time
+
+    deadline = _time.time() + (timeout_sec or 300.0)
+    idle = 0
+    last_batch = None
+    last_busy = _time.time()
+    while _time.time() < deadline:
+        if query.awaitTermination(0.5):
+            return  # stateless plan: availableNow terminated on its own
+        p = query.lastProgress
+        if not p:
+            continue
+        bid = p.get("batchId")
+        if bid == last_batch:
+            continue  # same batch as last poll — nothing new completed
+        last_batch = bid
+        ops = p.get("stateOperators") or []
+        busy = p.get("numInputRows", 0) or any(
+            o.get("numRowsUpdated", 0) or o.get("numRowsRemoved", 0)
+            for o in ops
+        )
+        if busy:
+            idle = 0
+            last_busy = _time.time()
+        else:
+            idle += 1
+        if idle >= 3 and (_time.time() - last_busy) >= settle_sec:
+            break
+    query.stop()
+
+
 def start_fanout_query(
     stream: DataFrame,
     spec: PipelineSpec,
@@ -31,10 +90,13 @@ def start_fanout_query(
     *,
     available_now: bool = True,
     timeout_sec: float | None = 300.0,
+    settle_sec: float = 0.0,
 ) -> dict[str, Any]:
     """foreachBatch fan-out over an already-built streaming DataFrame:
     compile the processor chain per micro-batch, persist the routed frame
-    once, write each sink's slice with replay-idempotent batch directories."""
+    once, write each sink's slice with replay-idempotent batch directories.
+    ``settle_sec`` — see drain_available_now (pass the upstream stateful
+    operator's flush timeout so drain-end flushes land before the stop)."""
     from loongcollector_spark.pipeline import private_spec_copy
 
     # per-query private copy: frozen kv-expand keys persist across THIS
@@ -100,7 +162,7 @@ def start_fanout_query(
         writer = writer.trigger(availableNow=True)
     query = writer.start()
     if available_now:
-        query.awaitTermination(timeout_sec)
+        drain_available_now(query, timeout_sec, settle_sec=settle_sec)
     return {
         "query_id": str(query.id),
         "active": query.isActive,
@@ -291,6 +353,7 @@ def run_native_streaming(
         spec = dataclasses.replace(
             spec, processors=list(spec.processors[ml_idx + 1:])
         )
+        kwargs.setdefault("settle_sec", flush_timeout_ms / 1000.0 + 1.0)
         return start_fanout_query(
             stream, spec, output_base, checkpoint_dir, **kwargs
         )
@@ -360,6 +423,8 @@ def run_native_streaming(
         spec = dataclasses.replace(
             spec, processors=list(spec.processors[1:])
         )
+        # drain-end flush: give the merge's read-timeout room to fire
+        kwargs.setdefault("settle_sec", flush_timeout_ms / 1000.0 + 1.0)
         return start_fanout_query(
             stream, spec, output_base, checkpoint_dir, **kwargs
         )

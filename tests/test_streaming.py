@@ -13,6 +13,7 @@ from loongcollector_spark.operators.route import Condition, Route
 from loongcollector_spark.pipeline import PipelineSpec
 from loongcollector_spark.sources import generate_sequences, render_lines
 from loongcollector_spark.streaming import run_streaming_pipeline, streaming_rate_limit
+from loongcollector_spark.streaming.pipeline import drain_available_now
 
 SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string, line string"
 
@@ -119,7 +120,7 @@ def test_streaming_rate_limit_token_bucket(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain_available_now(q, 120)
     got = spark.read.parquet(out).toPandas()
     # per key: 3 pass at t≈0 (burst), bucket empty until refill; at t=5 the
     # bucket is full again (capped at burst=3) → 3 more pass = 6 per key
@@ -152,7 +153,11 @@ def test_streaming_multiline_cross_batch(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .load(str(src))
     )
-    merged = streaming_merge_multiline(stream, "line", "file", "offset", r"^START")
+    # short flush timeout so the trailing pending block's read-timeout fires
+    # inside the drain (drain_available_now stops at quiescence)
+    merged = streaming_merge_multiline(
+        stream, "line", "file", "offset", r"^START", flush_timeout_ms=200
+    )
     out = str(tmp_path / "ml_out")
     q = (
         merged.writeStream.format("parquet")
@@ -161,7 +166,7 @@ def test_streaming_multiline_cross_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain_available_now(q, 120)
     got = {r["offset"]: r["block"] for r in spark.read.parquet(out).collect()}
     # block A (head offset 0) spans both micro-batches and closes when START b
     # arrives; block B is flushed when the availableNow drain ends the query —
@@ -210,7 +215,7 @@ def test_streaming_windowed_rollup_watermark(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        drain_available_now(q, 120)
         return {
             (str(r.window_start), r.source): (r.rows, r.tokens) for r in updates
         }
@@ -266,7 +271,7 @@ def test_spl_explicit_keys_streaming_safe(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    drain_available_now(q, 60)
     rows = spark.sql("select * from spl_stream").collect()
     assert [r.n for r in rows] == ["1"]
     # the discovery form must fail loudly on a stream, not silently scan
@@ -372,7 +377,7 @@ def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    drain_available_now(q, 60)
     got = {r.doc_id for r in spark.sql("select * from dedup_stream").collect()}
     assert got == {"a", "c"}  # b = duplicate content within the watermark
 
@@ -478,7 +483,7 @@ def test_token_bucket_batch_replay_matches_streaming(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain_available_now(q, 120)
     streamed = {(r.k, r.n) for r in spark.read.parquet(out).collect()}
 
     batch_df = spark.createDataFrame(
@@ -555,7 +560,7 @@ def test_streaming_session_rollup_gap_and_merge(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        drain_available_now(q, 120)
         return {
             (r.user, str(r.session_start)): (str(r.session_end), r.events)
             for r in updates
@@ -696,6 +701,7 @@ def test_streaming_container_stdio_flag_merge_across_runs(spark, tmp_path):
             tail=True,
             flush_timeout_ms=3_600_000,  # merge state must NOT timeout-flush
             timeout_sec=120.0,
+            settle_sec=0.0,  # no flush expected — stop at quiescence
         )
 
     live = logs / "app.log"
@@ -763,7 +769,7 @@ def test_streaming_flag_merge_cross_batch_and_end_flush(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain_available_now(q, 120)
     got = {r["offset"]: (r["line"], r["tag"]) for r in spark.read.parquet(out).collect()}
     assert got[0] == ("a-b-c", "t0")  # cross-batch, first chunk's tag, no sep
     assert got[3] == ("solo", "t3")
@@ -805,7 +811,7 @@ def _run_rules_stream(spark, tmp_path, batches, tag, **rules):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain_available_now(q, 120)
     return {r["offset"]: r["block"] for r in spark.read.parquet(out).collect()}
 
 

@@ -28,6 +28,8 @@ from loongcollector_spark.sources.tail import (
 def _drain(spark, pattern, out, ckpt, **opts):
     opts.setdefault("flush_timeout_ms", 0)
     df = tail_log_files(spark, pattern, **opts)
+    from loongcollector_spark.streaming.pipeline import drain_available_now
+
     q = (
         df.writeStream.format("parquet")
         .option("path", out)
@@ -35,8 +37,7 @@ def _drain(spark, pattern, out, ckpt, **opts):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    q.stop()
+    drain_available_now(q, 120)
 
 
 def _events(spark, out):
