@@ -79,17 +79,22 @@ def parse_container_log(
     # withColumn(CONTENT_KEY, ...) replacement would re-parse the PARSED
     # value (always failing) and the Ignoring*/KeepingSource filters would
     # never fire
+    # collision-safe scratch name: an input column literally named __ok__
+    # must survive untouched
+    ok_col = "__ok__"
+    while ok_col in df.columns:
+        ok_col += "_"
     out = (
-        df.withColumn("__ok__", ok)
-        .withColumn(TIME_KEY, F.when(F.col("__ok__"), time_v))
-        .withColumn(SOURCE_KEY, F.when(F.col("__ok__"), source_v))
+        df.withColumn(ok_col, ok)
+        .withColumn(TIME_KEY, F.when(F.col(ok_col), time_v))
+        .withColumn(SOURCE_KEY, F.when(F.col(ok_col), source_v))
         .withColumn(
             PARTIAL_KEY,
-            F.when(F.col("__ok__"), partial_v).otherwise(F.lit(False)),
+            F.when(F.col(ok_col), partial_v).otherwise(F.lit(False)),
         )
         .withColumn(
             CONTENT_KEY,
-            F.when(F.col("__ok__"), content_v).otherwise(
+            F.when(F.col(ok_col), content_v).otherwise(
                 src if keep_source_on_fail else F.lit(None)
             ),
         )
@@ -97,9 +102,9 @@ def parse_container_log(
     if source_key != CONTENT_KEY:
         out = out.drop(source_key)
     if not keep_source_on_fail:
-        out = out.filter(F.col("__ok__"))
+        out = out.filter(F.col(ok_col))
     if ignore_stdout:
-        out = out.filter(~F.col("__ok__") | (F.col(SOURCE_KEY) != "stdout"))
+        out = out.filter(~F.col(ok_col) | (F.col(SOURCE_KEY) != "stdout"))
     if ignore_stderr:
-        out = out.filter(~F.col("__ok__") | (F.col(SOURCE_KEY) != "stderr"))
-    return out.drop("__ok__")
+        out = out.filter(~F.col(ok_col) | (F.col(SOURCE_KEY) != "stderr"))
+    return out.drop(ok_col)

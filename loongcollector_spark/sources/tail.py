@@ -22,11 +22,17 @@ contract as a custom streaming data source:
   ``max_partition_bytes`` with the Hadoop text-split ownership rule
   (a chunk owns lines STARTING inside it; the first chunk of a range
   owns its first line), so one hot file parallelizes across the cluster.
-- **Rotation by inode.** A rename inside the watched glob keeps the
-  dev:ino key: the rotated generation finishes from its recorded offset
-  while the fresh live file starts at 0. A truncate-in-place
-  (logrotate copytruncate) shows as pos < recorded offset → re-read
-  from 0, as the reference does on file-size regression.
+- **Rotation by inode, guarded by a head signature.** A rename inside
+  the watched glob keeps the dev:ino key: the rotated generation
+  finishes from its recorded offset while the fresh live file starts at
+  0. A truncate-in-place (logrotate copytruncate) shows as pos <
+  recorded offset → re-read from 0, as the reference does on file-size
+  regression. Because ext4 reuses freed inodes readily, the offset also
+  carries the reference's file SIGNATURE (CRC of the first ≤1024 bytes +
+  its length, LogFileReader's mLastFileSignatureHash/Size): a
+  delete-then-create that recycles the inode produces a different head
+  signature and the new file is read from byte 0 instead of silently
+  inheriting the dead generation's offset.
 - **Read-timeout flush.** When bytes past the last newline have been idle
   for ``flush_timeout_ms`` (mtime-based), the boundary advances to EOF
   and the unterminated line becomes an event; bytes arriving later for
@@ -65,6 +71,7 @@ if TYPE_CHECKING:
     from pyspark.sql import DataFrame, SparkSession
 
 _BLOCK = 65536
+_SIG_BYTES = 1024  # reference signature length (LogFileReader.cpp SIGNATURE_SIZE)
 
 SCHEMA = StructType(
     [
@@ -77,6 +84,22 @@ SCHEMA = StructType(
 
 def _file_key(st: os.stat_result) -> str:
     return f"{st.st_dev}:{st.st_ino}"
+
+
+def _prefix_sig(path: str, n: int) -> int | None:
+    """CRC32 of the first ``n`` bytes — the generation identity the reference
+    keeps alongside dev:inode (a recycled inode with different head bytes is
+    a NEW file). None when the file vanished or shrank below ``n``."""
+    import zlib
+
+    try:
+        with open(path, "rb") as f:
+            head = f.read(n)
+    except OSError:
+        return None
+    if len(head) < n:
+        return None
+    return zlib.crc32(head)
 
 
 def _newline_boundary(path: str, size: int) -> int:
@@ -153,6 +176,13 @@ def _first_owned_line_start(f, chunk_start: int, chunk_end: int) -> int | None:
     while pos < limit:
         buf = f.read(min(_BLOCK, limit - pos))
         if not buf:
+            # only reachable when the file shrank mid-flight (copytruncate
+            # racing the read): the planned bytes no longer exist on disk,
+            # so nothing can be emitted; the next scan sees the size
+            # regression and re-reads the NEW generation from 0. The old
+            # generation's unread bytes are gone — the same race the
+            # reference documents, which is why rename rotation (not
+            # copytruncate) is the loss-free scheme for both.
             return None
         nl = buf.find(b"\n")
         if nl >= 0:
@@ -176,6 +206,11 @@ class LogTailStreamReader(DataSourceStreamReader):
         self._start_at = options.get("start_at", "beginning")
         if self._start_at not in ("beginning", "end"):
             raise ValueError("start_at must be 'beginning' or 'end'")
+        # driver-side per-trigger cache: key -> (size, mtime_ns, boundary,
+        # sig_size, sig). The reader instance lives on the driver for the
+        # query's whole life, so an unchanged (size, mtime) file costs a pure
+        # stat per trigger instead of an open+tail-read.
+        self._cache: dict[str, tuple[int, int, int, int, int]] = {}
 
     # -- driver side ------------------------------------------------------
     def _scan(self, skip_to_end: bool = False) -> dict:
@@ -188,13 +223,43 @@ class LogTailStreamReader(DataSourceStreamReader):
                 continue  # vanished between glob and stat
             if not os.path.isfile(p):
                 continue
-            if skip_to_end:
-                pos = st.st_size
+            key = _file_key(st)
+            cached = self._cache.get(key)
+            want_sig_size = min(st.st_size, _SIG_BYTES)
+            if cached and cached[0] == st.st_size and cached[1] == st.st_mtime_ns:
+                boundary, sig_size, sig = cached[2], cached[3], cached[4]
             else:
-                pos = _newline_boundary(p, st.st_size)
-                if pos < st.st_size and (now - st.st_mtime) >= self._flush_timeout_s:
-                    pos = st.st_size  # read-timeout flush of the partial line
-            files[_file_key(st)] = {"path": p, "pos": pos}
+                try:
+                    boundary = _newline_boundary(p, st.st_size)
+                except OSError:
+                    continue  # deleted between stat and open — next scan drops it
+                if (
+                    cached
+                    and cached[3] == _SIG_BYTES
+                    and want_sig_size == _SIG_BYTES
+                    and st.st_size >= cached[0]
+                ):
+                    # growth past a full prefix: appends don't touch the head,
+                    # so the signature carries over without re-reading it. An
+                    # in-place REWRITE that also grows the file defeats this
+                    # (same trade the reference makes by holding the fd — only
+                    # a restart or size regression re-reads the head).
+                    sig_size, sig = cached[3], cached[4]
+                else:
+                    sig_size = want_sig_size
+                    sig_val = _prefix_sig(p, sig_size) if sig_size else 0
+                    if sig_val is None:
+                        continue  # raced a truncate/delete — re-scan next trigger
+                    sig = sig_val
+                self._cache[key] = (st.st_size, st.st_mtime_ns, boundary, sig_size, sig)
+            pos = st.st_size if skip_to_end else boundary
+            if (
+                not skip_to_end
+                and pos < st.st_size
+                and (now - st.st_mtime) >= self._flush_timeout_s
+            ):
+                pos = st.st_size  # read-timeout flush of the partial line
+            files[key] = {"path": p, "pos": pos, "sig": sig, "sig_size": sig_size}
         return {"files": files}
 
     def initialOffset(self) -> dict:
@@ -209,8 +274,14 @@ class LogTailStreamReader(DataSourceStreamReader):
         parts: list[InputPartition] = []
         start_files = start.get("files", {})
         for key, ent in end.get("files", {}).items():
-            spos = int(start_files.get(key, {}).get("pos", 0))
+            sent = start_files.get(key, {})
+            spos = int(sent.get("pos", 0))
             epos = int(ent["pos"])
+            if spos and not self._same_generation(sent, ent):
+                # recycled inode: same dev:ino, different head bytes — a
+                # brand-new file must not inherit the dead generation's
+                # offset (reference: signature mismatch → read from 0)
+                spos = 0
             if epos < spos:
                 spos = 0  # truncate-in-place (copytruncate): size regressed
             if epos <= spos:
@@ -223,6 +294,23 @@ class LogTailStreamReader(DataSourceStreamReader):
                 )
                 chunk = cend
         return parts
+
+    @staticmethod
+    def _same_generation(sent: dict, ent: dict) -> bool:
+        """True when the start- and end-offset entries describe the same file
+        generation: equal-length signatures compare directly; a grown prefix
+        (start hashed < 1024 bytes, file since passed it) re-hashes the
+        start-length head of the current file. Legacy offsets without a
+        signature are trusted (pre-signature checkpoint)."""
+        ssig, ssize = sent.get("sig"), int(sent.get("sig_size", 0) or 0)
+        esig, esize = ent.get("sig"), int(ent.get("sig_size", 0) or 0)
+        if ssig is None or esig is None or ssize == 0:
+            return True
+        if esize < ssize:
+            return False  # head shrank below the signed prefix: new file
+        if esize == ssize:
+            return ssig == esig
+        return _prefix_sig(ent["path"], ssize) == ssig
 
     def commit(self, end: dict) -> None:  # offsets ARE the state
         pass

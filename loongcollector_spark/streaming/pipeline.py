@@ -24,7 +24,7 @@ from loongcollector_spark.sinks import SinkSpec, write_sink
 
 
 def drain_available_now(
-    query, timeout_sec: float | None = 300.0, settle_sec: float = 0.0
+    query, timeout_sec: float | None = 300.0, settle_sec: float | None = 0.0
 ) -> None:
     """Drain an availableNow query to completion and STOP it.
 
@@ -49,14 +49,20 @@ def drain_available_now(
     pending block's read-timeout flush is guaranteed to fire before the
     drain stops (the native runner passes flush_timeout_ms + 1 s).
     Operators with PERSISTENT state (streaming dedup, token buckets)
-    should leave it 0: their state never empties and a grace period only
-    delays the stop."""
+    should pass 0: their state never empties and a grace period only
+    delays the stop. ``None`` is the loss-proof AUTO mode: stop at
+    quiescence only once the state store is EMPTY — a pending multiline
+    block keeps the query alive until its flush timeout fires and the
+    flushed block is written, whatever that timeout is; the price is
+    that persistent-state plans burn the full ``timeout_sec`` (pass an
+    explicit settle when you know the operator)."""
     import time as _time
 
     deadline = _time.time() + (timeout_sec or 300.0)
     idle = 0
     last_batch = None
     last_busy = _time.time()
+    state_rows = 0
     while _time.time() < deadline:
         if query.awaitTermination(0.5):
             return  # stateless plan: availableNow terminated on its own
@@ -72,13 +78,18 @@ def drain_available_now(
             o.get("numRowsUpdated", 0) or o.get("numRowsRemoved", 0)
             for o in ops
         )
+        state_rows = sum(o.get("numRowsTotal", 0) or 0 for o in ops)
         if busy:
             idle = 0
             last_busy = _time.time()
         else:
             idle += 1
-        if idle >= 3 and (_time.time() - last_busy) >= settle_sec:
-            break
+        if idle >= 3:
+            if settle_sec is None:
+                if state_rows == 0:
+                    break
+            elif (_time.time() - last_busy) >= settle_sec:
+                break
     query.stop()
 
 
@@ -90,13 +101,17 @@ def start_fanout_query(
     *,
     available_now: bool = True,
     timeout_sec: float | None = 300.0,
-    settle_sec: float = 0.0,
+    settle_sec: float | None = None,
 ) -> dict[str, Any]:
     """foreachBatch fan-out over an already-built streaming DataFrame:
     compile the processor chain per micro-batch, persist the routed frame
     once, write each sink's slice with replay-idempotent batch directories.
-    ``settle_sec`` — see drain_available_now (pass the upstream stateful
-    operator's flush timeout so drain-end flushes land before the stop)."""
+    ``settle_sec`` — see drain_available_now. The default (None) is the
+    loss-proof auto mode: a pending stateful block (multiline merge)
+    holds the drain open until its flush timeout fires; pass the
+    operator's flush timeout for a faster bounded stop, or 0 for
+    persistent-state operators (dedup, token bucket) whose state never
+    empties."""
     from loongcollector_spark.pipeline import private_spec_copy
 
     # per-query private copy: frozen kv-expand keys persist across THIS
@@ -243,6 +258,35 @@ def _streaming_file_lines(
     )
 
 
+def _native_line_stream(
+    spark: SparkSession,
+    input_path: str,
+    tail: bool,
+    flush_timeout_ms: int,
+    kwargs: dict,
+) -> DataFrame:
+    """Build the per-line stream for run_native_streaming's line-level
+    branches, popping the reader kwargs they own (``input_format``,
+    ``max_files_per_trigger``) so they don't crash start_fanout_query.
+    ``tail=True`` → the log_tail byte-offset source; else the whole-file
+    text reader with exact per-file line offsets."""
+    input_format = kwargs.pop("input_format", "text")
+    if input_format != "text":
+        raise ValueError(
+            "native streaming reads raw text lines; "
+            f"input_format={input_format!r} is not applicable"
+        )
+    max_files = kwargs.pop("max_files_per_trigger", None)
+    if tail:
+        from loongcollector_spark.sources.tail import tail_log_files
+
+        # real byte offsets from the tail source order lines exactly;
+        # max_files_per_trigger is a whole-file reader knob (the tail
+        # source bounds work per trigger by max_partition_bytes instead)
+        return tail_log_files(spark, input_path, flush_timeout_ms=flush_timeout_ms)
+    return _streaming_file_lines(spark, input_path, max_files_per_trigger=max_files)
+
+
 def run_native_streaming(
     spark: SparkSession,
     config_path: str,
@@ -325,17 +369,9 @@ def run_native_streaming(
                 "runner (read_log_files(line_offset=True) + run_pipeline)"
             )
         _, ml_params = spec.processors[ml_idx]
-        max_files = kwargs.pop("max_files_per_trigger", None)
-        if tail:
-            from loongcollector_spark.sources.tail import tail_log_files
-
-            lines = tail_log_files(
-                spark, input_path, flush_timeout_ms=flush_timeout_ms
-            )
-        else:
-            lines = _streaming_file_lines(
-                spark, input_path, max_files_per_trigger=max_files
-            )
+        lines = _native_line_stream(
+            spark, input_path, tail, flush_timeout_ms, kwargs
+        )
         for pname, pparams in spec.processors[:ml_idx]:
             lines = PROCESSORS[pname](lines, **pparams)
         line_col = ml_params.get("line_col", "content")
@@ -365,27 +401,9 @@ def run_native_streaming(
                 "supported in streaming (the reference inserts it first, "
                 "InputFile.cpp:217)"
             )
-        # the multiline path builds its own wholetext line reader, so it
-        # accepts run_streaming_pipeline's reader kwargs explicitly instead
-        # of letting them crash start_fanout_query
-        input_format = kwargs.pop("input_format", "text")
-        if input_format != "text":
-            raise ValueError(
-                "multiline streaming reads raw text files; "
-                f"input_format={input_format!r} is not applicable"
-            )
-        max_files = kwargs.pop("max_files_per_trigger", None)
-        if tail:
-            from loongcollector_spark.sources.tail import tail_log_files
-
-            # real byte offsets from the tail source order lines exactly
-            lines = tail_log_files(
-                spark, input_path, flush_timeout_ms=flush_timeout_ms
-            )
-        else:
-            lines = _streaming_file_lines(
-                spark, input_path, max_files_per_trigger=max_files
-            )
+        lines = _native_line_stream(
+            spark, input_path, tail, flush_timeout_ms, kwargs
+        )
         if name == "merge_multiline_rules":
             # full Start/Continue/End combo surface on the stateful
             # cross-batch automaton (streaming_merge_rules)
@@ -430,18 +448,24 @@ def run_native_streaming(
         )
 
     if tail:
-        from loongcollector_spark.sources.tail import tail_log_files
-
         # the tail source already yields `content` + path tag + byte offset
-        stream = tail_log_files(
-            spark, input_path, flush_timeout_ms=flush_timeout_ms
+        stream = _native_line_stream(
+            spark, input_path, tail, flush_timeout_ms, kwargs
         )
         return start_fanout_query(
             stream, spec, output_base, checkpoint_dir, **kwargs
         )
 
     # the text stream delivers lines as `value`; the reference's processors
-    # address the raw line as `content` — prepend the rename
+    # address the raw line as `content` — prepend the rename. This branch
+    # hard-codes the text reader, so own the kwarg here too (a caller-passed
+    # input_format would otherwise collide with the explicit one below)
+    input_format = kwargs.pop("input_format", "text")
+    if input_format != "text":
+        raise ValueError(
+            "native streaming reads raw text lines; "
+            f"input_format={input_format!r} is not applicable"
+        )
     spec = dataclasses.replace(
         spec,
         processors=[("rename", {"mapping": {"value": "content"}})]

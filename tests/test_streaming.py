@@ -880,3 +880,51 @@ def test_streaming_rules_discard_and_normalization(spark, tmp_path):
     )
     # continue dropped -> start+end; 'x'/'tail' discarded; C mid absorbed
     assert got == {1: "B a\nC mid\nE z"}
+
+
+def test_native_streaming_reader_kwargs_validated_all_branches(spark, tmp_path):
+    """Every run_native_streaming branch must OWN the reader kwargs
+    (input_format / max_files_per_trigger) instead of forwarding them into
+    start_fanout_query (TypeError): a non-text input_format raises a clear
+    ValueError on the flag-merge, multiline, and bare-tail branches alike."""
+    import yaml
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "a.log").write_text("x\n")
+    out = str(tmp_path / "out")
+
+    _n = iter(range(10))
+
+    def cfg(body):
+        p = tmp_path / f"c{next(_n)}.yaml"
+        p.write_text(yaml.safe_dump(body))
+        return str(p)
+
+    flag_yaml = cfg({
+        "inputs": [{"Type": "input_container_stdio",
+                    "FilePaths": [str(logs / "*.log")]}],
+        "flushers": [{"Type": "flusher_file", "FilePath": out}],
+    })
+    ml_yaml = cfg({
+        "inputs": [{"Type": "input_file", "FilePaths": [str(logs / "*.log")],
+                    "Multiline": {"StartPattern": r"\d.*"}}],
+        "flushers": [{"Type": "flusher_file", "FilePath": out}],
+    })
+    plain_yaml = cfg({
+        "inputs": [{"Type": "input_file", "FilePaths": [str(logs / "*.log")]}],
+        "flushers": [{"Type": "flusher_file", "FilePath": out}],
+    })
+    from loongcollector_spark.streaming.pipeline import run_native_streaming
+
+    for yml, tail in (
+        (flag_yaml, False),
+        (ml_yaml, False),
+        (plain_yaml, True),
+        (plain_yaml, False),
+    ):
+        with pytest.raises(ValueError, match="input_format"):
+            run_native_streaming(
+                spark, yml, str(logs / "*.log"), str(tmp_path / "fan"),
+                str(tmp_path / "ck"), input_format="json", tail=tail,
+            )

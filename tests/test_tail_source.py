@@ -312,3 +312,102 @@ def test_reader_rejects_bad_options():
         LogTailStreamReader({"path": "/x", "max_partition_bytes": 0})
     with pytest.raises(ValueError):
         LogTailStreamReader({"path": "/x", "start_at": "middle"})
+
+
+def test_inode_reuse_signature_resets_offset(tmp_path):
+    """A brand-new file that recycles a dead generation's inode must NOT
+    inherit its byte offset: the head-signature check (the reference's
+    mLastFileSignatureHash/Size) detects the different first bytes and
+    plans the range from 0. Driven at the partitions() level because real
+    inode recycling can't be forced portably."""
+    p = tmp_path / "a.log"
+    p.write_bytes(b"new generation first line\nsecond\n")
+    reader = LogTailStreamReader({"path": str(tmp_path / "*.log")})
+    end = reader.latestOffset()
+    (key, ent), = end["files"].items()
+    # same dev:ino key, offset 300 from the dead generation, stale signature
+    start = {"files": {key: {"path": ent["path"], "pos": 10,
+                             "sig": (ent["sig"] + 1) & 0xFFFFFFFF,
+                             "sig_size": ent["sig_size"]}}}
+    parts = reader.partitions(start, end)
+    assert len(parts) == 1 and parts[0].range_start == 0
+    # identical signature → same generation → offset honored
+    start_ok = {"files": {key: dict(ent, pos=10)}}
+    parts = reader.partitions(start_ok, end)
+    assert len(parts) == 1 and parts[0].range_start == 10
+    # legacy checkpoint without a signature is trusted (no spurious re-read)
+    start_legacy = {"files": {key: {"path": ent["path"], "pos": 10}}}
+    parts = reader.partitions(start_legacy, end)
+    assert len(parts) == 1 and parts[0].range_start == 10
+
+
+def test_grown_prefix_signature_still_matches(tmp_path):
+    """A file first seen under 1024 bytes grows past it: the start offset's
+    short signature is re-checked over the SAME prefix length against the
+    grown file — a pure append must not look like a new generation."""
+    p = tmp_path / "a.log"
+    p.write_bytes(b"tiny first line\n")
+    reader = LogTailStreamReader({"path": str(tmp_path / "*.log")})
+    start = reader.latestOffset()
+    (key, sent), = start["files"].items()
+    assert sent["sig_size"] == 16  # short prefix: whole current file
+    p.write_bytes(b"tiny first line\n" + b"x" * 2048 + b"\n")
+    end = reader.latestOffset()
+    ent = end["files"][key]
+    assert ent["sig_size"] == 1024  # signature now spans the full prefix
+    parts = reader.partitions(start, end)
+    assert len(parts) == 1 and parts[0].range_start == 16
+    # but a REWRITTEN head under the same inode (same short sig length on
+    # the start side) re-reads from 0
+    p.write_bytes(b"DIFFERENT head!!\n" + b"y" * 2048 + b"\n")
+    reader._cache.clear()
+    end2 = reader.latestOffset()
+    parts = reader.partitions(start, end2)
+    assert parts and parts[0].range_start == 0
+
+
+def test_scan_survives_file_deleted_between_stat_and_open(tmp_path, monkeypatch):
+    """reader_deleted: a file vanishing between os.stat and the boundary
+    read must drop out of the scan, not crash latestOffset."""
+    import loongcollector_spark.sources.tail as tail_mod
+
+    a, b = tmp_path / "a.log", tmp_path / "b.log"
+    a.write_bytes(b"keep\n")
+    b.write_bytes(b"gone\n")
+    real = tail_mod._newline_boundary
+
+    def flaky(path, size):
+        if path.endswith("b.log"):
+            raise FileNotFoundError(path)
+        return real(path, size)
+
+    monkeypatch.setattr(tail_mod, "_newline_boundary", flaky)
+    reader = LogTailStreamReader({"path": str(tmp_path / "*.log")})
+    off = reader.latestOffset()
+    assert [e["path"].endswith("a.log") for e in off["files"].values()] == [True]
+
+
+def test_scan_boundary_cache_skips_unchanged_files(tmp_path, monkeypatch):
+    """An unchanged (size, mtime) file costs a pure stat on later scans —
+    the tail-block read happens once, not per trigger."""
+    import loongcollector_spark.sources.tail as tail_mod
+
+    p = tmp_path / "a.log"
+    p.write_bytes(b"line\n" * 100)
+    calls = []
+    real = tail_mod._newline_boundary
+
+    def counting(path, size):
+        calls.append(path)
+        return real(path, size)
+
+    monkeypatch.setattr(tail_mod, "_newline_boundary", counting)
+    reader = LogTailStreamReader({"path": str(tmp_path / "*.log")})
+    reader.latestOffset()
+    reader.latestOffset()
+    reader.latestOffset()
+    assert len(calls) == 1
+    with open(p, "ab") as f:  # growth invalidates the cache entry
+        f.write(b"more\n")
+    reader.latestOffset()
+    assert len(calls) == 2
