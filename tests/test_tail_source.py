@@ -411,3 +411,97 @@ def test_scan_boundary_cache_skips_unchanged_files(tmp_path, monkeypatch):
         f.write(b"more\n")
     reader.latestOffset()
     assert len(calls) == 2
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_line = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF,
+                           exclude_characters="\n"),
+    max_size=40,
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    lines=st.lists(_line, max_size=30),
+    terminated=st.booleans(),
+    mpb=st.integers(min_value=1, max_value=97),
+)
+def test_tail_chunk_ownership_property(lines, terminated, mpb):
+    """Hadoop-split ownership invariant, fuzzed: for ANY file content
+    (empty lines, multi-byte UTF-8, unterminated tail) and ANY
+    max_partition_bytes (down to 1 byte — every line spans chunks), the
+    union of all partition reads is exactly the file's lines, each ONCE,
+    at its exact byte offset. flush_timeout_ms=0 so the unterminated
+    final line flushes immediately (the read-timeout path)."""
+    import tempfile
+
+    data = b"".join(ln.encode("utf-8") + b"\n" for ln in lines)
+    if not terminated and data:
+        data = data[:-1]
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "a.log")
+        with open(p, "wb") as f:
+            f.write(data)
+        reader = LogTailStreamReader({
+            "path": os.path.join(d, "*.log"),
+            "flush_timeout_ms": 0,
+            "max_partition_bytes": mpb,
+        })
+        parts = reader.partitions({"files": {}}, reader.latestOffset())
+        got = []
+        for part in parts:
+            for batch in reader.read(part):
+                got.extend(zip(batch.column(2).to_pylist(),
+                               batch.column(0).to_pylist()))
+    got.sort()
+    expected, off = [], 0
+    enc = [ln.encode("utf-8") for ln in lines]
+    for i, b in enumerate(enc):
+        last = i == len(enc) - 1
+        if not (last and not terminated and not b):
+            expected.append((off, b.decode("utf-8")))
+        off += len(b) + 1
+    assert got == expected
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    data=st.binary(max_size=300),
+    cut_frac=st.floats(min_value=0.0, max_value=1.0),
+    mpb=st.integers(min_value=1, max_value=97),
+)
+def test_tail_resume_tiles_appended_bytes_exactly_once(data, cut_frac, mpb):
+    """Two-scan resume invariant, fuzzed: write a prefix, scan+plan, append
+    the rest, scan+plan again — the two plans tile [0, len) contiguously
+    with no overlap and no gap (exactly-once over arbitrary bytes), and the
+    head-signature guard never mistakes a pure append for a new generation
+    (which would show as a round-2 range restarting at 0)."""
+    import tempfile
+
+    c = int(len(data) * cut_frac)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "a.log")
+        with open(p, "wb") as f:
+            f.write(data[:c])
+        reader = LogTailStreamReader({
+            "path": os.path.join(d, "*.log"),
+            "flush_timeout_ms": 0,
+            "max_partition_bytes": mpb,
+        })
+        scan1 = reader.latestOffset()
+        parts1 = reader.partitions({"files": {}}, scan1)
+        with open(p, "ab") as f:
+            f.write(data[c:])
+        scan2 = reader.latestOffset()
+        parts2 = reader.partitions(scan1, scan2)
+    spans = sorted(
+        (pt.chunk_start, pt.chunk_end) for pt in list(parts1) + list(parts2)
+    )
+    pos = 0
+    for s, e in spans:
+        assert s == pos and e > s, (spans, c, len(data))
+        pos = e
+    assert pos == len(data), (spans, c, len(data))
