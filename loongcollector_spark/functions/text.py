@@ -269,3 +269,85 @@ def stratified_sample(
     # rate*buckets would admit one extra bucket there — floor() means the
     # same expression in every engine for arbitrary rates.
     return df.filter(bucket < F.floor(rate * buckets))
+
+
+def hashed_ngram_buckets(
+    col: Column, n_buckets: int = 1024, ns: tuple[int, ...] = (1, 2)
+) -> Column:
+    """array<long>: every word n-gram (default unigrams + bigrams) hashed
+    into [0, n_buckets) — the hashed feature space of DSIR (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"). md5
+    (not xxhash64) so an external engine can replay the exact buckets
+    (DuckDB: ('0x' || substr(md5(g),1,15))::BIGINT % B)."""
+    parts = [words(col) if n == 1 else word_ngrams(col, n) for n in ns]
+    grams = F.concat(*parts) if len(parts) > 1 else parts[0]
+    return F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        % n_buckets,
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target: Column,
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+    ns: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """Per-document DSIR importance weight log p_target(x)/p_raw(x) under
+    hashed n-gram bag-of-words models (Xie et al. 2023): the standard
+    data-selection step that up-weights raw documents resembling a target
+    domain. ``target`` is a boolean Column marking the target subset (e.g.
+    lang == 'en'); the raw model is the whole input. Laplace ``smoothing``
+    on both distributions. Returns (id_col, n_grams, dsir_weight); docs
+    with zero grams drop out (no features, no weight).
+
+    Scale shape: one explode → (doc, bucket) partial-agg groupBy (linear,
+    map-side combined); the bucket histogram is B rows (global agg of the
+    persisted feature relation, NOT a second pass over text); per-bucket
+    log-ratio joins back as a broadcast; final per-doc sum is the only
+    other shuffle. No driver collect — totals ride a crossJoin of the
+    1-row aggregate."""
+    from loongcollector_spark.functions.dedup import _track_persist
+
+    feat = _track_persist(
+        df.select(
+            F.col(id_col),
+            target.alias("__tgt__"),
+            F.explode(
+                hashed_ngram_buckets(F.col(text_col), n_buckets, ns)
+            ).alias("__b__"),
+        )
+        .groupBy(id_col, "__tgt__", "__b__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    hist = feat.groupBy("__b__").agg(
+        F.sum("__c__").alias("__raw__"),
+        F.sum(
+            F.when(F.col("__tgt__"), F.col("__c__")).otherwise(F.lit(0))
+        ).alias("__tgt_c__"),
+    )
+    tot = hist.agg(
+        F.sum("__raw__").alias("__rt__"), F.sum("__tgt_c__").alias("__tt__")
+    )
+    a = float(smoothing)
+    ab = a * n_buckets
+    # per-bucket per-occurrence term: log p_tgt(b) - log p_raw(b), smoothed
+    term = hist.crossJoin(F.broadcast(tot)).select(
+        "__b__",
+        (
+            F.log((F.col("__tgt_c__") + a) / (F.col("__tt__") + ab))
+            - F.log((F.col("__raw__") + a) / (F.col("__rt__") + ab))
+        ).alias("__t__"),
+    )
+    return (
+        feat.join(F.broadcast(term), "__b__")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c__").cast("long").alias("n_grams"),
+            F.sum(F.col("__c__") * F.col("__t__")).alias("dsir_weight"),
+        )
+    )

@@ -3226,6 +3226,57 @@ def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dsir_importance_weights",
+    """
+    WITH docs AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+      FROM documents),
+    grams AS (
+      SELECT doc_id, lang,
+             UNNEST(list_concat(
+               ws,
+               list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+             )) AS g
+      FROM docs),
+    feat AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 1024 AS b,
+             COUNT(*) AS c
+      FROM grams GROUP BY ALL),
+    hist AS (
+      SELECT b, SUM(c) AS raw_c,
+             SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS tgt_c
+      FROM feat GROUP BY b),
+    tot AS (SELECT SUM(raw_c) AS rt, SUM(tgt_c) AS tt FROM hist),
+    term AS (
+      SELECT b, ln((tgt_c + 1.0) / (tt + 1024.0))
+               - ln((raw_c + 1.0) / (rt + 1024.0)) AS t
+      FROM hist, tot)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+           ROUND(SUM(c * t), 4) AS dsir_weight
+    FROM feat JOIN term USING (b) GROUP BY doc_id
+    """,
+    doc="DSIR importance weights (Xie et al. 2023): per-doc "
+        "log p_target/p_raw under hashed unigram+bigram bag models, "
+        "target = lang='en', B=1024 md5 buckets, Laplace smoothing 1. "
+        "One explode + linear (doc,bucket) groupBy; the histogram and "
+        "log-ratio table are B rows broadcast back — no driver collect, "
+        "no per-row Python; DuckDB replays the exact hash buckets",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.functions.text import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_importance(
+        docs, "text", "doc_id", F.col("lang") == "en", n_buckets=1024
+    )
+    return w.select(
+        "doc_id", "n_grams", F.round("dsir_weight", 4).alias("dsir_weight")
+    )
+
+
+@register(
     "metadata_group_slices",
     """
     WITH c AS (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1),

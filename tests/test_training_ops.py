@@ -616,3 +616,60 @@ def test_pii_detect_and_redact(spark):
     for r in rows.values():  # redaction leaves zero residual and is idempotent
         assert (r.re, r.ri, r.rp) == (0, 0, 0)
         assert r.red2 == r.red
+
+
+def test_dsir_importance_matches_pure_python(spark):
+    """dsir_importance == a from-scratch pure-Python replay of the DSIR
+    math (hashed unigram+bigram counts, Laplace-smoothed log-ratio) on a
+    tiny corpus — and target-domain-looking docs outscore off-domain ones."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, "the cat sat on the mat", True),
+        (2, "the dog sat on the rug", True),
+        (3, "the cat sat on the rug", False),     # target-domain phrasing
+        (4, "import spark shuffle partition executor jvm", False),  # off-domain
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, is_tgt boolean")
+    # B large enough that this corpus has no hash collisions: with heavy
+    # smoothing on 4 docs a collision can flip the tiny-corpus ordering
+    B, a = 4096, 1.0
+
+    def buckets(text):
+        ws = [w for w in text.split() if w]
+        grams = ws + [f"{x} {y}" for x, y in zip(ws, ws[1:])]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+            for g in grams
+        ]
+
+    feat = {i: Counter(buckets(t)) for i, t, _ in rows}
+    raw, tgt = Counter(), Counter()
+    for i, _, is_t in rows:
+        raw.update(feat[i])
+        if is_t:
+            tgt.update(feat[i])
+    rt, tt = sum(raw.values()), sum(tgt.values())
+    term = {
+        b: math.log((tgt[b] + a) / (tt + a * B))
+        - math.log((raw[b] + a) / (rt + a * B))
+        for b in raw
+    }
+    expected = {
+        i: sum(c * term[b] for b, c in feat[i].items()) for i, _, _ in rows
+    }
+
+    got = {
+        r["id"]: (r["n_grams"], r["dsir_weight"])
+        for r in tx.dsir_importance(
+            df, "text", "id", F.col("is_tgt"), n_buckets=B, smoothing=a
+        ).collect()
+    }
+    dedup.release_persisted()
+    for i, _, _ in rows:
+        assert got[i][0] == sum(feat[i].values())
+        assert got[i][1] == pytest.approx(expected[i], abs=1e-9)
+    # the DSIR promise: target-vocabulary doc 3 outscores off-domain doc 4
+    assert got[3][1] > got[4][1]
