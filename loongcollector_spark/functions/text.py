@@ -146,13 +146,22 @@ def dup_line_char_frac(col: Column) -> Column:
 
 def word_ngrams(col: Column, n: int = 2) -> Column:
     """Space-joined word n-grams of the whitespace tokenization (array of
-    strings; empty when the doc has < n words)."""
+    strings; empty when the doc has < n words).
+
+    Shape matters (same lesson as dedup.hashed_shingles): the n-gram window
+    is arrays_zip of n SHIFTED SLICES of the word array, so ``ws`` appears
+    exactly n+1 times per ROW. The per-index form (transform over a
+    sequence with slice(ws, i+1, n) in the lambda) embeds ``ws`` in the
+    lambda body, and Spark does not common-subexpression-eliminate inside
+    higher-order functions — the whole split is recomputed per gram,
+    O(words²) per doc."""
     ws = words(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
+    sz = F.size(ws)
+    zipped = F.arrays_zip(*[F.slice(ws, 1 + k, sz - (n - 1)) for k in range(n)])
     grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " ")
+        zipped, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])
     )
-    return F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def top_ngram_char_frac(
@@ -279,13 +288,32 @@ def hashed_ngram_buckets(
     "Data Selection for Language Models via Importance Resampling"). md5
     (not xxhash64) so an external engine can replay the exact buckets
     (DuckDB: ('0x' || substr(md5(g),1,15))::BIGINT % B)."""
-    parts = [words(col) if n == 1 else word_ngrams(col, n) for n in ns]
-    grams = F.concat(*parts) if len(parts) > 1 else parts[0]
-    return F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
-        % n_buckets,
-    )
+    ws = words(col)
+    sz = F.size(ws)
+
+    def _b(g: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+            % n_buckets
+        )
+
+    # ws appears a CONSTANT number of times per row (transform arg + shifted
+    # slices) — never inside a lambda body, where Spark would recompute the
+    # whole split per gram (O(words²)/doc; see word_ngrams docstring)
+    def _ngram_part(n: int) -> Column:
+        # NB: a one-arg lambda only — pyspark materializes every lambda
+        # parameter (including defaults) as a higher-order-function variable
+        zipped = F.arrays_zip(
+            *[F.slice(ws, 1 + k, sz - (n - 1)) for k in range(n)]
+        )
+        grams = F.transform(
+            zipped,
+            lambda s: _b(F.concat_ws(" ", *[s[str(k)] for k in range(n)])),
+        )
+        return F.when(sz >= n, grams).otherwise(F.array().cast("array<long>"))
+
+    parts = [F.transform(ws, _b) if n == 1 else _ngram_part(n) for n in ns]
+    return F.concat(*parts) if len(parts) > 1 else parts[0]
 
 
 def dsir_importance(

@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # (dedup_minhash_lsh / dedup_simhash) are correctness artifacts — they pin
 # md5 STRING shingles so DuckDB can replay them, which costs ~10x the
 # production gram path and proves nothing extra about scaling shape
-QUERIES = ["corpus_curation_pipeline", "dedup_exact"]
+QUERIES = ["corpus_curation_pipeline", "dedup_exact", "dsir_importance_weights"]
 
 
 def _production_paths():
