@@ -3853,6 +3853,9 @@ _DRIVER_WINDOW_TAIL = [
     # tag_route_rollup in-window after container_flag_merge_fields joined
     "multiline_merge_blocks",      # multiline: start_end/start_continue/
                                    #   by_flag/continue_end all in-window
+    # r5 session 9: demoted (signed r3+r4) so the never-signed
+    # tag_route_rollup stays in-window after dsir_importance_weights joined
+    "parse_kv_roundtrip",          # kv parse: split_words_rollup in-window
 ]
 
 
