@@ -333,49 +333,67 @@ def dsir_importance(
     on both distributions. Returns (id_col, n_grams, dsir_weight); docs
     with zero grams drop out (no features, no weight).
 
-    Scale shape: one explode → (doc, bucket) partial-agg groupBy (linear,
-    map-side combined); the bucket histogram is B rows (global agg of the
-    persisted feature relation, NOT a second pass over text); per-bucket
-    log-ratio joins back as a broadcast; final per-doc sum is the only
-    other shuffle. No driver collect — totals ride a crossJoin of the
-    1-row aggregate."""
+    Scale shape: the ONLY shuffle is the B-row bucket histogram (explode →
+    groupBy(bucket) — hash-agg on ≤B keys per task, so the map-side combine
+    reduces the exchange to B×tasks rows regardless of corpus size). The
+    per-bucket log-ratio table folds into a single map<bucket,term> row
+    (map_from_entries over collect_list — B entries; keep B in the DSIR
+    paper's 10⁴-10⁵ range, it rides the broadcast) that crossJoins back
+    onto the persisted (doc, grams) relation, and each doc's weight is an
+    F.aggregate fold over its own gram array — fully map-side, no
+    (doc,bucket) exchange at all. No driver collect — totals ride a
+    crossJoin of the 1-row aggregate."""
     from loongcollector_spark.functions.dedup import _track_persist
 
+    # one md5 pass over the text, reused by the histogram and scoring scans
     feat = _track_persist(
         df.select(
             F.col(id_col),
             target.alias("__tgt__"),
-            F.explode(
-                hashed_ngram_buckets(F.col(text_col), n_buckets, ns)
-            ).alias("__b__"),
-        )
-        .groupBy(id_col, "__tgt__", "__b__")
-        .agg(F.count(F.lit(1)).alias("__c__"))
+            hashed_ngram_buckets(F.col(text_col), n_buckets, ns).alias(
+                "__bs__"
+            ),
+        ).filter(F.size("__bs__") > 0)
     )
-    hist = feat.groupBy("__b__").agg(
-        F.sum("__c__").alias("__raw__"),
-        F.sum(
-            F.when(F.col("__tgt__"), F.col("__c__")).otherwise(F.lit(0))
-        ).alias("__tgt_c__"),
+    hist = (
+        feat.select("__tgt__", F.explode("__bs__").alias("__b__"))
+        .groupBy("__b__")
+        .agg(
+            F.count(F.lit(1)).alias("__raw__"),
+            F.sum(
+                F.when(F.col("__tgt__"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("__tgt_c__"),
+        )
     )
     tot = hist.agg(
         F.sum("__raw__").alias("__rt__"), F.sum("__tgt_c__").alias("__tt__")
     )
     a = float(smoothing)
     ab = a * n_buckets
-    # per-bucket per-occurrence term: log p_tgt(b) - log p_raw(b), smoothed
-    term = hist.crossJoin(F.broadcast(tot)).select(
-        "__b__",
-        (
-            F.log((F.col("__tgt_c__") + a) / (F.col("__tt__") + ab))
-            - F.log((F.col("__raw__") + a) / (F.col("__rt__") + ab))
-        ).alias("__t__"),
-    )
-    return (
-        feat.join(F.broadcast(term), "__b__")
-        .groupBy(id_col)
-        .agg(
-            F.sum("__c__").cast("long").alias("n_grams"),
-            F.sum(F.col("__c__") * F.col("__t__")).alias("dsir_weight"),
+    # per-bucket per-occurrence term: log p_tgt(b) - log p_raw(b), smoothed,
+    # folded into one map row (every bucket seen in ANY doc is a hist key,
+    # so the scoring lookup below can never miss)
+    term_map = (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "__b__",
+            (
+                F.log((F.col("__tgt_c__") + a) / (F.col("__tt__") + ab))
+                - F.log((F.col("__raw__") + a) / (F.col("__rt__") + ab))
+            ).alias("__t__"),
         )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__b__", "__t__"))
+            ).alias("__m__")
+        )
+    )
+    return feat.crossJoin(F.broadcast(term_map)).select(
+        F.col(id_col),
+        F.size("__bs__").cast("long").alias("n_grams"),
+        F.aggregate(
+            "__bs__",
+            F.lit(0.0),
+            lambda acc, b: acc + F.element_at(F.col("__m__"), b),
+        ).alias("dsir_weight"),
     )

@@ -3260,9 +3260,11 @@ def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="DSIR importance weights (Xie et al. 2023): per-doc "
         "log p_target/p_raw under hashed unigram+bigram bag models, "
         "target = lang='en', B=1024 md5 buckets, Laplace smoothing 1. "
-        "One explode + linear (doc,bucket) groupBy; the histogram and "
-        "log-ratio table are B rows broadcast back — no driver collect, "
-        "no per-row Python; DuckDB replays the exact hash buckets",
+        "The only shuffle is the B-row bucket histogram (map-side combined "
+        "explode→groupBy); scoring is a per-doc F.aggregate fold over the "
+        "gram array against a broadcast map<bucket,log-ratio> — no "
+        "(doc,bucket) exchange, no driver collect, no per-row Python; "
+        "DuckDB replays the exact hash buckets",
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loongcollector_spark.functions.text import dsir_importance
