@@ -371,8 +371,11 @@ def dsir_importance(
     a = float(smoothing)
     ab = a * n_buckets
     # per-bucket per-occurrence term: log p_tgt(b) - log p_raw(b), smoothed,
-    # folded into one map row (every bucket seen in ANY doc is a hist key,
-    # so the scoring lookup below can never miss)
+    # then densified to a B-slot array indexed by bucket — Spark MapData
+    # lookups are LINEAR scans, so per-gram element_at on a map would cost
+    # O(B) each; the one-row map→array conversion pays that once and the
+    # scoring fold below indexes in O(1). Buckets unseen in any doc (and
+    # therefore never looked up) densify to 0.0 via the coalesce.
     term_map = (
         hist.crossJoin(F.broadcast(tot))
         .select(
@@ -387,6 +390,14 @@ def dsir_importance(
                 F.collect_list(F.struct("__b__", "__t__"))
             ).alias("__m__")
         )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m__"), i.cast("long")), F.lit(0.0)
+                ),
+            ).alias("__terms__")
+        )
     )
     return feat.crossJoin(F.broadcast(term_map)).select(
         F.col(id_col),
@@ -394,6 +405,7 @@ def dsir_importance(
         F.aggregate(
             "__bs__",
             F.lit(0.0),
-            lambda acc, b: acc + F.element_at(F.col("__m__"), b),
+            lambda acc, b: acc
+            + F.element_at(F.col("__terms__"), (b + 1).cast("int")),
         ).alias("dsir_weight"),
     )
