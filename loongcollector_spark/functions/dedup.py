@@ -59,13 +59,18 @@ def md5_hash60(col: Column) -> Column:
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct) as an array<string>."""
+    """Word n-gram shingles (distinct) as an array<string>.
+
+    Same arrays_zip-of-shifted-slices shape as hashed_shingles below (and
+    for the same reason): slicing ``ws`` inside a transform lambda would
+    recompute the whole split per gram — O(words²) per doc."""
     ws = F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
+    sz = F.size(ws)
+    zipped = F.arrays_zip(*[F.slice(ws, 1 + k, sz - (n - 1)) for k in range(n)])
     grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " ")
+        zipped, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])
     )
-    return F.array_distinct(F.when(F.size(ws) >= n, grams).otherwise(F.array()))
+    return F.array_distinct(F.when(sz >= n, grams).otherwise(F.array()))
 
 
 def hashed_shingles(col: Column, n: int = 3) -> Column:
