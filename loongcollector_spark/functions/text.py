@@ -126,22 +126,39 @@ def dup_line_frac(col: Column) -> Column:
     return ((n - F.size(F.array_distinct(lines))) / F.greatest(n, F.lit(1))).cast("double")
 
 
+def dup_line_char_mass(col: Column) -> Column:
+    """Characters sitting in repeat occurrences of a line (long): sum over
+    distinct lines of (count-1)*len(line). Sorted-run fold — array_sort the
+    line array once per row, then add len(line) for every element equal to
+    its predecessor: O(L log L) per doc and shuffle-free at any corpus
+    size. The tempting filter-count-per-distinct form embeds the line split
+    in the lambda body, which Spark re-evaluates per element (no CSE inside
+    higher-order functions) — O(L·|text|) per doc."""
+    return F.aggregate(
+        F.array_sort(_nonempty_lines(col)),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("dup"),
+        ),
+        lambda acc, l: F.struct(
+            l.alias("prev"),
+            (
+                acc["dup"]
+                + F.when(l == acc["prev"], F.length(l).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("dup"),
+        ),
+        lambda acc: acc["dup"],
+    )
+
+
 def dup_line_char_frac(col: Column) -> Column:
     """Fraction of characters sitting in repeat occurrences of a line:
-    sum over distinct lines of (count-1)*len(line), over total line chars.
-    O(distinct_lines * lines) per doc — documents have tens-to-hundreds of
-    lines, so this stays cheaper than an explode + (doc,line) groupBy shuffle
-    until ~10^4 lines/doc; docs are independent, so the cost is embarrassingly
-    parallel and shuffle-free at any corpus size."""
+    dup_line_char_mass over total line chars."""
     lines = _nonempty_lines(col)
     total = F.aggregate(lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l))
-    dup_chars = F.aggregate(
-        F.array_distinct(lines),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc
-        + (F.size(F.filter(lines, lambda y: y == x)) - 1) * F.length(x),
-    )
-    return (dup_chars / F.greatest(total, F.lit(1))).cast("double")
+    return (dup_line_char_mass(col) / F.greatest(total, F.lit(1))).cast("double")
 
 
 def word_ngrams(col: Column, n: int = 2) -> Column:
@@ -164,25 +181,25 @@ def word_ngrams(col: Column, n: int = 2) -> Column:
     return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
-def top_ngram_char_frac(
-    df: DataFrame, text_col: str, id_col: str, n: int = 2
-) -> DataFrame:
-    """Per-doc fraction of characters covered by the most frequent word
-    n-gram: max over grams of count*len(gram) / len(text).
+def top_ngram_mass(col: Column, n: int = 2) -> Column:
+    """Column (long): characters covered by the document's most frequent
+    word n-gram — max over grams of count*len(gram).
 
-    Scale shape: explode -> partial-agg groupBy on (doc_id, gram) -> per-doc
-    max — linear in corpus size, one shuffle keyed by (doc_id, gram) (grams of
-    one doc never all meet, so no per-doc hotspot), then a cheap doc-keyed
-    rollup. The O(G^2) per-doc array alternative is wrong for long docs.
+    Scale shape: NO exchange at all. Gram frequency is a strictly per-
+    document statistic and every document is one row, so the former
+    explode -> groupBy(doc, gram) shuffle (12 bytes/position — the
+    dominant exchange of the curation funnel, ~19 GB at 20M docs) moved
+    entirely map-side: each position becomes a (xxhash64 of the n word
+    hashes, joined-string length) struct, the per-row array is
+    array_sort-ed (O(G log G)), and a single run-length F.aggregate fold
+    tracks the best run mass (count*len == sum of len over the run). The
+    naive all-pairs per-row alternative would be O(G²) for long docs;
+    sorted runs are not.
 
-    The gram itself never leaves the scan stage: each position ships as a
-    (xxhash64 of the n word-hashes, joined-string length) struct, so the
-    (doc, gram) shuffle moves 12 bytes instead of the gram text and the
-    count groupBy hashes longs, not strings (~6x on the 200k-doc probe).
     Counts — and therefore the max(count*len) result — are identical to
     grouping by the gram string barring a same-doc 64-bit collision
-    (p ~ G²/2⁶⁵ per doc). Returns (id_col, top_ngram_chars, text_chars)."""
-    ws = words(F.col(text_col))
+    (p ~ G²/2⁶⁵ per doc)."""
+    ws = words(col)
     wh = F.transform(ws, lambda w: F.xxhash64(w))
     lw = F.transform(ws, lambda w: F.length(w))
     sz = F.size(ws)
@@ -204,24 +221,41 @@ def top_ngram_char_frac(
     gram_structs = F.when(sz >= n, gram_structs).otherwise(
         F.array().cast("array<struct<h:bigint,len:int>>")
     )
-    grams = df.select(
-        F.col(id_col),
-        F.length(F.col(text_col)).alias("text_chars"),
-        F.explode_outer(gram_structs).alias("g"),
+    # equal hashes sort adjacent; the fold carries (prev hash, current run
+    # mass, best run mass) — first element and run breaks hit the otherwise
+    # branch because NULL/h-mismatch comparisons are non-true
+    run_mass = lambda acc, s: (  # noqa: E731 — shared by two fold fields
+        F.when(s["h"] == acc["ph"], acc["mass"] + s["len"]).otherwise(
+            s["len"].cast("long")
+        )
     )
-    per_gram = grams.groupBy(id_col, "text_chars", "g").agg(
-        F.count(F.lit(1)).alias("cnt")
+    return F.aggregate(
+        F.array_sort(gram_structs),
+        F.struct(
+            F.lit(None).cast("bigint").alias("ph"),
+            F.lit(0).cast("long").alias("mass"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, s: F.struct(
+            s["h"].alias("ph"),
+            run_mass(acc, s).alias("mass"),
+            F.greatest(acc["best"], run_mass(acc, s)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    return per_gram.groupBy(id_col, "text_chars").agg(
-        F.max(
-            F.when(F.col("g").isNotNull(), F.col("cnt") * F.col("g.len"))
-            .otherwise(F.lit(0))
-            .cast("long")
-        ).alias("top_ngram_chars")
-    ).select(
+
+
+def top_ngram_char_frac(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """DataFrame wrapper of top_ngram_mass: (id_col, top_ngram_chars,
+    text_chars) per document — kept for callers that want the standalone
+    relation; composable pipelines should use the column form directly
+    (zero exchange either way)."""
+    return df.select(
         F.col(id_col),
-        F.col("top_ngram_chars"),
-        F.col("text_chars").cast("long").alias("text_chars"),
+        top_ngram_mass(F.col(text_col), n).alias("top_ngram_chars"),
+        F.length(F.col(text_col)).cast("long").alias("text_chars"),
     )
 
 

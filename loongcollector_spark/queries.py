@@ -3092,7 +3092,7 @@ def contamination_token_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def repetition_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loongcollector_spark.functions.text import (
-        _nonempty_lines, top_ngram_char_frac,
+        _nonempty_lines, dup_line_char_mass, top_ngram_char_frac,
     )
 
     raw = load_table(spark, sf_dir, "documents")
@@ -3115,12 +3115,7 @@ def repetition_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
         ).alias("line_chars"),
-        F.aggregate(
-            distinct,
-            F.lit(0).cast("long"),
-            lambda acc, x: acc
-            + (F.size(F.filter(lines, lambda y: y == x)) - 1) * F.length(x),
-        ).alias("dup_line_chars"),
+        dup_line_char_mass(F.col("text")).alias("dup_line_chars"),
     )
     top = top_ngram_char_frac(docs, "text", "doc_id", n=2)
     joined = base.join(top, "doc_id")
@@ -3501,10 +3496,12 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gate (dup-line char mass + top-2-gram char mass) -> exact dedup on "
         "the normalized fingerprint (min-id keeper via struct-min groupBy) "
         "-> deterministic 50% hash sample -> per-source rollup. Every gate "
-        "is a scan-side filter; the only shuffles are the 2-gram partial "
-        "agg, the fingerprint groupBy, and the final rollup — the whole "
-        "funnel is Catalyst-visible (no opaque UDF stage), so predicate "
-        "pushdown and column pruning survive composition",
+        "statistic (incl. the per-doc top-gram mass, a sorted-run array "
+        "fold) is a per-row expression, so the pre-dedup funnel is one "
+        "projection over the scan; the ONLY shuffles are the ~40 B/doc "
+        "fingerprint groupBy and the final rollup — the whole funnel is "
+        "Catalyst-visible (no opaque UDF stage), so predicate pushdown and "
+        "column pruning survive composition",
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -3525,17 +3522,11 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     line_chars = F.aggregate(
         lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
     )
-    dup_line_chars = F.aggregate(
-        F.array_distinct(lines),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc
-        + (F.size(F.filter(lines, lambda y: y == x)) - 1) * F.length(x),
-    )
-    rep = tx.top_ngram_char_frac(gated, "text", "doc_id", n=2)
-    # fingerprint + line aggregates are computed scan-side and text DROPPED
-    # before the doc_id join: the join's shuffle then moves ~40 B/doc of
-    # derived columns instead of the document text (was ~95% of the funnel's
-    # shuffle bytes at 2M docs)
+    dup_line_chars = tx.dup_line_char_mass(F.col("text"))
+    # every gate statistic (line masses, top-gram mass, fingerprint) is a
+    # per-row expression, so the whole pre-dedup funnel is ONE projection
+    # over the scan — no doc_id join, and the first exchange anywhere in
+    # the plan is the ~40 B/doc fingerprint groupBy below
     g3 = (
         gated.select(
             "doc_id",
@@ -3543,9 +3534,10 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             line_chars.alias("line_chars"),
             dup_line_chars.alias("dup_line_chars"),
+            tx.top_ngram_mass(F.col("text"), n=2).alias("top_ngram_chars"),
+            F.length("text").cast("long").alias("text_chars"),
             tx.fingerprint(F.col("text")).alias("fp"),
         )
-        .join(rep, "doc_id")
         .filter(
             ~(
                 (F.col("dup_line_chars") * 5 > F.col("line_chars"))
