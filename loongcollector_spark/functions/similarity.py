@@ -247,3 +247,81 @@ def ivf_topk(
         cand = cand.filter(F.col("id") != exclude_id)
     out = cand.select("id", cosine(F.col("v"), _query_col(query)).alias("similarity"))
     return out.orderBy(F.col("similarity").desc(), F.col("id")).limit(k)
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    centroids: Sequence[Sequence[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): semantic near-duplicate
+    removal over an embedding column. Vectors are first assigned to k-means
+    style cells (same deterministic plan-time centroid sample + argmax
+    assignment as ``ivf_topk``), then pairwise cosine similarity is computed
+    ONLY within a cell — the clustering bounds the quadratic, which is the
+    paper's whole point (all-pairs at corpus scale is infeasible; per-cell
+    m² with k cells is (n/k)² · k). A vector is dropped when some cell-mate
+    with a SMALLER id is ≥ ``threshold`` similar — the keep-first greedy,
+    a deterministic analogue of the paper's keep-one-per-duplicate-group.
+
+    Returns (id, cell:int, keep:boolean) for every input vector.
+
+    Scale shape: one exchange — the self-join hash-partitions on the cell
+    id (plus AQE skew splitting for lopsided cells; at web scale SemDeDup
+    runs k large enough that cells stay ~10³-10⁴ vectors). Assignment is a
+    pure per-row expression against plan-time centroid constants (argmax
+    via array_position — a when-chain would duplicate every cosine subtree
+    per centroid); no driver collect beyond the n_cells-row train sample,
+    no per-row Python."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, vec_col, id_col, n_cells)
+    centroids = [list(c) for c in centroids]
+    vec = F.col(vec_col).cast("array<double>")
+    cnorms = [math.sqrt(sum(x * x for x in c)) + 1e-12 for c in centroids]
+    with_norm = df.select(
+        F.col(id_col).alias("id"),
+        vec.alias("v"),
+        (norm(vec) + F.lit(1e-12)).alias("vn"),
+    )
+    sims = F.array(
+        *[
+            (dot(F.col("v"), _query_col(c)) / (F.col("vn") * F.lit(cn)))
+            for c, cn in zip(centroids, cnorms)
+        ]
+    )
+    assigned = with_norm.withColumn("__sims__", sims).select(
+        "id",
+        "v",
+        "vn",
+        (F.array_position(F.col("__sims__"), F.array_max("__sims__")) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.id") < F.col("a.id")),
+        )
+        .filter(
+            dot(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.vn") * F.col("b.vn"))
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+        .withColumn("__dup__", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "id", "left")
+        .select(
+            "id",
+            "cell",
+            F.coalesce(~F.col("__dup__"), F.lit(True)).alias("keep"),
+        )
+    )

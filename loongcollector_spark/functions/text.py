@@ -443,3 +443,187 @@ def dsir_importance(
             + F.element_at(F.col("__terms__"), (b + 1).cast("int")),
         ).alias("dsir_weight"),
     )
+
+
+def _md5_bucket(g: Column, n_buckets: int) -> Column:
+    """md5-derived hash bucket in [0, n_buckets) — 15 hex chars < 2^63,
+    replayable in any engine (DuckDB:
+    ('0x' || substr(md5(g),1,15))::BIGINT % B)."""
+    return (
+        F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long") % n_buckets
+    )
+
+
+def _densify_counts(hist: DataFrame, n_slots: int, out: str) -> DataFrame:
+    """(bucket `__b__`, count `__c__`) histogram → ONE row holding an
+    n_slots-long array<double> indexed by bucket (0.0 for unseen buckets).
+    Spark MapData lookups are linear scans, so folding per-gram element_at
+    over a map would cost O(B) each; this one-row map→array conversion pays
+    that once and scoring folds index in O(1)."""
+    return (
+        hist.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__b__", "__c__"))
+            ).alias("__m__")
+        ).select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_slots - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m__"), i.cast("long")), F.lit(0.0)
+                ),
+            ).alias(out)
+        )
+    )
+
+
+def lm_perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    train: Column,
+    b_uni: int = 1024,
+    b_big: int = 4096,
+    bin_scale: int = 100,
+) -> DataFrame:
+    """CCNet-style LM-perplexity corpus partitioning (Wenzek et al. 2020):
+    train a hashed-bigram language model on the ``train`` slice (CCNet's
+    Wikipedia stand-in), score EVERY document by per-token cross-entropy
+    under it, and split the corpus into head / middle / tail perplexity
+    terciles — the classic "keep the head, drop the tail" curation gate.
+
+    The model is add-one-smoothed over hashed vocabularies (unigram contexts
+    in [0, b_uni), bigrams in [0, b_big)) — the hashing trick bounds the
+    model to a broadcastable array pair regardless of corpus vocabulary, the
+    md5 bucket scheme keeps it replayable by external engines. Cross-entropy
+    per doc = -(1/n) Σᵢ ln( (c(w_i w_{i+1})+1) / (c(w_i)+b_big) ) in nats.
+    Docs with fewer than two words drop out (no bigrams, no score).
+
+    Tercile assignment does NOT globally sort: per-doc scores quantize to
+    ``floor(xent * bin_scale)`` bins (a bounded key space), the bin
+    histogram's running sum yields exact cutoff bins c1/c2 (smallest bins
+    covering ≥1/3 and ≥2/3 of docs), and the label is a per-row CASE against
+    the two broadcast cutoffs. Scale shape: the only exchanges are the two
+    training histograms and the score-bin histogram — all map-side combined
+    onto bounded key spaces (≤b_uni / ≤b_big / ≤a few hundred bins); scoring
+    itself is a per-row F.aggregate fold against the broadcast model arrays
+    (no (doc,bucket) exchange, no per-row Python, no driver collect; the
+    cumulative window runs over the bounded bin histogram only).
+
+    Returns (id_col, n_bigrams:long, xent:double, ppl_bucket:string
+    head|middle|tail).
+    """
+    from pyspark.sql import Window
+
+    from loongcollector_spark.functions.dedup import _track_persist
+
+    ws = words(F.col(text_col))
+    sz = F.size(ws)
+    # one md5 pass per word position, reused by training and scoring scans;
+    # ws appears a constant number of times per row (never inside a lambda
+    # body, where Spark would recompute the split per gram — see
+    # hashed_ngram_buckets)
+    first = F.slice(ws, 1, sz - 1)
+    second = F.slice(ws, 2, sz - 1)
+    zipped = F.arrays_zip(first, second)
+    feat = _track_persist(
+        df.select(
+            F.col(id_col),
+            train.alias("__tr__"),
+            F.transform(ws, lambda w: _md5_bucket(w, b_uni)).alias("__u__"),
+            F.transform(
+                zipped,
+                lambda s: _md5_bucket(
+                    F.concat_ws(" ", s["0"], s["1"]), b_big
+                ),
+            ).alias("__g__"),
+        ).filter(sz >= 2)
+    )
+
+    def _hist(arr_col: str) -> DataFrame:
+        return (
+            feat.filter(F.col("__tr__"))
+            .select(F.explode(arr_col).alias("__b__"))
+            .groupBy("__b__")
+            .agg(F.count(F.lit(1)).cast("double").alias("__c__"))
+        )
+
+    model = _densify_counts(_hist("__u__"), b_uni, "__uc__").crossJoin(
+        _densify_counts(_hist("__g__"), b_big, "__gc__")
+    )
+    # per-doc cross-entropy: fold over bigram positions i=1..n-1 (1-based),
+    # context unigram is __u__[i], bigram is __g__[i] — O(1) array indexing
+    # against the broadcast model
+    scored = _track_persist(
+        feat.crossJoin(F.broadcast(model)).select(
+            F.col(id_col),
+            F.size("__g__").cast("long").alias("n_bigrams"),
+            (
+                -F.aggregate(
+                    F.sequence(F.lit(1), F.size("__g__")),
+                    F.lit(0.0),
+                    lambda acc, i: acc
+                    + F.log(
+                        (
+                            F.element_at(
+                                F.col("__gc__"),
+                                (F.element_at(F.col("__g__"), i) + 1).cast(
+                                    "int"
+                                ),
+                            )
+                            + F.lit(1.0)
+                        )
+                        / (
+                            F.element_at(
+                                F.col("__uc__"),
+                                (F.element_at(F.col("__u__"), i) + 1).cast(
+                                    "int"
+                                ),
+                            )
+                            + F.lit(float(b_big))
+                        )
+                    ),
+                )
+                / F.size("__g__")
+            ).alias("xent"),
+        )
+    )
+    sbin = F.floor(F.col("xent") * bin_scale).cast("int")
+    hist = scored.select(sbin.alias("__sb__")).groupBy("__sb__").agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    # bounded bin space (≤ a few hundred rows) — the single-partition
+    # cumulative window is over the HISTOGRAM, never over the corpus
+    cum_w = Window.orderBy("__sb__").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cuts = (
+        hist.select(
+            "__sb__",
+            F.sum("__c__").over(cum_w).alias("__cum__"),
+            F.sum("__c__").over(tot_w).alias("__n__"),
+        ).agg(
+            F.min(
+                F.when(
+                    F.col("__cum__") * 3 >= F.col("__n__"), F.col("__sb__")
+                )
+            ).alias("__c1__"),
+            F.min(
+                F.when(
+                    F.col("__cum__") * 3 >= F.col("__n__") * 2,
+                    F.col("__sb__"),
+                )
+            ).alias("__c2__"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        F.col(id_col),
+        "n_bigrams",
+        "xent",
+        F.when(sbin <= F.col("__c1__"), F.lit("head"))
+        .when(sbin <= F.col("__c2__"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

@@ -2293,6 +2293,63 @@ def _ann_ivf_oracle(n_cells: int = 8, nprobe: int = 4) -> str:
     """
 
 
+def _semdedup_oracle(n_cells: int = 8, threshold: float = 0.4) -> str:
+    # Same cent/assign replay as _ann_ivf_oracle (identical train sample,
+    # argmax tie-break, and epsilon placement), then the SemDeDup keep rule:
+    # a vector survives iff NO smaller-id cell-mate is >= threshold cosine
+    # (cosine replayed as the engine computes it: dot / ((na+eps)*(nb+eps))).
+    return f"""
+    WITH cent AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS c,
+             row_number() OVER (ORDER BY (vec_id * 2654435761) % 2147483647, vec_id) - 1 AS cidx
+      FROM embeddings
+      ORDER BY (vec_id * 2654435761) % 2147483647, vec_id LIMIT {n_cells}),
+    cn AS (SELECT cidx, c,
+             sqrt(list_aggregate(list_transform(c, x -> x * x), 'sum')) AS cnorm
+           FROM cent),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS vnorm
+          FROM embeddings),
+    assign AS (
+      SELECT vec_id, v, vnorm, cell FROM (
+        SELECT v.vec_id, v.v, v.vnorm,
+               cn.cidx AS cell,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_inner_product(v.v, cn.c)
+                          / ((v.vnorm + 1e-12) * (cn.cnorm + 1e-12)) DESC,
+                          cn.cidx) AS rn
+        FROM v, cn) WHERE rn = 1)
+    SELECT a.vec_id, a.cell,
+           NOT EXISTS (
+             SELECT 1 FROM assign b
+             WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+               AND list_inner_product(a.v, b.v)
+                   / ((a.vnorm + 1e-12) * (b.vnorm + 1e-12)) >= {threshold}
+           ) AS keep
+    FROM assign a
+    """
+
+
+@register(
+    "semdedup_cell_keepers",
+    _semdedup_oracle(),
+    doc="SemDeDup (Abbas et al. 2023): semantic near-dup removal — k-means "
+        "style cells (the ivf_topk deterministic centroid sample) bound the "
+        "pairwise cosine pass to within-cell m², keep-first greedy drops "
+        "any vector with a >= 0.4-similar smaller-id cell-mate. One "
+        "exchange (self-join hash-partitioned on cell, AQE skew-split); "
+        "assignment is a per-row expression over plan-time constants; "
+        "DuckDB replays the train sample, argmax tie-break, epsilon "
+        "placement, and keep rule exactly",
+)
+def semdedup_cell_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup(
+        emb, "embedding", "vec_id", threshold=0.4, n_cells=8
+    ).select(F.col("id").alias("vec_id"), "cell", "keep")
+
+
 @register(
     "ann_ivf_cells",
     _ann_ivf_oracle(),
@@ -3274,6 +3331,80 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lm_perplexity_buckets",
+    """
+    WITH docs AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+      FROM documents),
+    d2 AS (SELECT doc_id, lang, ws, len(ws) AS n FROM docs WHERE len(ws) >= 2),
+    unic AS (
+      SELECT u AS b, COUNT(*) AS c FROM (
+        SELECT UNNEST(list_transform(ws, w ->
+          CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 1024)) AS u
+        FROM d2 WHERE lang = 'en')
+      GROUP BY 1),
+    bigc AS (
+      SELECT g AS b, COUNT(*) AS c FROM (
+        SELECT UNNEST(list_transform(range(1, n), i ->
+          CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 15))
+            AS BIGINT) % 4096)) AS g
+        FROM d2 WHERE lang = 'en')
+      GROUP BY 1),
+    pairs AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, n), i -> struct_pack(
+               u := CAST(('0x' || substr(md5(ws[i]), 1, 15)) AS BIGINT)
+                      % 1024,
+               g := CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i + 1]), 1,
+                      15)) AS BIGINT) % 4096))) AS p
+      FROM d2),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             -SUM(ln((COALESCE(bc.c, 0) + 1.0)
+                     / (COALESCE(uc.c, 0) + 4096.0))) / COUNT(*) AS xent
+      FROM pairs
+      LEFT JOIN unic uc ON uc.b = (p).u
+      LEFT JOIN bigc bc ON bc.b = (p).g
+      GROUP BY doc_id),
+    b AS (SELECT doc_id, n_bigrams, xent,
+                 CAST(FLOOR(xent * 100) AS INT) AS sbin FROM scored),
+    hist AS (SELECT sbin, COUNT(*) AS c FROM b GROUP BY sbin),
+    cum AS (SELECT sbin, SUM(c) OVER (ORDER BY sbin) AS cum,
+                   (SELECT COUNT(*) FROM b) AS n
+            FROM hist),
+    cuts AS (SELECT (SELECT MIN(sbin) FROM cum WHERE cum * 3 >= n) AS c1,
+                    (SELECT MIN(sbin) FROM cum WHERE cum * 3 >= 2 * n) AS c2)
+    SELECT doc_id, n_bigrams, ROUND(xent, 4) AS xent,
+           CASE WHEN sbin <= c1 THEN 'head'
+                WHEN sbin <= c2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM b, cuts
+    """,
+    doc="CCNet-style LM-perplexity corpus partitioning (Wenzek et al. "
+        "2020): a hashed-bigram LM (add-one smoothing, md5 buckets "
+        "1024/4096) trains on the lang='en' slice, every doc scores by "
+        "per-token cross-entropy, and the corpus splits head/middle/tail "
+        "by exact tercile cutoffs read off a bounded score-bin histogram "
+        "— NO global sort. Only exchanges: the two training histograms "
+        "and the bin histogram (bounded key spaces, map-side combined); "
+        "scoring is a per-row fold against the broadcast model arrays. "
+        "DuckDB replays the exact hash buckets and cutoff algebra",
+)
+def lm_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.functions.text import lm_perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = lm_perplexity_buckets(
+        docs, "text", "doc_id", F.col("lang") == "en",
+        b_uni=1024, b_big=4096, bin_scale=100,
+    )
+    return r.select(
+        "doc_id", "n_bigrams", F.round("xent", 4).alias("xent"), "ppl_bucket"
+    )
+
+
+@register(
     "metadata_group_slices",
     """
     WITH c AS (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1),
@@ -3850,6 +3981,11 @@ _DRIVER_WINDOW_TAIL = [
     # r5 session 9: demoted (signed r3+r4) so the never-signed
     # tag_route_rollup stays in-window after dsir_importance_weights joined
     "parse_kv_roundtrip",          # kv parse: split_words_rollup in-window
+    # r5 session 10: new queries registered straight into the tail so the
+    # window keeps the 29-never-signed rotation intact; signed locally by
+    # tools/check_oracles.py (CORRECTNESS_local.json)
+    "lm_perplexity_buckets",       # text: quality_scores + dsir in-window
+    "semdedup_cell_keepers",       # embedding dedup: multirot in-window
 ]
 
 

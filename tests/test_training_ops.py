@@ -673,3 +673,142 @@ def test_dsir_importance_matches_pure_python(spark):
         assert got[i][1] == pytest.approx(expected[i], abs=1e-9)
     # the DSIR promise: target-vocabulary doc 3 outscores off-domain doc 4
     assert got[3][1] > got[4][1]
+
+
+def test_lm_perplexity_buckets_matches_pure_python(spark):
+    """lm_perplexity_buckets == a from-scratch pure-Python replay of the
+    CCNet-style hashed-bigram LM (train on the marked slice, add-one
+    smoothing, cross-entropy in nats, histogram-tercile cutoffs) — and a
+    doc made of train-slice phrasing lands in a better bucket than one
+    made of vocabulary the LM never saw."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    BU, BG = 1024, 4096
+    rows = [
+        (1, "the cat sat on the mat", True),
+        (2, "the dog sat on the rug", True),
+        (3, "the cat sat on the rug", False),    # in-domain phrasing
+        (4, "zorp flib quux blarg wibble znork", False),  # unseen vocab
+        (5, "the cat sat", False),
+        (6, "one-word", False),                  # <2 words: drops out
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, is_tr boolean")
+
+    def b(g, n):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % n
+
+    def grams(text):
+        ws = [w for w in text.split() if w]
+        return (
+            [b(w, BU) for w in ws],
+            [b(f"{x} {y}", BG) for x, y in zip(ws, ws[1:])],
+        )
+
+    unic, bigc = Counter(), Counter()
+    for _, t, is_tr in rows:
+        u, g = grams(t)
+        if is_tr and len(u) >= 2:
+            unic.update(u)
+            bigc.update(g)
+    expected = {}
+    for i, t, _ in rows:
+        u, g = grams(t)
+        if len(u) < 2:
+            continue
+        s = sum(
+            math.log((bigc[gb] + 1.0) / (unic[ub] + BG))
+            for ub, gb in zip(u, g)
+        )
+        expected[i] = (len(g), -s / len(g))
+    sbins = {i: math.floor(x * 100) for i, (_, x) in expected.items()}
+    hist = Counter(sbins.values())
+    n = len(sbins)
+    cum, c1, c2 = 0, None, None
+    for sb in sorted(hist):
+        cum += hist[sb]
+        if c1 is None and cum * 3 >= n:
+            c1 = sb
+        if c2 is None and cum * 3 >= 2 * n:
+            c2 = sb
+    exp_bucket = {
+        i: ("head" if sb <= c1 else "middle" if sb <= c2 else "tail")
+        for i, sb in sbins.items()
+    }
+
+    got = {
+        r["id"]: r
+        for r in tx.lm_perplexity_buckets(
+            df, "text", "id", F.col("is_tr"), b_uni=BU, b_big=BG
+        ).collect()
+    }
+    dedup.release_persisted()
+    assert set(got) == set(expected)  # doc 6 (<2 words) dropped
+    for i, (n_big, xent) in expected.items():
+        assert got[i]["n_bigrams"] == n_big
+        assert got[i]["xent"] == pytest.approx(xent, abs=1e-9)
+        assert got[i]["ppl_bucket"] == exp_bucket[i]
+    # the CCNet promise: in-domain doc 3 has lower cross-entropy than the
+    # unseen-vocabulary doc 4, and they land in head vs tail respectively
+    assert got[3]["xent"] < got[4]["xent"]
+    assert got[3]["ppl_bucket"] == "head"
+    assert got[4]["ppl_bucket"] == "tail"
+
+
+def test_semdedup_matches_pure_python(spark):
+    """semdedup == a from-scratch replay of the SemDeDup rule (centroid
+    argmax assignment, within-cell keep-first greedy at the cosine
+    threshold) — near-identical vectors collapse to the smallest id,
+    distant vectors all survive."""
+    import math
+
+    dim, n_cells, tau = 8, 2, 0.9
+    base = [
+        [1.0 if j == (i % dim) else 0.1 * ((i * 7 + j) % 5) for j in range(dim)]
+        for i in range(12)
+    ]
+    base[5] = [x * 1.001 for x in base[1]]   # near-dup of vec 1
+    base[9] = [x * 0.999 for x in base[3]]   # near-dup of vec 3
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = [
+        list(r.v)
+        for r in df.selectExpr("embedding AS v", "vec_id")
+        .orderBy(F.pmod(F.col("vec_id") * 2654435761, F.lit(2147483647)), "vec_id")
+        .limit(n_cells)
+        .collect()
+    ]
+
+    def dotp(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def nrm(a):
+        return math.sqrt(dotp(a, a))
+
+    cn = [nrm(c) + 1e-12 for c in cents]
+    cell = {}
+    for i, v in rows:
+        sims = [dotp(v, c) / ((nrm(v) + 1e-12) * n) for c, n in zip(cents, cn)]
+        cell[i] = sims.index(max(sims))
+    expected = {}
+    for i, v in rows:
+        dup = any(
+            cell[j] == cell[i]
+            and j < i
+            and dotp(v, w) / ((nrm(v) + 1e-12) * (nrm(w) + 1e-12)) >= tau
+            for j, w in rows
+        )
+        expected[i] = (cell[i], not dup)
+
+    got = {
+        r["id"]: (r["cell"], r["keep"])
+        for r in similarity.semdedup(
+            df, "embedding", "vec_id", threshold=tau, n_cells=n_cells
+        ).collect()
+    }
+    assert got == expected
+    # the SemDeDup promise: the scaled copies drop, their originals survive
+    assert got[1][1] and not got[5][1]
+    assert got[3][1] and not got[9][1]
