@@ -8,7 +8,7 @@ full predicate pushdown upstream.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny marker-word sets for the n-gram/stopword language heuristic
@@ -626,4 +626,134 @@ def lm_perplexity_buckets(
         .when(sbin <= F.col("__c2__"), F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style cross-document repeated-span removal (Raffel et al. 2020, §2.2:
+# "we discarded all but one of any three-sentence span occurring more than
+# once in the data set") and RefinedWeb-style line-wise correction (Penedo
+# et al. 2023, §3.1.2 / MassiveWeb Rae et al. 2021): the two standard
+# SPAN-level curation passes — they edit documents instead of dropping them.
+# ---------------------------------------------------------------------------
+
+
+def c4_span_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """C4 repeated-span removal at line granularity: every nonempty line that
+    occurs more than once ANYWHERE in the corpus keeps only its first
+    occurrence (ordered by (doc id, position) — deterministic, replayable),
+    and each document's text is rebuilt from its surviving lines.
+
+    Returns one row per input document:
+    (id_col, text_clean, n_lines, n_removed) — a fully-deduped doc keeps an
+    empty text_clean rather than vanishing, so the output stays 1:1 joinable
+    with the input.
+
+    Scale shape: three linear exchanges, no quadratic anywhere —
+    1. the first-occurrence rule is a row_number window PARTITIONED BY the
+       line hash (the span relation shuffles once on the span key; identical
+       spans land together regardless of corpus size);
+    2. reconstruction is a groupBy(id) of (pos, line) structs, sorted
+       per-doc AFTER the shuffle (array_sort of an in-memory doc — docs are
+       bounded, corpora are not);
+    3. the 1:1 join back onto the doc spine reuses the id partitioning.
+    Window state per span key is the duplicate count of that one span, so
+    a pathological mega-duplicate (the classic boilerplate line in 10^9
+    docs) is one hot key — AQE skew-split handles it, and only (id,pos,line)
+    triples of THAT line sit in the partition, never whole documents."""
+    lines = df.select(
+        F.col(id_col).alias("__id__"),
+        F.posexplode(_nonempty_lines(F.col(text_col))).alias("__pos__", "__line__"),
+    )
+    w = Window.partitionBy("__line__").orderBy("__id__", "__pos__")
+    kept = (
+        lines.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .groupBy("__id__")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos__", "__line__"))),
+                    lambda s: s["__line__"],
+                ),
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("__n_kept__"),
+        )
+    )
+    spine = df.select(
+        F.col(id_col).alias("__id__"),
+        F.size(_nonempty_lines(F.col(text_col))).cast("long").alias("n_lines"),
+    )
+    return (
+        spine.join(kept, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("__n_kept__"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+# RefinedWeb line-correction rules (Penedo et al. 2023 Table 2 / MassiveWeb):
+# a line is boilerplate when it is uppercase-dominated, letter-free, a short
+# navigation item, or a social-media counter. Kept regex-simple on purpose —
+# the SAME pattern strings must compile in Java (Spark rlike) and RE2
+# (DuckDB regexp_matches) so the oracle replays them verbatim.
+LINE_NAV_RE = (
+    r"^(home|log ?in|sign ?(in|up)|menu|search|share|subscribe|"
+    r"read more|skip to content|comments?)$"
+)
+LINE_COUNTER_RE = r"^[0-9]+ +(likes?|shares?|comments?|views?|points?)$"
+
+
+def _line_is_boiler(line: Column) -> Column:
+    letters = F.regexp_replace(line, "[^A-Za-z]", "")
+    uppers = F.regexp_replace(line, "[^A-Z]", "")
+    lower_trim = F.lower(F.trim(line))
+    upper_dominated = (F.length(letters) > 0) & (
+        F.length(uppers) / F.length(letters) > 0.6
+    )
+    no_letters = F.length(letters) == 0
+    short_nav = (F.size(words(line)) <= 3) & lower_trim.rlike(LINE_NAV_RE)
+    counter = lower_trim.rlike(LINE_COUNTER_RE)
+    return upper_dominated | no_letters | short_nav | counter
+
+
+def line_correction(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_removed_frac: float = 0.05,
+) -> DataFrame:
+    """RefinedWeb-style line-wise correction: strip boilerplate lines
+    (uppercase-dominated, letter-free, short navigation items, social
+    counters — `_line_is_boiler`), then flag the whole document for removal
+    when the corrections deleted more than ``max_removed_frac`` of its
+    characters (the paper's "if modifications remove >5% of the document,
+    drop it entirely").
+
+    Returns (id_col, text_clean, n_lines, n_removed, removed_char_frac,
+    keep). Pure per-row array expressions — ZERO exchanges; the whole pass
+    fuses into the scan stage, which is what makes line correction free at
+    100 TB (it rides the same scan as the quality gates)."""
+    lines = _nonempty_lines(F.col(text_col))
+    kept = F.filter(lines, lambda l: ~_line_is_boiler(l))
+    chars = lambda arr: F.aggregate(  # noqa: E731 — local one-liner
+        arr, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    total = chars(lines)
+    removed_frac = F.when(total > 0, (total - chars(kept)) / total).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.concat_ws("\n", kept).alias("text_clean"),
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
+        removed_frac.cast("double").alias("removed_char_frac"),
+        (removed_frac <= F.lit(float(max_removed_frac))).alias("keep"),
     )

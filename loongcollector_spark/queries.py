@@ -3918,6 +3918,228 @@ def tag_route_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =============================================================================
+# Span-level curation: C4 repeated-span removal, RefinedWeb line correction,
+# PQ/ADC approximate nearest neighbors
+# =============================================================================
+
+# Both span queries chunk each doc's text into pseudo-lines of W words with
+# identical arithmetic on both engines (the sf corpus is single-line), so the
+# span unit — and therefore every removal decision — replays exactly.
+_CHUNK_SQL = """
+    ws AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS w
+           FROM documents),
+    ch AS (SELECT doc_id, CASE WHEN len(w) > 0 THEN
+             list_transform(range(0, CAST(ceil(len(w) / {W}.0) AS INT)),
+               i -> array_to_string(list_slice(w, i*{W}+1, i*{W}+{W}), ' '))
+           ELSE [] END AS lines FROM ws)
+"""
+
+
+def _chunk_text(text: F.Column, span_words: int) -> F.Column:
+    ws = tx.words(text)
+    n_chunks = F.ceil(F.size(ws) / F.lit(float(span_words))).cast("int")
+    return F.when(
+        F.size(ws) > 0,
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(ws, i * span_words + 1, span_words)
+                ),
+            ),
+        ),
+    ).otherwise(F.lit(""))
+
+
+@register(
+    "c4_span_dedup_docs",
+    "WITH "
+    + _CHUNK_SQL.format(W=3)
+    + """,
+    ex AS (SELECT doc_id, UNNEST(list_transform(range(1, len(lines)+1),
+             i -> struct_pack(pos := i, line := lines[i]))) AS s FROM ch),
+    r AS (SELECT doc_id, (s).pos AS pos, (s).line AS line,
+            row_number() OVER (PARTITION BY (s).line
+                               ORDER BY doc_id, (s).pos) AS rn FROM ex),
+    k AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                 COUNT(*) AS n_kept
+          FROM r WHERE rn = 1 GROUP BY doc_id)
+    SELECT c.doc_id, COALESCE(k.text_clean, '') AS text_clean,
+           len(c.lines) AS n_lines,
+           len(c.lines) - COALESCE(k.n_kept, 0) AS n_removed
+    FROM ch c LEFT JOIN k USING (doc_id)
+    """,
+    doc="C4-style repeated-span removal (Raffel et al. 2020 §2.2): every "
+        "3-word span occurring more than once in the corpus keeps only its "
+        "first (doc_id, pos) occurrence; documents rebuild from surviving "
+        "spans (~19%% of spans removed at sf0.01). Three linear exchanges: "
+        "row_number window on the span key, groupBy(doc) reconstruction, "
+        "spine join — no quadratic, hot spans are single keys AQE can split. "
+        "DuckDB replays chunking, first-occurrence rule, and reconstruction",
+)
+def c4_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunked = docs.select(
+        "doc_id", _chunk_text(F.col("text"), 3).alias("text")
+    )
+    return tx.c4_span_dedup(chunked, "text", "doc_id")
+
+
+@register(
+    "line_correction_gate",
+    "WITH "
+    + _CHUNK_SQL.format(W=6)
+    + """,
+    noisy AS (SELECT doc_id,
+        list_transform(range(1, len(lines)+1), i -> CASE
+          WHEN (i-1) % 5 = 0 THEN upper(lines[i])
+          WHEN (i-1) % 7 = 3 THEN CAST((i-1) AS VARCHAR) || ' likes'
+          ELSE lines[i] END) AS lines FROM ch),
+    ev AS (SELECT doc_id, lines,
+        list_filter(lines, l -> NOT (
+          (length(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0
+             AND length(regexp_replace(l, '[^A-Z]', '', 'g'))
+                 / length(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0.6)
+          OR length(regexp_replace(l, '[^A-Za-z]', '', 'g')) = 0
+          OR (len(list_filter(string_split_regex(l, '\\s+'), w -> w <> '')) <= 3
+              AND regexp_matches(lower(trim(l)),
+                '^(home|log ?in|sign ?(in|up)|menu|search|share|subscribe|read more|skip to content|comments?)$'))
+          OR regexp_matches(lower(trim(l)),
+                '^[0-9]+ +(likes?|shares?|comments?|views?|points?)$')
+        )) AS kept FROM noisy),
+    m AS (SELECT doc_id,
+            array_to_string(kept, chr(10)) AS text_clean,
+            len(lines) AS n_lines,
+            len(lines) - len(kept) AS n_removed,
+            list_aggregate(list_transform(lines, l -> length(l)), 'sum') AS tot,
+            list_aggregate(list_transform(kept, l -> length(l)), 'sum') AS kc
+          FROM ev)
+    SELECT doc_id, text_clean, n_lines, n_removed,
+           round(CASE WHEN tot > 0
+                      THEN (tot - COALESCE(kc, 0)) * 1.0 / tot
+                      ELSE 0.0 END, 6) AS removed_char_frac,
+           CASE WHEN tot > 0
+                THEN (tot - COALESCE(kc, 0)) * 1.0 / tot ELSE 0.0 END <= 0.2
+             AS keep
+    FROM m
+    """,
+    doc="RefinedWeb-style line-wise correction (Penedo et al. 2023 §3.1.2): "
+        "boilerplate lines (uppercase-dominated, letter-free, short nav "
+        "items, social counters) are stripped and the doc is dropped when "
+        "corrections removed >20%% of its characters. The query plants "
+        "deterministic noise (every 5th span uppercased, every 7th a "
+        "counter line) so the rules demonstrably fire; the pass itself is "
+        "ZERO-exchange per-row array expressions fused into the scan. "
+        "DuckDB replays noise construction, all four rules, and the gate",
+)
+def line_correction_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lines = tx._nonempty_lines(_chunk_text(F.col("text"), 6))
+    noisy = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.zip_with(
+                lines,
+                F.sequence(F.lit(0), F.size(lines) - 1),
+                lambda l, i: F.when(i % 5 == 0, F.upper(l))
+                .when(i % 7 == 3, F.concat(i.cast("string"), F.lit(" likes")))
+                .otherwise(l),
+            ),
+        ).alias("text"),
+    )
+    out = tx.line_correction(noisy, "text", "doc_id", max_removed_frac=0.2)
+    return out.withColumn(
+        "removed_char_frac", F.round("removed_char_frac", 6)
+    )
+
+
+def _ann_pq_oracle(
+    m: int = 8, sub: int = 8, n_codes: int = 16, k: int = 10, rerank: int = 4
+) -> str:
+    # Replays PQ end-to-end: the deterministic codebook sample (same
+    # multiplicative-hash ordering as train_pq_codebooks), per-subspace
+    # argmin-L2 encoding (fold order d-ascending == the engine's zip_with,
+    # first-min tie-break via (dist, cidx) row_number), the ADC table, the
+    # j-ordered ADC sum (list(qd ORDER BY j) folds left-to-right exactly like
+    # the engine's j-ascending additions), the (adc, id) candidate cut, and
+    # the exact-cosine re-rank.
+    return f"""
+    WITH samp AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v,
+             row_number() OVER (ORDER BY (vec_id * 2654435761) % 2147483647,
+                                vec_id) - 1 AS sidx
+      FROM embeddings
+      ORDER BY (vec_id * 2654435761) % 2147483647, vec_id LIMIT {n_codes}),
+    cb AS (SELECT sidx AS cidx, j,
+                  list_slice(v, j*{sub}+1, j*{sub}+{sub}) AS cw
+           FROM samp, (SELECT UNNEST(range(0, {m})) AS j) js),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id <> 0),
+    enc AS (
+      SELECT vec_id, j, cidx FROM (
+        SELECT v.vec_id, cb.j, cb.cidx,
+               row_number() OVER (PARTITION BY v.vec_id, cb.j ORDER BY
+                 list_aggregate(list_transform(range(1, {sub}+1), d ->
+                   (list_slice(v.v, cb.j*{sub}+1, cb.j*{sub}+{sub})[d] - cb.cw[d])
+                   * (list_slice(v.v, cb.j*{sub}+1, cb.j*{sub}+{sub})[d] - cb.cw[d])),
+                   'sum'),
+                 cb.cidx) AS rn
+        FROM v, cb) WHERE rn = 1),
+    tab AS (SELECT cb.j, cb.cidx,
+              list_aggregate(list_transform(range(1, {sub}+1), d ->
+                (q.qv[cb.j*{sub}+d] - cb.cw[d])
+                * (q.qv[cb.j*{sub}+d] - cb.cw[d])), 'sum') AS qd
+            FROM cb, q),
+    adc AS (SELECT enc.vec_id,
+              list_aggregate(list(tab.qd ORDER BY tab.j), 'sum') AS adc_dist
+            FROM enc JOIN tab ON tab.j = enc.j AND tab.cidx = enc.cidx
+            GROUP BY enc.vec_id),
+    cand AS (SELECT vec_id, adc_dist FROM adc
+             ORDER BY adc_dist, vec_id LIMIT {rerank * k}),
+    rr AS (SELECT c.vec_id, c.adc_dist,
+             list_inner_product(v.v, (SELECT qv FROM q))
+               / (sqrt(list_inner_product(v.v, v.v))
+                  * sqrt(list_inner_product((SELECT qv FROM q),
+                                            (SELECT qv FROM q)))) AS cos
+           FROM cand c JOIN v USING (vec_id))
+    SELECT vec_id AS id, round(adc_dist, 6) AS adc_dist,
+           round(cos, 4) AS similarity
+    FROM rr ORDER BY cos DESC, vec_id LIMIT {k}
+    """
+
+
+@register(
+    "ann_pq_adc",
+    _ann_pq_oracle(),
+    doc="PQ/ADC approximate nearest neighbors (Jégou et al. 2011): "
+        "deterministic per-subspace codebooks (8 subspaces x 16 codes), "
+        "argmin-L2 encoding compresses each 64-dim vector to 8 small ints, "
+        "the query's ADC table makes per-row distance 8 literal-array "
+        "lookups — zero exchanges before the TakeOrdered candidate cut; "
+        "exact-cosine re-rank of the 4k best. The memory-compressed ANN "
+        "scale path (64x smaller per-row state than the raw vectors). "
+        "DuckDB replays sample, encoding, fold order, cut, and re-rank",
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = similarity.pq_topk(
+        emb, "embedding", "vec_id", qvec, k=10,
+        m_subspaces=8, n_codes=16, rerank=4, exclude_id=0,
+    )
+    return out.select(
+        "id",
+        F.round("adc_dist", 6).alias("adc_dist"),
+        F.round("similarity", 4).alias("similarity"),
+    )
+
+
 # The driver's correctness gate records only the FIRST 50 registry entries.
 # Round-5 rotation (VERDICT r4 "Next round" #1): the 29 queries that were in
 # NEITHER r3's nor r4's driver window go in-window this round so every query
@@ -3986,6 +4208,10 @@ _DRIVER_WINDOW_TAIL = [
     # tools/check_oracles.py (CORRECTNESS_local.json)
     "lm_perplexity_buckets",       # text: quality_scores + dsir in-window
     "semdedup_cell_keepers",       # embedding dedup: multirot in-window
+    # r5 session 11: same treatment for the span-curation + PQ trio
+    "c4_span_dedup_docs",          # span dedup: dedup family in-window
+    "line_correction_gate",        # line correction: quality_scores in-window
+    "ann_pq_adc",                  # ann: ann_cosine_top10 in-window
 ]
 
 

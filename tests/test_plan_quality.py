@@ -134,3 +134,51 @@ def test_pii_redact_stays_in_codegen(spark):
     out = df.select(tx.pii_redact(F.col("text")).alias("red"))
     plan = _plan(out)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_line_correction_zero_exchange(spark):
+    """RefinedWeb line correction is per-row array work — it must fuse into
+    the scan with NO exchange and no Python eval node."""
+    from loongcollector_spark.functions import text as tx
+    from loongcollector_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = tx.line_correction(docs, "text", "doc_id")
+    plan = _plan(out)
+    assert plan.count("Exchange") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_c4_span_dedup_three_linear_exchanges(spark):
+    """C4 span dedup must cost exactly its three declared linear shuffles
+    (span-key window, per-doc reconstruction, spine join) — no global sort,
+    no extra exchange sneaking in."""
+    from loongcollector_spark.functions import text as tx
+    from loongcollector_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = tx.c4_span_dedup(docs, "text", "doc_id")
+    plan = _plan(out)
+    assert plan.count("Exchange") == 3
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_pq_topk_zero_exchange_before_cut(spark):
+    """PQ/ADC scoring fuses into the scan: both cuts are TakeOrdered
+    (per-partition top-k + driver merge), so the WHOLE plan has zero
+    exchanges and no Python eval node."""
+    from pyspark.sql import functions as F
+
+    from loongcollector_spark.functions import similarity
+    from loongcollector_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    out = similarity.pq_topk(
+        emb, "embedding", "vec_id", q, k=5,
+        m_subspaces=8, n_codes=8, exclude_id=0,
+    )
+    plan = _plan(out)
+    assert plan.count("Exchange") == 0
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

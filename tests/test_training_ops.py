@@ -812,3 +812,152 @@ def test_semdedup_matches_pure_python(spark):
     # the SemDeDup promise: the scaled copies drop, their originals survive
     assert got[1][1] and not got[5][1]
     assert got[3][1] and not got[9][1]
+
+
+def test_c4_span_dedup_matches_pure_python(spark):
+    """c4_span_dedup == a from-scratch replay of the C4 repeated-span rule:
+    first occurrence by (doc_id, pos) survives, every later occurrence is
+    removed (cross-doc AND within-doc), docs rebuild from surviving lines in
+    position order, fully-deduped docs stay present with empty text."""
+    rows = [
+        (1, "alpha beta\nunique one\ngamma"),
+        (2, "alpha beta\nunique two\nalpha beta"),   # cross-doc + within-doc dup
+        (3, "gamma\n\n  \nunique three"),            # blank lines drop out
+        (4, "alpha beta\ngamma"),                    # fully deduped
+        (5, ""),                                     # no lines at all
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    docs = {
+        i: [l for l in t.split("\n") if l.strip()] for i, t in rows
+    }
+    seen: dict[str, tuple[int, int]] = {}
+    for i in sorted(docs):
+        for p, l in enumerate(docs[i]):
+            seen.setdefault(l, (i, p))
+    expected = {}
+    for i in sorted(docs):
+        kept = [l for p, l in enumerate(docs[i]) if seen[l] == (i, p)]
+        expected[i] = ("\n".join(kept), len(docs[i]), len(docs[i]) - len(kept))
+
+    got = {
+        r["id"]: (r["text_clean"], r["n_lines"], r["n_removed"])
+        for r in tx.c4_span_dedup(df, "text", "id").collect()
+    }
+    assert got == expected
+    assert got[4] == ("", 2, 2)       # fully deduped, still present
+    assert got[5] == ("", 0, 0)
+
+
+def test_line_correction_matches_pure_python(spark):
+    """line_correction == a from-scratch replay of the RefinedWeb line rules
+    (uppercase-dominated, letter-free, short nav item, social counter) and
+    the >max_removed_frac whole-doc drop."""
+    import re
+
+    rows = [
+        (1, "a normal sentence here\nCOPYRIGHT 2024 ACME CORP\nmore text"),
+        (2, "Sign In\n42 likes\nthe actual body of the document"),
+        (3, "1234567\nreal content stays intact"),
+        (4, "all good lines\nnothing to remove at all"),
+        (5, "READ ME NOW"),                           # everything removed
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    nav = re.compile(
+        r"^(home|log ?in|sign ?(in|up)|menu|search|share|subscribe|"
+        r"read more|skip to content|comments?)$"
+    )
+    counter = re.compile(r"^[0-9]+ +(likes?|shares?|comments?|views?|points?)$")
+
+    def boiler(l: str) -> bool:
+        letters = re.sub("[^A-Za-z]", "", l)
+        uppers = re.sub("[^A-Z]", "", l)
+        lt = l.strip().lower()
+        return (
+            (len(letters) > 0 and len(uppers) / len(letters) > 0.6)
+            or len(letters) == 0
+            or (len([w for w in l.split() if w]) <= 3 and bool(nav.match(lt)))
+            or bool(counter.match(lt))
+        )
+
+    expected = {}
+    for i, t in rows:
+        lines = [l for l in t.split("\n") if l.strip()]
+        kept = [l for l in lines if not boiler(l)]
+        total = sum(len(l) for l in lines)
+        frac = (total - sum(len(l) for l in kept)) / total if total else 0.0
+        expected[i] = ("\n".join(kept), len(lines), len(lines) - len(kept),
+                       frac, frac <= 0.3)
+
+    got = {
+        r["id"]: (r["text_clean"], r["n_lines"], r["n_removed"],
+                  r["removed_char_frac"], r["keep"])
+        for r in tx.line_correction(df, "text", "id", 0.3).collect()
+    }
+    assert set(got) == set(expected)
+    for i in expected:
+        assert got[i][:3] == expected[i][:3], i
+        assert got[i][3] == pytest.approx(expected[i][3], abs=1e-12)
+        assert got[i][4] == expected[i][4]
+    assert got[5] == ("", 1, 1, 1.0, False)
+
+
+def test_pq_topk_matches_pure_python(spark):
+    """pq_topk == a from-scratch replay of PQ/ADC: deterministic codebook
+    sample, per-subspace argmin-L2 encoding (first-min tie-break), ADC table
+    lookup sum, (adc, id) candidate cut, exact-cosine re-rank."""
+    import math
+
+    dim, m, n_codes, k, rerank = 12, 4, 6, 4, 2
+    rows = [
+        (i, [float(((i * 7 + j * 3) % 13) - 6) / 6.0 for j in range(dim)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[5][1]
+
+    order = sorted(rows, key=lambda r: ((r[0] * 2654435761) % 2147483647, r[0]))
+    sub = dim // m
+    cb = [
+        [v[j * sub:(j + 1) * sub] for _, v in order[:n_codes]]
+        for j in range(m)
+    ]
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def encode(v):
+        codes = []
+        for j in range(m):
+            d = [l2(v[j * sub:(j + 1) * sub], cw) for cw in cb[j]]
+            codes.append(d.index(min(d)))
+        return codes
+
+    table = [[l2(q[j * sub:(j + 1) * sub], cw) for cw in cb[j]] for j in range(m)]
+    scored = [
+        (i, sum(table[j][c] for j, c in enumerate(encode(v))))
+        for i, v in rows if i != 5
+    ]
+    cand = sorted(scored, key=lambda t: (t[1], t[0]))[: rerank * k]
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    vec = dict(rows)
+    expected = sorted(
+        [(i, adc, cos(vec[i], q)) for i, adc in cand],
+        key=lambda t: (-t[2], t[0]),
+    )[:k]
+
+    got = similarity.pq_topk(
+        df, "embedding", "vec_id", q, k=k, m_subspaces=m,
+        n_codes=n_codes, rerank=rerank, exclude_id=5,
+    ).collect()
+    assert len(got) == k
+    for g, (ei, eadc, ecos) in zip(got, expected):
+        assert g["id"] == ei
+        assert g["adc_dist"] == pytest.approx(eadc, abs=1e-9)
+        assert g["similarity"] == pytest.approx(ecos, abs=1e-9)
