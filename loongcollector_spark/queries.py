@@ -3918,6 +3918,81 @@ def tag_route_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _substring_dedup_oracle(n_rows: int = 1500, n_dup: int = 300, w: int = 4) -> str:
+    from loongcollector_spark.sources.sql_oracle import VOCAB_SIZE, f1_cte
+
+    base, mod = 1_000_003, (1 << 31) - 1
+    toks = "[" + ", ".join(f"CAST(t{j} AS BIGINT)" for j in range(8)) + "]"
+    return f"""
+WITH {f1_cte(n_rows, 42, tuple(range(8)))},
+b AS (SELECT source || '-' || lpad(CAST(i AS VARCHAR), 12, '0') AS doc_id,
+             i, {toks} AS toks FROM f1),
+unioned AS (
+  SELECT doc_id, toks FROM b
+  UNION ALL
+  SELECT doc_id || '-copy' AS doc_id,
+         list_prepend(CAST((toks[1] + 1) % {VOCAB_SIZE} AS BIGINT),
+                      toks[2:8]) AS toks
+  FROM b WHERE i < {n_dup}),
+wins AS (
+  SELECT doc_id, UNNEST(list_transform(range(1, {8 - w + 2}),
+    i -> struct_pack(pos := i - 1,
+                     h := list_reduce(toks[i : i + {w - 1}],
+                                      (a, x) -> (a * {base} + x) % {mod})))) AS s
+  FROM unioned),
+r AS (SELECT doc_id, (s).pos AS pos,
+        row_number() OVER (PARTITION BY (s).h
+                           ORDER BY doc_id, (s).pos) AS rn FROM wins),
+cuts AS (SELECT doc_id, list(pos ORDER BY pos) AS cuts
+         FROM r WHERE rn > 1 GROUP BY doc_id),
+j AS (SELECT u.doc_id, u.toks, COALESCE(c.cuts, CAST([] AS BIGINT[])) AS cuts
+      FROM unioned u LEFT JOIN cuts c USING (doc_id)),
+k AS (SELECT doc_id, toks,
+        list_transform(
+          list_filter(
+            list_transform(range(1, len(toks)+1),
+                           p -> struct_pack(p := p, t := toks[p])),
+            x -> len(list_filter(cuts,
+                                 s -> s <= x.p - 1 AND x.p - 1 < s + {w})) = 0),
+          x -> x.t) AS kept
+      FROM j)
+SELECT doc_id, len(toks) AS n_tok,
+       len(toks) - len(kept) AS n_removed, kept AS tokens_clean
+FROM k
+"""
+
+
+@register(
+    "token_substring_dedup",
+    _substring_dedup_oracle(),
+    doc="cross-document exact-substring REMOVAL (Lee et al. 2022 ExactSubstr "
+        "— completes the detection unit): every repeated w-token window "
+        "keeps only its first (doc, pos) occurrence, later occurrences' "
+        "spans union per doc and the token arrays rebuild from uncovered "
+        "positions. Three linear exchanges (hash window, per-doc cut "
+        "collection, spine join) — token payloads never enter the window "
+        "shuffle. DuckDB regenerates every token from seed and replays the "
+        "fold, first-occurrence rule, span union, and rebuild",
+)
+def token_substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.token_ops import token_substring_dedup
+    from loongcollector_spark.sources.synthetic import VOCAB_SIZE, generate_sequences_head
+
+    seqs = generate_sequences_head(spark, 1500, head=8)
+    dupes = seqs.filter(
+        F.substring_index("doc_id", "-", -1).cast("long") < 300
+    ).withColumn("doc_id", F.concat("doc_id", F.lit("-copy"))).withColumn(
+        "tokens",
+        F.transform(
+            "tokens",
+            lambda x, i: F.when(i == 0, (x + 1) % VOCAB_SIZE).otherwise(x),
+        ),
+    )
+    return token_substring_dedup(
+        seqs.unionByName(dupes).select("doc_id", "tokens"), w=4
+    )
+
+
 # =============================================================================
 # Span-level curation: C4 repeated-span removal, RefinedWeb line correction,
 # PQ/ADC approximate nearest neighbors
@@ -4212,6 +4287,7 @@ _DRIVER_WINDOW_TAIL = [
     "c4_span_dedup_docs",          # span dedup: dedup family in-window
     "line_correction_gate",        # line correction: quality_scores in-window
     "ann_pq_adc",                  # ann: ann_cosine_top10 in-window
+    "token_substring_dedup",       # token: token_repeated_substrings in-window
 ]
 
 

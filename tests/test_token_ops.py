@@ -277,3 +277,67 @@ def test_token_pack_chunks_tied_order_values(spark):
     for r in spans:
         per_chunk[r.chunk_id] = per_chunk.get(r.chunk_id, 0) + r.slice_tokens
     assert per_chunk == {0: 4, 1: 4, 2: 1}  # 9 tokens -> 4,4,1
+
+
+def test_token_substring_dedup_matches_pure_python(spark):
+    """token_substring_dedup == a from-scratch replay of the ExactSubstr
+    removal rule: polynomial window hashes, global first-occurrence by
+    (doc_id, pos), per-doc span union, rebuild from uncovered positions."""
+    from loongcollector_spark.operators.token_ops import token_substring_dedup
+
+    w, base, mod = 3, 1_000_003, (1 << 31) - 1
+    rows = [
+        ("a", [1, 2, 3, 4, 5]),
+        ("b", [7, 1, 2, 3, 9]),       # shares [1,2,3] with a
+        ("c", [1, 2, 3]),             # fully covered
+        ("d", [4, 5]),                # shorter than w — untouched
+        ("e", [6, 6, 6, 6, 6]),       # self-repeats keep first window only
+        ("f", [3, 4, 5, 1, 2, 3]),    # two cuts: [3,4,5] and [1,2,3]
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+    def win_hashes(toks):
+        out = []
+        for p in range(len(toks) - w + 1):
+            acc = 0
+            for t in toks[p : p + w]:
+                acc = (acc * base + t) % mod
+            out.append((p, acc))
+        return out
+
+    firsts: dict[int, tuple[str, int]] = {}
+    for i, toks in sorted(rows):
+        for p, h in win_hashes(toks):
+            firsts.setdefault(h, (i, p))
+    expected = {}
+    for i, toks in rows:
+        cuts = [p for p, h in win_hashes(toks) if firsts[h] != (i, p)]
+        kept = [
+            t for p, t in enumerate(toks)
+            if not any(s <= p < s + w for s in cuts)
+        ]
+        expected[i] = (len(toks), len(toks) - len(kept), kept)
+
+    got = {
+        r["doc_id"]: (r["n_tok"], r["n_removed"], list(r["tokens_clean"]))
+        for r in token_substring_dedup(df, w=w).collect()
+    }
+    assert got == expected
+    assert got["c"] == (3, 3, [])          # fully covered survives as empty
+    assert got["d"] == (2, 0, [4, 5])      # short doc untouched
+    assert got["e"] == (5, 4, [6])
+
+
+def test_token_substring_dedup_plan_shape(spark):
+    """Three linear exchanges (hash window, cut collection, spine join),
+    no global sort, no Python eval."""
+    from loongcollector_spark.operators.token_ops import token_substring_dedup
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3, 4])], "doc_id string, tokens array<int>"
+    )
+    out = token_substring_dedup(df, w=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 3
+    assert "rangepartitioning" not in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
