@@ -459,3 +459,62 @@ def pq_topk(
         "id", "adc_dist", cosine(F.col("v"), _query_col(q)).alias("similarity")
     )
     return out.orderBy(F.col("similarity").desc(), F.col("id")).limit(k)
+
+
+def kmeans_refine(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: Sequence[Sequence[float]],
+    iters: int = 1,
+) -> list[list[float]]:
+    """Distributed Lloyd refinement for the IVF/SemDeDup centroids: assign
+    every vector to its max-cosine centroid (the same argmax expression the
+    query path uses), recompute each centroid as the element-wise mean of
+    its members, repeat. Turns the deterministic-sample 'train' step into
+    real k-means at any corpus size.
+
+    Scale shape: ONE exchange per iteration — the groupBy(cell) carries dim
+    avg-aggregates (partial means combine map-side), so only k×dim partial
+    sums cross the shuffle, never vectors; the k×dim result collects to the
+    driver (bounded by n_cells, not the corpus). Empty cells keep their old
+    centroid. Returned centroids are rounded to 6 decimals so downstream
+    plans embed replayable constants (distributed sum order costs ~1e-13
+    relative noise; the rounding quantizes it away)."""
+    cents = [list(c) for c in centroids]
+    dim = len(cents[0])
+    vec = F.col(vec_col).cast("array<double>")
+    for _ in range(iters):
+        cnorms = [math.sqrt(sum(x * x for x in c)) + 1e-12 for c in cents]
+        with_norm = df.select(
+            vec.alias("v"), (norm(vec) + F.lit(1e-12)).alias("vn")
+        )
+        sims = F.array(
+            *[
+                dot(F.col("v"), _query_col(c)) / (F.col("vn") * F.lit(cn))
+                for c, cn in zip(cents, cnorms)
+            ]
+        )
+        assigned = with_norm.withColumn("__sims__", sims).select(
+            "v",
+            (F.array_position(F.col("__sims__"), F.array_max("__sims__")) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col("v"), d + 1)).alias(f"m{d}")
+                    for d in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new_cents = list(cents)
+        for r in means:
+            new_cents[r["cell"]] = [
+                round(float(r[f"m{d}"]), 6) for d in range(dim)
+            ]
+        cents = new_cents
+    return cents

@@ -961,3 +961,59 @@ def test_pq_topk_matches_pure_python(spark):
         assert g["id"] == ei
         assert g["adc_dist"] == pytest.approx(eadc, abs=1e-9)
         assert g["similarity"] == pytest.approx(ecos, abs=1e-9)
+
+
+def test_kmeans_refine_matches_pure_python_and_improves_recall(spark):
+    """kmeans_refine == a from-scratch Lloyd replay (max-cosine assignment,
+    element-wise member mean, empty cells keep their old centroid), and one
+    refinement iteration improves ivf_topk recall on a clustered fixture
+    where the deterministic sample starts with lopsided centroids."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim, n_cells = 8, 4
+    # 4 tight clusters around orthogonal-ish anchors
+    anchors = [[1.0 if j == c * 2 else 0.05 for j in range(dim)] for c in range(4)]
+    rows = []
+    for i in range(80):
+        a = anchors[i % 4]
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in a]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents0 = similarity.train_ivf_centroids(df, "embedding", "vec_id", n_cells)
+    got = similarity.kmeans_refine(df, "embedding", "vec_id", cents0, iters=1)
+
+    def dotp(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def nrm(a):
+        return math.sqrt(dotp(a, a))
+
+    cn = [nrm(c) + 1e-12 for c in cents0]
+    members: dict[int, list[list[float]]] = {}
+    for _, v in rows:
+        sims = [dotp(v, c) / ((nrm(v) + 1e-12) * n) for c, n in zip(cents0, cn)]
+        members.setdefault(sims.index(max(sims)), []).append(v)
+    expected = list(cents0)
+    for cell, vs in members.items():
+        expected[cell] = [
+            round(sum(v[d] for v in vs) / len(vs), 6) for d in range(dim)
+        ]
+    for c_got, c_exp in zip(got, expected):
+        for a, b in zip(c_got, c_exp):
+            assert a == pytest.approx(b, abs=2e-6)
+
+    # recall: brute-force top-5 vs ivf_topk(nprobe=1) under sample vs refined
+    q = rows[3][1]
+    brute = {r.id for r in similarity.brute_force_topk(
+        df, "embedding", "vec_id", q, k=5, exclude_id=3).collect()}
+
+    def recall(cents):
+        hits = {r.id for r in similarity.ivf_topk(
+            df, "embedding", "vec_id", q, k=5, n_cells=n_cells, nprobe=1,
+            exclude_id=3, centroids=cents).collect()}
+        return len(hits & brute) / len(brute)
+
+    assert recall(got) >= recall(cents0)
+    assert recall(got) == 1.0  # refined centroids recover the true cluster
