@@ -1017,3 +1017,39 @@ def test_kmeans_refine_matches_pure_python_and_improves_recall(spark):
 
     assert recall(got) >= recall(cents0)
     assert recall(got) == 1.0  # refined centroids recover the true cluster
+
+
+def test_ann_refined_and_pq_recall(spark):
+    """Quality evidence on the real embeddings table, 5-query mean:
+    two Lloyd iterations lift IVF recall over the deterministic sample
+    centroids (measured 0.60 -> 0.66 here), and PQ/ADC with rerank=4
+    clearly beats the random-scan baseline (measured 0.58 vs ~0.25;
+    thresholds sit between baseline and measurement so noise can't flake)."""
+    import statistics
+
+    from loongcollector_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents0 = similarity.train_ivf_centroids(emb, "embedding", "vec_id", 16)
+    cents1 = similarity.kmeans_refine(emb, "embedding", "vec_id", cents0, iters=2)
+    cb = similarity.train_pq_codebooks(emb, "embedding", "vec_id", 8, 16)
+    r_sample, r_refined, r_pq = [], [], []
+    for row in emb.orderBy("vec_id").limit(5).collect():
+        q = [float(x) for x in row["embedding"]]
+        exact = {r.id for r in similarity.brute_force_topk(
+            emb, "embedding", "vec_id", q, k=10).collect()}
+        a = {r.id for r in similarity.ivf_topk(
+            emb, "embedding", "vec_id", q, k=10, n_cells=16, nprobe=4,
+            centroids=cents0).collect()}
+        b = {r.id for r in similarity.ivf_topk(
+            emb, "embedding", "vec_id", q, k=10, n_cells=16, nprobe=4,
+            centroids=cents1).collect()}
+        c = {r.id for r in similarity.pq_topk(
+            emb, "embedding", "vec_id", q, k=10, m_subspaces=8, n_codes=16,
+            rerank=4, codebooks=cb).collect()}
+        r_sample.append(len(exact & a) / 10)
+        r_refined.append(len(exact & b) / 10)
+        r_pq.append(len(exact & c) / 10)
+    assert statistics.mean(r_refined) >= statistics.mean(r_sample)
+    assert statistics.mean(r_refined) >= 0.5   # measured 0.66
+    assert statistics.mean(r_pq) >= 0.4        # baseline ~0.25, measured 0.58
