@@ -757,3 +757,51 @@ def line_correction(
         removed_frac.cast("double").alias("removed_char_frac"),
         (removed_frac <= F.lit(float(max_removed_frac))).alias("keep"),
     )
+
+
+def corpus_top_ngrams(
+    df: DataFrame, text_col: str, n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams — the vocabulary/merge-table building
+    primitive (BPE-style tokenizer training starts from exactly this table;
+    it is also the corpus-level complement of the per-doc Gopher gram
+    statistics). Returns (ngram, total_count, n_docs) for the k most
+    frequent n-grams, ties broken by ngram ascending.
+
+    Scale shape: ONE exchange — the (gram → counts) groupBy partially
+    aggregates map-side, so only distinct-gram partials cross the shuffle
+    (bounded by vocabulary, not corpus); the per-doc first-occurrence flag
+    that feeds n_docs comes from sorted-run boundaries (array_sort + a
+    shifted-self zip — linear per row, NOT array_position's O(G²) rescan);
+    the top-k cut is TakeOrdered (per-partition top-k + driver merge),
+    never a global sort."""
+    grams = word_ngrams(F.col(text_col), n)
+    # sort the per-doc grams, then a gram is "first in doc" iff it differs
+    # from its predecessor — summing the flag counts distinct docs per gram
+    # without a second (gram, doc) shuffle
+    srt = F.array_sort(grams)
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(srt, 1, F.greatest(F.size(srt) - 1, F.lit(0))),
+    )
+    exploded = df.select(
+        F.explode(
+            F.zip_with(
+                srt,
+                prev,
+                lambda g, p: F.struct(
+                    g.alias("g"),
+                    F.coalesce(g != p, F.lit(True)).cast("long").alias("first"),
+                ),
+            )
+        ).alias("z")
+    ).select(F.col("z.g").alias("ngram"), F.col("z.first").alias("first"))
+    # a gram-less doc zips [] against [null] and emits one null gram — drop it
+    exploded = exploded.filter(F.col("ngram").isNotNull())
+    agg = exploded.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.sum("first").alias("n_docs"),
+    )
+    return agg.orderBy(
+        F.col("total_count").desc(), F.col("ngram")
+    ).limit(k)

@@ -4215,6 +4215,34 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_top_ngrams",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             UNNEST(list_transform(
+               range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i + 1])) AS ngram
+      FROM (SELECT doc_id,
+              list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+            FROM documents))
+    SELECT ngram, COUNT(*) AS total_count,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM g GROUP BY ngram
+    ORDER BY total_count DESC, ngram LIMIT 20
+    """,
+    doc="corpus-wide top-k word bigrams — the vocabulary/merge-table "
+        "primitive (BPE training starts from this table). ONE exchange: "
+        "map-side-combined (gram -> count, n_docs) partials bounded by "
+        "vocabulary; the per-doc distinct flag comes from sorted-run "
+        "boundaries (linear per row); top-k is TakeOrdered. DuckDB "
+        "replays with a COUNT DISTINCT over the same gram windows",
+)
+def corpus_top_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.corpus_top_ngrams(docs, "text", n=2, k=20)
+
+
 def _ivf_lloyd_oracle(n_cells: int = 8, dim: int = 64) -> str:
     # Same cent/assign replay as _ann_ivf_oracle / _semdedup_oracle, then one
     # Lloyd mean step: per (cell, dim) the member average — the count rides
@@ -4371,6 +4399,7 @@ _DRIVER_WINDOW_TAIL = [
     "ann_pq_adc",                  # ann: ann_cosine_top10 in-window
     "token_substring_dedup",       # token: token_repeated_substrings in-window
     "ivf_lloyd_means",             # ann: ann_cosine_top10 in-window
+    "corpus_top_ngrams",           # text: quality_scores in-window
 ]
 
 

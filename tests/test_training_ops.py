@@ -1053,3 +1053,34 @@ def test_ann_refined_and_pq_recall(spark):
     assert statistics.mean(r_refined) >= statistics.mean(r_sample)
     assert statistics.mean(r_refined) >= 0.5   # measured 0.66
     assert statistics.mean(r_pq) >= 0.4        # baseline ~0.25, measured 0.58
+
+
+def test_corpus_top_ngrams_matches_pure_python(spark):
+    """corpus_top_ngrams == a Counter replay: total occurrences AND distinct
+    docs per gram, top-k by (count desc, gram asc)."""
+    from collections import Counter
+
+    rows = [
+        (1, "a b a b c"),
+        (2, "a b x"),
+        (3, "x"),            # no bigrams
+        (4, ""),             # empty doc
+        (5, "a b a b"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    total, docs = Counter(), Counter()
+    for _, t in rows:
+        ws = [w for w in t.split() if w]
+        grams = [f"{x} {y}" for x, y in zip(ws, ws[1:])]
+        total.update(grams)
+        docs.update(set(grams))
+    expected = sorted(
+        [(g, c, docs[g]) for g, c in total.items()],
+        key=lambda t: (-t[1], t[0]),
+    )[:3]
+    got = [
+        (r["ngram"], r["total_count"], r["n_docs"])
+        for r in tx.corpus_top_ngrams(df, "text", n=2, k=3).collect()
+    ]
+    assert got == expected
+    assert got[0] == ("a b", 5, 3)  # 2 in doc1 + 1 in doc2 + 2 in doc5
