@@ -199,6 +199,44 @@ def train_ivf_centroids(
     return [list(r.v) for r in sample]
 
 
+def assign_cells(
+    df: DataFrame,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    id_col: str | None = None,
+) -> DataFrame:
+    """Max-cosine centroid assignment — the ONE definition shared by
+    ``ivf_topk``, ``semdedup``, ``kmeans_refine``, and the Lloyd-means
+    query, so the exact expression (epsilon placement, argmax via
+    ``array_position`` = first-max tie-break) stays replay-identical with
+    every DuckDB oracle that mirrors it.
+
+    Evaluates each centroid similarity exactly ONCE: one dot per centroid
+    over a precomputed row norm — a when-chain argmin would duplicate every
+    64-dim cosine subtree ~3x per centroid and blow up codegen (measured
+    ~10x slower). Returns ([id,] v, vn, cell)."""
+    cents = [list(c) for c in centroids]
+    vec = F.col(vec_col).cast("array<double>")
+    cnorms = [math.sqrt(sum(x * x for x in c)) + 1e-12 for c in cents]
+    head = [F.col(id_col).alias("id")] if id_col else []
+    with_norm = df.select(
+        *head, vec.alias("v"), (norm(vec) + F.lit(1e-12)).alias("vn")
+    )
+    sims = F.array(
+        *[
+            dot(F.col("v"), _query_col(c)) / (F.col("vn") * F.lit(cn))
+            for c, cn in zip(cents, cnorms)
+        ]
+    )
+    keep = (["id"] if id_col else []) + ["v", "vn"]
+    return with_norm.withColumn("__sims__", sims).select(
+        *keep,
+        (F.array_position(F.col("__sims__"), F.array_max("__sims__")) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,
@@ -214,29 +252,12 @@ def ivf_topk(
     """IVF-style ANN: centroids = a seeded sample of row vectors (the
     'train' step — one collect at plan time, or NONE when a pre-trained
     ``centroids=`` list is supplied); rows are assigned to their nearest
-    centroid with a pure expression; the query scans nprobe cells."""
+    centroid with a pure expression (``assign_cells``); the query scans
+    nprobe cells."""
     if centroids is None:
         centroids = train_ivf_centroids(df, vec_col, id_col, n_cells)
     centroids = [list(c) for c in centroids]
-    vec = F.col(vec_col).cast("array<double>")
-
-    # Assignment evaluates each centroid similarity exactly ONCE: one dot per
-    # centroid over a precomputed row norm, argmax via array_position — a
-    # when-chain argmin would duplicate every 64-dim cosine subtree ~3x per
-    # centroid and blow up codegen (measured ~10x slower).
-    cnorms = [math.sqrt(sum(x * x for x in c)) + 1e-12 for c in centroids]
-    with_norm = df.select(
-        F.col(id_col).alias("id"), vec.alias("v"), (norm(vec) + F.lit(1e-12)).alias("vn")
-    )
-    sims = F.array(
-        *[
-            (dot(F.col("v"), _query_col(c)) / (F.col("vn") * F.lit(cn))).alias(f"s{i}")
-            for i, (c, cn) in enumerate(zip(centroids, cnorms))
-        ]
-    )
-    assigned = with_norm.withColumn("__sims__", sims).select(
-        "id", "v", (F.array_position(F.col("__sims__"), F.array_max("__sims__")) - 1).cast("int").alias("cell")
-    )
+    assigned = assign_cells(df, vec_col, centroids, id_col=id_col)
     qsims = [
         (i, sum(a * b for a, b in zip(query, c)) / (math.sqrt(sum(a * a for a in query)) * math.sqrt(sum(b * b for b in c)) + 1e-12))
         for i, c in enumerate(centroids)
@@ -270,36 +291,23 @@ def semdedup(
 
     Returns (id, cell:int, keep:boolean) for every input vector.
 
-    Scale shape: one exchange — the self-join hash-partitions on the cell
-    id (plus AQE skew splitting for lopsided cells; at web scale SemDeDup
-    runs k large enough that cells stay ~10³-10⁴ vectors). Assignment is a
-    pure per-row expression against plan-time centroid constants (argmax
-    via array_position — a when-chain would duplicate every cosine subtree
-    per centroid); no driver collect beyond the n_cells-row train sample,
-    no per-row Python."""
+    Scale shape: the assigned relation (the expensive stage — full scan +
+    n_cells cosines per row) is PERSISTED and feeds all three plan subtrees
+    (both self-join sides and the final keep-spine), so the scan and
+    assignment run once; the self-join hash-partitions on the cell id (plus
+    AQE skew splitting for lopsided cells; at web scale SemDeDup runs k
+    large enough that cells stay ~10³-10⁴ vectors), and the keep-join
+    shuffles only the (id) dropped set. Assignment is ``assign_cells`` —
+    a pure per-row expression against plan-time centroid constants; no
+    driver collect beyond the n_cells-row train sample, no per-row Python.
+    Call ``dedup.release_persisted()`` after materializing."""
+    from loongcollector_spark.functions.dedup import _track_persist
+
     if centroids is None:
         centroids = train_ivf_centroids(df, vec_col, id_col, n_cells)
     centroids = [list(c) for c in centroids]
-    vec = F.col(vec_col).cast("array<double>")
-    cnorms = [math.sqrt(sum(x * x for x in c)) + 1e-12 for c in centroids]
-    with_norm = df.select(
-        F.col(id_col).alias("id"),
-        vec.alias("v"),
-        (norm(vec) + F.lit(1e-12)).alias("vn"),
-    )
-    sims = F.array(
-        *[
-            (dot(F.col("v"), _query_col(c)) / (F.col("vn") * F.lit(cn)))
-            for c, cn in zip(centroids, cnorms)
-        ]
-    )
-    assigned = with_norm.withColumn("__sims__", sims).select(
-        "id",
-        "v",
-        "vn",
-        (F.array_position(F.col("__sims__"), F.array_max("__sims__")) - 1)
-        .cast("int")
-        .alias("cell"),
+    assigned = _track_persist(
+        assign_cells(df, vec_col, centroids, id_col=id_col)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
@@ -483,24 +491,8 @@ def kmeans_refine(
     relative noise; the rounding quantizes it away)."""
     cents = [list(c) for c in centroids]
     dim = len(cents[0])
-    vec = F.col(vec_col).cast("array<double>")
     for _ in range(iters):
-        cnorms = [math.sqrt(sum(x * x for x in c)) + 1e-12 for c in cents]
-        with_norm = df.select(
-            vec.alias("v"), (norm(vec) + F.lit(1e-12)).alias("vn")
-        )
-        sims = F.array(
-            *[
-                dot(F.col("v"), _query_col(c)) / (F.col("vn") * F.lit(cn))
-                for c, cn in zip(cents, cnorms)
-            ]
-        )
-        assigned = with_norm.withColumn("__sims__", sims).select(
-            "v",
-            (F.array_position(F.col("__sims__"), F.array_max("__sims__")) - 1)
-            .cast("int")
-            .alias("cell"),
-        )
+        assigned = assign_cells(df, vec_col, cents).select("v", "cell")
         means = (
             assigned.groupBy("cell")
             .agg(

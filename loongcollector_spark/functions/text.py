@@ -512,8 +512,6 @@ def lm_perplexity_buckets(
     Returns (id_col, n_bigrams:long, xent:double, ppl_bucket:string
     head|middle|tail).
     """
-    from pyspark.sql import Window
-
     from loongcollector_spark.functions.dedup import _track_persist
 
     ws = words(F.col(text_col))

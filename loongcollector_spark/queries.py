@@ -4012,10 +4012,18 @@ _CHUNK_SQL = """
 """
 
 
-def _chunk_text(text: F.Column, span_words: int) -> F.Column:
-    ws = tx.words(text)
+def _chunked_docs(docs: DataFrame, span_words: int) -> DataFrame:
+    """(doc_id, text) with the text re-joined as newline-separated
+    span_words-word chunks. The word split is projected as a BOUND COLUMN
+    first, so the chunk lambda reads an attribute materialized once per row
+    — embedding ``words(text)`` in the lambda body would re-run the full
+    split per chunk, the O(words²/W) anti-pattern the repo bans elsewhere
+    (see word_ngrams); CollapseProject keeps multi-referenced non-cheap
+    expressions in their own projection, so the two-step select is safe."""
+    ws_df = docs.select("doc_id", tx.words(F.col("text")).alias("__ws__"))
+    ws = F.col("__ws__")
     n_chunks = F.ceil(F.size(ws) / F.lit(float(span_words))).cast("int")
-    return F.when(
+    chunked = F.when(
         F.size(ws) > 0,
         F.concat_ws(
             "\n",
@@ -4027,6 +4035,7 @@ def _chunk_text(text: F.Column, span_words: int) -> F.Column:
             ),
         ),
     ).otherwise(F.lit(""))
+    return ws_df.select("doc_id", chunked.alias("text"))
 
 
 @register(
@@ -4057,10 +4066,7 @@ def _chunk_text(text: F.Column, span_words: int) -> F.Column:
 )
 def c4_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    chunked = docs.select(
-        "doc_id", _chunk_text(F.col("text"), 3).alias("text")
-    )
-    return tx.c4_span_dedup(chunked, "text", "doc_id")
+    return tx.c4_span_dedup(_chunked_docs(docs, 3), "text", "doc_id")
 
 
 @register(
@@ -4112,8 +4118,8 @@ def c4_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def line_correction_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    lines = tx._nonempty_lines(_chunk_text(F.col("text"), 6))
-    noisy = docs.select(
+    lines = tx._nonempty_lines(F.col("text"))
+    noisy = _chunked_docs(docs, 6).select(
         "doc_id",
         F.concat_ws(
             "\n",
@@ -4291,25 +4297,8 @@ def _ivf_lloyd_oracle(n_cells: int = 8, dim: int = 64) -> str:
 def ivf_lloyd_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = similarity.train_ivf_centroids(emb, "embedding", "vec_id", 8)
-    import math as _math
-
-    vec = F.col("embedding").cast("array<double>")
-    cnorms = [_math.sqrt(sum(x * x for x in c)) + 1e-12 for c in cents]
-    with_norm = emb.select(
-        vec.alias("v"), (similarity.norm(vec) + F.lit(1e-12)).alias("vn")
-    )
-    sims = F.array(
-        *[
-            similarity.dot(F.col("v"), similarity._query_col(c))
-            / (F.col("vn") * F.lit(cn))
-            for c, cn in zip(cents, cnorms)
-        ]
-    )
-    assigned = with_norm.withColumn("__sims__", sims).select(
-        "v",
-        (F.array_position(F.col("__sims__"), F.array_max("__sims__")) - 1)
-        .cast("int")
-        .alias("cell"),
+    assigned = similarity.assign_cells(emb, "embedding", cents).select(
+        "v", "cell"
     )
     dim = 64
     agg = assigned.groupBy("cell").agg(

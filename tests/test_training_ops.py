@@ -808,6 +808,7 @@ def test_semdedup_matches_pure_python(spark):
             df, "embedding", "vec_id", threshold=tau, n_cells=n_cells
         ).collect()
     }
+    dedup.release_persisted()
     assert got == expected
     # the SemDeDup promise: the scaled copies drop, their originals survive
     assert got[1][1] and not got[5][1]

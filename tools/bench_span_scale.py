@@ -71,20 +71,10 @@ def main() -> None:
         raise RuntimeError("Spark UI is not running — shuffle evidence unavailable")
 
     def c4_runner(spark, sf_dir):
+        from loongcollector_spark.queries import _chunked_docs
+
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        ws = tx.words(F.col("text"))
-        n_chunks = F.ceil(F.size(ws) / F.lit(3.0)).cast("int")
-        chunked = docs.select(
-            "doc_id",
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.sequence(F.lit(0), n_chunks - 1),
-                    lambda i: F.concat_ws(" ", F.slice(ws, i * 3 + 1, 3)),
-                ),
-            ).alias("text"),
-        )
-        return tx.c4_span_dedup(chunked, "text", "doc_id")
+        return tx.c4_span_dedup(_chunked_docs(docs, 3), "text", "doc_id")
 
     def substr_runner(spark, sf_dir):
         toks = spark.read.parquet(os.path.join(sf_dir, "tokens.parquet"))
