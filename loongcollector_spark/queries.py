@@ -4138,6 +4138,113 @@ def line_correction_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_funnel_v2",
+    "WITH "
+    + _CHUNK_SQL.format(W=6)
+    + """,
+    noisy AS (SELECT doc_id,
+        list_transform(range(1, len(lines)+1), i -> CASE
+          WHEN (i-1) % 9 = 0 THEN upper(lines[i])
+          WHEN (i-1) % 13 = 3 THEN CAST((i-1) AS VARCHAR) || ' likes'
+          ELSE lines[i] END) AS lines FROM ch),
+    ev AS (SELECT doc_id, lines,
+        list_filter(lines, l -> NOT (
+          (length(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0
+             AND length(regexp_replace(l, '[^A-Z]', '', 'g'))
+                 / length(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0.6)
+          OR length(regexp_replace(l, '[^A-Za-z]', '', 'g')) = 0
+          OR (len(list_filter(string_split_regex(l, '\\s+'), w -> w <> '')) <= 3
+              AND regexp_matches(lower(trim(l)),
+                '^(home|log ?in|sign ?(in|up)|menu|search|share|subscribe|read more|skip to content|comments?)$'))
+          OR regexp_matches(lower(trim(l)),
+                '^[0-9]+ +(likes?|shares?|comments?|views?|points?)$')
+        )) AS kept FROM noisy),
+    gated AS (
+      SELECT doc_id, kept FROM (
+        SELECT doc_id, kept,
+               list_aggregate(list_transform(lines, l -> length(l)), 'sum') AS tot,
+               COALESCE(list_aggregate(list_transform(kept, l -> length(l)), 'sum'), 0) AS kc
+        FROM ev)
+      WHERE tot > 0 AND (tot - kc) * 1.0 / tot <= 0.2),
+    ex AS (SELECT doc_id, UNNEST(list_transform(range(1, len(kept)+1),
+             i -> struct_pack(pos := i, line := kept[i]))) AS s FROM gated),
+    r AS (SELECT doc_id, (s).pos AS pos, (s).line AS line,
+            row_number() OVER (PARTITION BY (s).line
+                               ORDER BY doc_id, (s).pos) AS rn FROM ex),
+    survived AS (
+      SELECT g.doc_id,
+             len(g.kept) AS n_lines,
+             COALESCE(k.n_kept, 0) AS n_kept,
+             COALESCE(k.kept_chars, 0) AS kept_chars
+      FROM gated g LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               CAST(SUM(length(line)) AS BIGINT) AS kept_chars
+        FROM r WHERE rn = 1 GROUP BY doc_id) k USING (doc_id)
+      WHERE COALESCE(k.n_kept, 0) * 2 > len(g.kept))
+    SELECT d.lang,
+           COUNT(*) AS docs_kept,
+           CAST(SUM(s.n_lines - s.n_kept) AS BIGINT) AS spans_removed,
+           CAST(SUM(s.kept_chars) AS BIGINT) AS kept_chars
+    FROM survived s JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+    doc="second composed curation funnel chaining the round-5 span ops: "
+        "6-word chunking with planted boilerplate noise -> RefinedWeb line "
+        "correction -> >20%%-removed doc gate -> C4 first-occurrence span "
+        "dedup over the SURVIVING lines -> majority-duplicated doc gate -> "
+        "per-lang rollup (docs, spans removed, chars kept). One declarative "
+        "plan: the pre-dedup stages are scan-fused per-row expressions, the "
+        "dedup is the span-key window + per-doc count (linear), the rollup "
+        "rides the spine join. DuckDB replays every stage end-to-end",
+)
+def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lines = tx._nonempty_lines(F.col("text"))
+    noisy = _chunked_docs(docs, 6).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.zip_with(
+                lines,
+                F.sequence(F.lit(0), F.size(lines) - 1),
+                lambda l, i: F.when(i % 9 == 0, F.upper(l))
+                .when(i % 13 == 3, F.concat(i.cast("string"), F.lit(" likes")))
+                .otherwise(l),
+            ),
+        ).alias("text"),
+    )
+    corrected = tx.line_correction(noisy, "text", "doc_id", max_removed_frac=0.2)
+    gated = corrected.filter(F.col("keep") & (F.col("n_lines") > 0)).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    deduped = tx.c4_span_dedup(gated, "text", "doc_id")
+    survived = deduped.filter(
+        (F.col("n_lines") - F.col("n_removed")) * 2 > F.col("n_lines")
+    ).select(
+        "doc_id",
+        "n_removed",
+        F.length("text_clean").cast("long").alias("kept_chars_nl"),
+        (F.col("n_lines") - F.col("n_removed")).alias("n_kept"),
+    )
+    # text_clean joins lines with '\n'; the oracle sums raw line lengths, so
+    # subtract the (n_kept - 1) separators to compare identical quantities
+    survived = survived.withColumn(
+        "kept_chars",
+        F.col("kept_chars_nl")
+        - F.greatest(F.col("n_kept") - 1, F.lit(0)).cast("long"),
+    )
+    return (
+        survived.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("n_removed").alias("spans_removed"),
+            F.sum("kept_chars").alias("kept_chars"),
+        )
+    )
+
+
 def _ann_pq_oracle(
     m: int = 8, sub: int = 8, n_codes: int = 16, k: int = 10, rerank: int = 4
 ) -> str:
@@ -4389,6 +4496,7 @@ _DRIVER_WINDOW_TAIL = [
     "token_substring_dedup",       # token: token_repeated_substrings in-window
     "ivf_lloyd_means",             # ann: ann_cosine_top10 in-window
     "corpus_top_ngrams",           # text: quality_scores in-window
+    "curation_funnel_v2",          # funnel: corpus_curation_pipeline family
 ]
 
 
