@@ -4199,7 +4199,12 @@ def line_correction_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rides the spine join. DuckDB replays every stage end-to-end",
 )
 def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # the sf test inputs are single parquet files (1 scan partition) — spread
+    # the per-row correction chain across cores; at real scale the source's
+    # own partitioning makes this a no-op-sized exchange of (id, text) rows
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     lines = tx._nonempty_lines(F.col("text"))
     noisy = _chunked_docs(docs, 6).select(
         "doc_id",
@@ -4214,7 +4219,18 @@ def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text"),
     )
-    corrected = tx.line_correction(noisy, "text", "doc_id", max_removed_frac=0.2)
+    # Persist the CORRECTION OUTPUT, not the gated projection: downstream
+    # filter/select would otherwise inline the whole chunk->noise->correction
+    # chain separately into the predicate, the projection, and both of
+    # c4_span_dedup's subtrees (Spark CSEs within one projection's output
+    # list but not across operators) — measured 15.8 s vs ~3 s at sf0.1.
+    # One projection computes every correction column once per row; the
+    # barrier stores only (id, text_clean, n_lines, keep).
+    corrected = dedup._track_persist(
+        tx.line_correction(
+            noisy, "text", "doc_id", max_removed_frac=0.2
+        ).select("doc_id", "text_clean", "n_lines", "keep")
+    )
     gated = corrected.filter(F.col("keep") & (F.col("n_lines") > 0)).select(
         "doc_id", F.col("text_clean").alias("text")
     )
