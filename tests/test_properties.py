@@ -252,3 +252,44 @@ def test_token_pack_chunks_conserves_mass(spark, rows, chunk_len):
         for cid in ids[:-1]:
             assert per_chunk[cid] == chunk_len       # all full but the last
         assert 0 < per_chunk[ids[-1]] <= chunk_len
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="ab c", min_size=1, max_size=12),
+            min_size=0, max_size=6,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_c4_span_dedup_uniqueness_and_conservation(spark, docs):
+    """C4 span dedup invariants over arbitrary corpora: (1) every surviving
+    line is globally UNIQUE across the whole output corpus; (2) per doc,
+    kept + removed == input nonempty lines; (3) the multiset of surviving
+    lines equals the set of distinct input lines (nothing invented, nothing
+    lost); (4) each surviving line sits at its first-(id,pos) owner."""
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in tx.c4_span_dedup(df, "text", "id").collect()}
+
+    all_kept: list[str] = []
+    distinct_inputs = set()
+    first_owner: dict[str, tuple[int, int]] = {}
+    for i, lines in enumerate(docs):
+        nonempty = [l for l in lines if l.strip()]
+        for p, l in enumerate(nonempty):
+            distinct_inputs.add(l)
+            first_owner.setdefault(l, (i, p))
+        r = out[i]
+        kept = [l for l in r["text_clean"].split("\n") if l.strip()]
+        all_kept.extend(kept)
+        assert r["n_lines"] == len(nonempty)
+        assert r["n_removed"] == len(nonempty) - len(kept)
+        # (4) every kept line's first owner is this doc
+        for l in kept:
+            assert first_owner[l][0] == i, (l, first_owner[l], i)
+    # (1) + (3): global uniqueness and exact coverage of the distinct inputs
+    assert len(all_kept) == len(set(all_kept))
+    assert set(all_kept) == distinct_inputs
