@@ -293,3 +293,66 @@ def test_c4_span_dedup_uniqueness_and_conservation(spark, docs):
     # (1) + (3): global uniqueness and exact coverage of the distinct inputs
     assert len(all_kept) == len(set(all_kept))
     assert set(all_kept) == distinct_inputs
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=3), min_size=0, max_size=10),
+        min_size=1, max_size=8,
+    )
+)
+def test_token_substring_dedup_conservation(spark, docs):
+    """ExactSubstr removal invariants over arbitrary token corpora (tiny
+    vocabulary so repeats are dense): per doc kept + removed == n_tok;
+    docs shorter than w pass through untouched; every kept token's value
+    comes from its own doc (the rebuild never invents tokens); and at
+    least one occurrence of every repeated window's FIRST owner survives
+    intact in the owner doc when w == doc length (whole-doc windows)."""
+    from loongcollector_spark.operators.token_ops import token_substring_dedup
+
+    w = 3
+    rows = [(str(i), toks) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {r["doc_id"]: r for r in token_substring_dedup(df, w=w).collect()}
+    assert set(got) == {str(i) for i in range(len(docs))}
+    from collections import Counter
+
+    for i, toks in enumerate(docs):
+        r = got[str(i)]
+        assert r["n_tok"] == len(toks)
+        assert r["n_tok"] - r["n_removed"] == len(r["tokens_clean"])
+        if len(toks) < w:
+            assert list(r["tokens_clean"]) == toks and r["n_removed"] == 0
+        # rebuild is a subsequence by multiset: no invented tokens
+        assert not Counter(r["tokens_clean"]) - Counter(toks)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abC 123", min_size=1, max_size=15),
+            min_size=0, max_size=6,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_line_correction_idempotent(spark, docs):
+    """RefinedWeb line correction is idempotent: applying it to its own
+    text_clean removes nothing (every boilerplate line is already gone),
+    and kept + removed == input nonempty lines."""
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    once = tx.line_correction(df, "text", "id")
+    for r in once.collect():
+        nonempty = [l for l in docs[r["id"]] if l.strip()]
+        assert r["n_lines"] == len(nonempty)
+        assert r["n_lines"] - r["n_removed"] == len(
+            [l for l in r["text_clean"].split("\n") if l.strip()]
+        )
+    twice = tx.line_correction(
+        once.select("id", F.col("text_clean").alias("text")), "text", "id"
+    )
+    for r in twice.collect():
+        assert r["n_removed"] == 0 and r["removed_char_frac"] == 0.0
