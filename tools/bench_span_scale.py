@@ -1,10 +1,12 @@
 """Scale rehearsal for the span-level curation ops (round-5 additions).
 
-Runs c4_span_dedup (3-word spans over synthesized documents) and
-token_substring_dedup (w=4 windows over synthesized token arrays) at two
-scales (default 2M and 20M rows) and records wall time plus shuffle
-read/write bytes, proving the three-linear-exchange claims at a scale where
-a hidden quadratic (or a hot-span blowup) would show.
+Runs c4_span_dedup (3-word spans over synthesized documents),
+token_substring_dedup (w=4 windows over synthesized token arrays), and the
+composed curation_funnel_v2 (line correction -> gates -> span dedup ->
+rollup over the same documents) at two scales (default 2M and 20M rows)
+and records wall time plus shuffle read/write bytes, proving the
+linear-exchange claims at a scale where a hidden quadratic (or a hot-span
+blowup) would show.
 
 Inputs reuse the funnel generator's corpus shape: 20% of doc_ids duplicate
 the text/tokens of the preceding multiple-of-10 id, so the first-occurrence
@@ -80,6 +82,13 @@ def main() -> None:
         toks = spark.read.parquet(os.path.join(sf_dir, "tokens.parquet"))
         return token_substring_dedup(toks, w=4)
 
+    def funnel_runner(spark, sf_dir):
+        # the registered composed funnel reads {sf_dir}/documents.parquet
+        # via load_table — the synthesized corpus satisfies that contract
+        from loongcollector_spark.queries import QUERIES
+
+        return QUERIES["curation_funnel_v2"].spark(spark, sf_dir)
+
     out: dict = {
         "cpus": int(cpus),
         "load_avg_start": round(os.getloadavg()[0], 2),
@@ -90,14 +99,18 @@ def main() -> None:
         make_documents(spark, n, os.path.join(sf_dir, "documents.parquet"))
         make_token_docs(spark, n, os.path.join(sf_dir, "tokens.parquet"))
         per_q = {}
+        from loongcollector_spark.functions import dedup
+
         for name, fn in (
             ("c4_span_dedup", c4_runner),
             ("token_substring_dedup", substr_runner),
+            ("curation_funnel_v2", funnel_runner),
         ):
             r0, w0 = shuffle_totals(ui_url, app_id)
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             wall = round(time.time() - t0, 1)
+            dedup.release_persisted()
             r1, w1 = shuffle_totals(ui_url, app_id)
             per_q[name] = {
                 "wall_sec": wall,
