@@ -19,7 +19,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from loongcollector_spark.functions import dedup, similarity, text as tx
+from loongcollector_spark.functions import bloom, dedup, sampling, similarity, text as tx
 from loongcollector_spark.operators import aggregate as agg_ops
 from loongcollector_spark.operators import enrich, filters
 from loongcollector_spark.operators.parse_kv import parse_key_value
@@ -4440,6 +4440,113 @@ def ivf_lloyd_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("cell", "dim_idx", "n_vecs", F.round("mean_val", 4).alias("mean_val"))
 
 
+@register(
+    "temperature_sample_mix",
+    """
+    WITH n AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
+    r AS (SELECT lang,
+                 sqrt(CAST((SELECT MIN(n_s) FROM n) AS DOUBLE) / n_s) AS rate
+          FROM n),
+    kept AS (
+      SELECT d.lang FROM documents d JOIN r USING (lang)
+      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 1000000
+            < CAST(FLOOR(rate * 1000000) AS BIGINT))
+    SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY lang
+    """,
+    doc="XLM-R/mC4 temperature resampling (alpha=0.5): stratum acceptance "
+        "rate sqrt(min_n/n_s) so the rarest language keeps everything and "
+        "larger ones are downsampled toward uniform. md5 gate, no RNG — "
+        "the sqrt/div fast path is correctly-rounded IEEE on both engines "
+        "so DuckDB replays the admit set bit-exactly. One bounded groupBy "
+        "+ broadcast rate join + scan-side filter: no wide exchange",
+)
+def temperature_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sampling.temperature_resample(
+        docs, "lang", "doc_id", alpha=0.5, buckets=1_000_000
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "source_cap_rank_gate",
+    """
+    WITH n AS (SELECT lang, COUNT(*) AS n_k FROM documents GROUP BY lang),
+    g AS (
+      SELECT d.lang, d.doc_id, md5(CAST(d.doc_id AS VARCHAR)) AS h
+      FROM documents d JOIN n USING (lang)
+      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+            < CAST(FLOOR(LEAST(1.0, 6.0 / n_k) * 1152921504606846976.0)
+                   AS BIGINT)),
+    rk AS (SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS r
+           FROM g)
+    SELECT lang, doc_id FROM rk WHERE r <= 3
+    """,
+    doc="per-source document cap (C4 per-host / Dolma per-domain): keep the "
+        "cap smallest (md5, id) per key via a two-stage gate — a scan-side "
+        "60-bit md5-prefix filter passes ~over*cap candidates per key "
+        "(cutting in the SAME order the rank uses, so the result is the "
+        "exact unconditional top-cap), then row_number over the bounded "
+        "survivors. The window partition size is capped by the gate, not "
+        "the group size — no skew hotspot at 10^9-doc hosts. Oracle "
+        "replays BOTH stages",
+)
+def source_cap_rank_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sampling.source_cap_keepers(docs, "lang", "doc_id", cap=3, over=2)
+    return kept.select("lang", "doc_id")
+
+
+@register(
+    "bloom_contamination_flags",
+    """
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, len(w) - 3),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                    w[i+3] || ' ' || w[i+4]) AS gs
+      FROM ws),
+    bench_pos AS (
+      SELECT DISTINCT UNNEST([
+               ('0x' || substr(md5(gram), 1, 15))::BIGINT % 262144,
+               ('0x' || substr(md5(gram), 17, 15))::BIGINT % 262144]) AS p
+      FROM (SELECT UNNEST(gs) AS gram FROM grams WHERE doc_id % 7 = 0)),
+    cg AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT % 262144 AS p1,
+             ('0x' || substr(md5(gram), 17, 15))::BIGINT % 262144 AS p2
+      FROM (SELECT doc_id, UNNEST(gs) AS gram FROM grams)),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_hits FROM cg
+      WHERE p1 IN (SELECT p FROM bench_pos)
+        AND p2 IN (SELECT p FROM bench_pos)
+      GROUP BY doc_id)
+    SELECT g.doc_id, CAST(len(g.gs) AS BIGINT) AS n_grams, h.n_hits
+    FROM grams g JOIN hits h USING (doc_id)
+    """,
+    doc="broadcast Bloom-bitset benchmark decontamination over word "
+        "5-grams (bench = doc_id %% 7): the corpus side is scan -> project "
+        "-> filter with ZERO exchange — membership rides to executors as a "
+        "32 KiB bitset instead of shuffle-joining 100 TB of shingles. "
+        "Positions are md5-derived so DuckDB rebuilds the identical bitset "
+        "and replays membership exactly, INCLUDING the deterministic false "
+        "positives (k=2, m=2^18)",
+)
+def bloom_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "grams", tx.word_ngrams(F.col("text"), 5)
+    )
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    out = bloom.bloom_decontaminate(docs, "grams", "doc_id", bench)
+    return out.select("doc_id", "n_grams", "n_hits")
+
+
 # The driver's correctness gate records only the FIRST 50 registry entries.
 # Round-5 rotation (VERDICT r4 "Next round" #1): the 29 queries that were in
 # NEITHER r3's nor r4's driver window go in-window this round so every query
@@ -4516,6 +4623,12 @@ _DRIVER_WINDOW_TAIL = [
     "ivf_lloyd_means",             # ann: ann_cosine_top10 in-window
     "corpus_top_ngrams",           # text: quality_scores in-window
     "curation_funnel_v2",          # funnel: corpus_curation_pipeline family
+    # r5 session 12: mixing/decontamination trio registered straight into
+    # the tail (window keeps the never-signed rotation); signed locally by
+    # tools/check_oracles.py (CORRECTNESS_local.json)
+    "temperature_sample_mix",      # sampling: stratified_sample in-window
+    "source_cap_rank_gate",        # sampling: stratified_sample in-window
+    "bloom_contamination_flags",   # decontamination: contamination family
 ]
 
 
