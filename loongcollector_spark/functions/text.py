@@ -803,3 +803,116 @@ def corpus_top_ngrams(
     return agg.orderBy(
         F.col("total_count").desc(), F.col("ngram")
     ).limit(k)
+
+
+def quality_classifier_logodds(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    positive: Column,
+    n_buckets: int = 2048,
+    ns: tuple[int, ...] = (1, 2),
+    smoothing: float = 1.0,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """GPT-3 / LLaMA-style model-based quality gate (Brown et al. 2020
+    App. A; Touvron et al. 2023 "classifying pages used as references in
+    Wikipedia"): train a bag-of-n-grams classifier with the ``positive``
+    slice as the reference class and everything else as negatives, score
+    every document, keep the ones that look like the reference class.
+
+    The model is Naive-Bayes log-odds over the same hashed feature space as
+    DSIR (`hashed_ngram_buckets`): per bucket b,
+    ``w(b) = ln((c_pos(b)+a)/(N_pos+aB)) - ln((c_neg(b)+a)/(N_neg+aB))``,
+    and the document score is the length-normalized MEAN of its grams'
+    weights (fastText averages embeddings the same way, so doc length does
+    not dominate the decision as it would under DSIR's importance SUM —
+    that is the semantic difference between the two: DSIR reweights a
+    sampler, this one makes a binary keep decision).
+
+    Scale shape (same as `dsir_importance`): the only exchange is the
+    B-row bucket histogram (map-side-combined explode→groupBy onto a
+    bounded key space); the log-odds table densifies to ONE broadcast
+    B-slot array, and scoring is a per-row F.aggregate fold with O(1)
+    indexing — no (doc,bucket) shuffle, no per-row Python, no driver
+    collect. Deterministic and externally replayable: md5 buckets, and the
+    arithmetic is ln/div/mean only (DuckDB recomputes the identical score
+    to the ulp in practice; the keep threshold compares the raw double).
+
+    Returns (id_col, n_grams:long, quality_logodds:double, keep:boolean).
+
+    Reference tie-in: the collector's include/exclude content filters
+    (core/plugin/processor/ProcessorFilterNative.cpp:55-120) are the
+    per-event keep/drop twins; this is the corpus-scale learned version of
+    the same gate position in the pipeline (filter stage, pre-router).
+    """
+    from loongcollector_spark.functions.dedup import _track_persist
+
+    feat = _track_persist(
+        df.select(
+            F.col(id_col),
+            positive.alias("__pos__"),
+            hashed_ngram_buckets(F.col(text_col), n_buckets, ns).alias(
+                "__bs__"
+            ),
+        ).filter(F.size("__bs__") > 0)
+    )
+    hist = (
+        feat.select("__pos__", F.explode("__bs__").alias("__b__"))
+        .groupBy("__b__")
+        .agg(
+            F.sum(
+                F.when(F.col("__pos__"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("__pc__"),
+            F.sum(
+                F.when(F.col("__pos__"), F.lit(0)).otherwise(F.lit(1))
+            ).alias("__nc__"),
+        )
+    )
+    tot = hist.agg(
+        F.sum("__pc__").alias("__pt__"), F.sum("__nc__").alias("__nt__")
+    )
+    a = float(smoothing)
+    ab = a * n_buckets
+    weights = (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "__b__",
+            (
+                F.log((F.col("__pc__") + a) / (F.col("__pt__") + ab))
+                - F.log((F.col("__nc__") + a) / (F.col("__nt__") + ab))
+            ).alias("__w__"),
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__b__", "__w__"))
+            ).alias("__m__")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m__"), i.cast("long")), F.lit(0.0)
+                ),
+            ).alias("__ws__")
+        )
+    )
+    # score in its own projection so the fold runs ONCE — Spark does not
+    # common-subexpression-eliminate higher-order functions (word_ngrams
+    # docstring), so deriving `keep` from the same select would re-fold
+    scored = feat.crossJoin(F.broadcast(weights)).select(
+        F.col(id_col),
+        F.size("__bs__").cast("long").alias("n_grams"),
+        (
+            F.aggregate(
+                "__bs__",
+                F.lit(0.0),
+                lambda acc, b: acc
+                + F.element_at(F.col("__ws__"), (b + 1).cast("int")),
+            )
+            / F.size("__bs__")
+        ).alias("quality_logodds"),
+    )
+    return scored.withColumn(
+        "keep", F.col("quality_logodds") > F.lit(float(threshold))
+    )

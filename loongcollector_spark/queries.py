@@ -4547,6 +4547,69 @@ def bloom_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_grams", "n_hits")
 
 
+@register(
+    "quality_classifier_gate",
+    """
+    WITH docs AS (
+      SELECT doc_id, n_chars >= 400 AS pos,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+      FROM documents),
+    grams AS (
+      SELECT doc_id, pos,
+             UNNEST(list_concat(
+               ws,
+               list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+             )) AS g
+      FROM docs),
+    feat AS (
+      SELECT doc_id, pos,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 2048 AS b,
+             COUNT(*) AS c
+      FROM grams GROUP BY ALL),
+    hist AS (
+      SELECT b,
+             SUM(CASE WHEN pos THEN c ELSE 0 END) AS pc,
+             SUM(CASE WHEN pos THEN 0 ELSE c END) AS nc
+      FROM feat GROUP BY b),
+    tot AS (SELECT SUM(pc) AS pt, SUM(nc) AS nt FROM hist),
+    w AS (
+      SELECT b, ln((pc + 1.0) / (pt + 2048.0))
+               - ln((nc + 1.0) / (nt + 2048.0)) AS w
+      FROM hist, tot),
+    score AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+             ROUND(SUM(c * w) / SUM(c), 4) + 0.0 AS quality_logodds
+      FROM feat JOIN w USING (b) GROUP BY doc_id)
+    SELECT doc_id, n_grams, quality_logodds,
+           quality_logodds > 0.0 AS keep
+    FROM score
+    """,
+    doc="GPT-3/LLaMA model-based quality gate: Naive-Bayes log-odds "
+        "bag-of-n-grams classifier (positive class = the n_chars>=400 "
+        "'reference-quality' slice), doc score = length-normalized mean of "
+        "gram weights, keep iff score > 0. Same scale shape as DSIR: one "
+        "bounded B-row histogram exchange, broadcast weight array, per-row "
+        "fold — no (doc,bucket) shuffle. DuckDB retrains the identical "
+        "model from scratch and replays every keep decision",
+)
+def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.functions.text import quality_classifier_logodds
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = quality_classifier_logodds(
+        docs, "text", "doc_id", F.col("n_chars") >= 400, n_buckets=2048
+    )
+    # gate on the ROUNDED score so the keep bit is associativity-proof
+    # across engines (sum order differs between the fold and SQL SUM);
+    # + 0.0 canonicalizes IEEE negative zero, which the two engines round
+    # to with opposite signs
+    return r.select(
+        "doc_id",
+        "n_grams",
+        (F.round("quality_logodds", 4) + F.lit(0.0)).alias("quality_logodds"),
+    ).withColumn("keep", F.col("quality_logodds") > F.lit(0.0))
+
+
 # The driver's correctness gate records only the FIRST 50 registry entries.
 # Round-5 rotation (VERDICT r4 "Next round" #1): the 29 queries that were in
 # NEITHER r3's nor r4's driver window go in-window this round so every query
@@ -4629,6 +4692,7 @@ _DRIVER_WINDOW_TAIL = [
     "temperature_sample_mix",      # sampling: stratified_sample in-window
     "source_cap_rank_gate",        # sampling: stratified_sample in-window
     "bloom_contamination_flags",   # decontamination: contamination family
+    "quality_classifier_gate",     # model-based filter: dsir/ppl in-window
 ]
 
 

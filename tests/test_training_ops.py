@@ -1085,3 +1085,85 @@ def test_corpus_top_ngrams_matches_pure_python(spark):
     ]
     assert got == expected
     assert got[0] == ("a b", 5, 3)  # 2 in doc1 + 1 in doc2 + 2 in doc5
+
+
+def test_quality_classifier_matches_pure_python(spark):
+    """quality_classifier_logodds == a from-scratch pure-Python replay of
+    the NB log-odds math (hashed unigram+bigram pos/neg counts, Laplace
+    smoothing, length-normalized mean) — and reference-class-looking docs
+    get keep=True while off-class ones do not."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, "the cat sat on the mat", True),
+        (2, "the dog sat on the rug", True),
+        (3, "the cat sat on the rug", False),    # reference-class phrasing
+        (4, "import spark shuffle partition executor jvm", False),  # off-class
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, is_pos boolean")
+    B, a = 4096, 1.0
+
+    def buckets(text):
+        ws = [w for w in text.split() if w]
+        grams = ws + [f"{x} {y}" for x, y in zip(ws, ws[1:])]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+            for g in grams
+        ]
+
+    feat = {i: Counter(buckets(t)) for i, t, _ in rows}
+    pos, neg = Counter(), Counter()
+    for i, _, is_p in rows:
+        (pos if is_p else neg).update(feat[i])
+    pt, nt = sum(pos.values()), sum(neg.values())
+    w = {
+        b: math.log((pos[b] + a) / (pt + a * B))
+        - math.log((neg[b] + a) / (nt + a * B))
+        for b in set(pos) | set(neg)
+    }
+    expected = {
+        i: sum(c * w[b] for b, c in feat[i].items()) / sum(feat[i].values())
+        for i, _, _ in rows
+    }
+
+    got = {
+        r["id"]: r
+        for r in tx.quality_classifier_logodds(
+            df, "text", "id", F.col("is_pos"), n_buckets=B, smoothing=a
+        ).collect()
+    }
+    dedup.release_persisted()
+    for i, _, _ in rows:
+        assert got[i]["n_grams"] == sum(feat[i].values())
+        assert got[i]["quality_logodds"] == pytest.approx(
+            expected[i], abs=1e-9
+        )
+        assert got[i]["keep"] == (expected[i] > 0.0)
+    # the classifier promise: reference-vocabulary doc 3 is kept, the
+    # off-class doc 4 is dropped
+    assert got[3]["keep"] and not got[4]["keep"]
+
+
+def test_quality_classifier_score_is_length_normalized(spark):
+    """Doubling a document's text (same vocabulary, twice the grams) must
+    not change its mean score materially — the decision is per-gram, not
+    per-doc-length (the semantic difference vs DSIR's importance SUM)."""
+    base = "the cat sat on the mat"
+    rows = [
+        (1, base, True),
+        (2, "the dog sat on the rug", False),
+        (3, base + " " + base, False),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, is_pos boolean")
+    got = {
+        r["id"]: r["quality_logodds"]
+        for r in tx.quality_classifier_logodds(
+            df, "text", "id", F.col("is_pos"), n_buckets=4096
+        ).collect()
+    }
+    dedup.release_persisted()
+    # doc 3 = doc 1 twice: every unigram count doubles and one bridging
+    # bigram appears, so the means differ only by that one gram's dilution
+    assert got[3] == pytest.approx(got[1], rel=0.2)
