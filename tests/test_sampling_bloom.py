@@ -151,3 +151,34 @@ def test_bloom_no_shuffle_on_corpus_side(spark, sf_dir):
     out = bloom_decontaminate(docs, "grams", "doc_id", bench)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ----------------------------------------------------------------- plan shape
+
+
+def test_temperature_broadcasts_rate_table(spark, sf_dir):
+    """The stratum-rate table must reach the corpus via a broadcast join —
+    a SortMergeJoin here would shuffle the whole corpus on the stratum key
+    (skewed by construction: strata ARE the hot keys)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = temperature_resample(docs, "lang", "doc_id", alpha=0.5)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_source_cap_single_corpus_exchange(spark, sf_dir):
+    """source_cap_keepers may exchange corpus rows exactly ONCE (the
+    bounded-survivor window); the rate table rides a broadcast. More than
+    one hashpartitioning over the id/key columns means the gate failed to
+    keep the rank input bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = source_cap_keepers(docs, "source", "doc_id", cap=5)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # exchanges: one for the count aggregate (bounded key space), one for
+    # the window over gate survivors — the raw corpus is never exchanged
+    # more than once
+    n_corpus_exchanges = plan.count("Exchange hashpartitioning(source")
+    assert n_corpus_exchanges <= 2, plan
