@@ -46,9 +46,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def bloom_positions(gram: Column, m_bits: int) -> tuple[Column, Column]:
-    """The two bit positions of a gram: independent 60-bit md5 slices
-    (chars 1-15 and 17-31 of the hex digest) mod ``m_bits``."""
+def bloom_positions(
+    gram: Column, m_bits: int, hash: str = "md5"
+) -> tuple[Column, Column]:
+    """The two bit positions of a gram. ``hash="md5"`` (default, the
+    oracle twin): independent 60-bit md5 slices (chars 1-15 and 17-31 of
+    the hex digest) mod ``m_bits``. ``hash="xxh64"`` (production): two
+    independent seeded xxhash64 passes — one codegen'd streaming hash per
+    position instead of a cryptographic digest + hex/radix trip; not
+    externally replayable."""
+    if hash == "xxh64":
+        p1 = F.pmod(F.xxhash64(gram), F.lit(m_bits)).cast("long")
+        p2 = F.pmod(F.xxhash64(gram, F.lit(1)), F.lit(m_bits)).cast("long")
+        return p1, p2
+    if hash != "md5":
+        raise ValueError(f"hash must be 'md5' or 'xxh64', got {hash!r}")
     h = F.md5(gram)
     p1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % m_bits
     p2 = F.conv(F.substring(h, 17, 15), 16, 10).cast("long") % m_bits
@@ -56,7 +68,7 @@ def bloom_positions(gram: Column, m_bits: int) -> tuple[Column, Column]:
 
 
 def build_bloom_bits(
-    bench: DataFrame, grams_col: str, m_bits: int = 1 << 18
+    bench: DataFrame, grams_col: str, m_bits: int = 1 << 18, hash: str = "md5"
 ) -> np.ndarray:
     """Packed uint8 bitset (little-bit-endian within a byte: bit ``p`` is
     ``bits[p >> 3] & (1 << (p & 7))``) of every position of every gram in
@@ -65,7 +77,7 @@ def build_bloom_bits(
     One narrow explode + a DISTINCT bounded by ``m_bits`` — the only
     exchange in the build is over unique positions, never over grams."""
     g = bench.select(F.explode(grams_col).alias("g"))
-    p1, p2 = bloom_positions(F.col("g"), m_bits)
+    p1, p2 = bloom_positions(F.col("g"), m_bits, hash)
     pos = (
         g.select(F.explode(F.array(p1, p2)).alias("p"))
         .distinct()
@@ -118,6 +130,7 @@ def bloom_decontaminate(
     bench: DataFrame,
     bench_grams_col: str | None = None,
     m_bits: int = 1 << 18,
+    hash: str = "md5",
 ) -> DataFrame:
     """Flag corpus rows whose gram array (array<string>) hits the Bloom
     bitset of the benchmark grams: returns
@@ -128,10 +141,10 @@ def bloom_decontaminate(
     and nothing about the corpus is ever exchanged (the output is a filter
     of the input rows, not an aggregate)."""
     bench_grams_col = bench_grams_col or grams_col
-    bits = build_bloom_bits(bench, bench_grams_col, m_bits)
+    bits = build_bloom_bits(bench, bench_grams_col, m_bits, hash)
     g = F.col(grams_col)
-    p1 = F.transform(g, lambda x: bloom_positions(x, m_bits)[0])
-    p2 = F.transform(g, lambda x: bloom_positions(x, m_bits)[1])
+    p1 = F.transform(g, lambda x: bloom_positions(x, m_bits, hash)[0])
+    p2 = F.transform(g, lambda x: bloom_positions(x, m_bits, hash)[1])
     hits = bloom_hits_expr(bits, m_bits)
     flagged = corpus.select(
         F.col(id_col),

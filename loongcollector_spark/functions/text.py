@@ -315,17 +315,28 @@ def stratified_sample(
 
 
 def hashed_ngram_buckets(
-    col: Column, n_buckets: int = 1024, ns: tuple[int, ...] = (1, 2)
+    col: Column,
+    n_buckets: int = 1024,
+    ns: tuple[int, ...] = (1, 2),
+    hash: str = "md5",
 ) -> Column:
     """array<long>: every word n-gram (default unigrams + bigrams) hashed
     into [0, n_buckets) — the hashed feature space of DSIR (Xie et al. 2023,
-    "Data Selection for Language Models via Importance Resampling"). md5
-    (not xxhash64) so an external engine can replay the exact buckets
-    (DuckDB: ('0x' || substr(md5(g),1,15))::BIGINT % B)."""
+    "Data Selection for Language Models via Importance Resampling").
+
+    ``hash``: "md5" (default) so an external engine can replay the exact
+    buckets (DuckDB: ('0x' || substr(md5(g),1,15))::BIGINT % B) — the
+    oracle twin; "xxh64" is the production path (same shape, one codegen'd
+    streaming hash instead of a full cryptographic digest + hex/radix trip)
+    for corpus runs where nothing external replays the buckets."""
+    if hash not in ("md5", "xxh64"):
+        raise ValueError(f"hash must be 'md5' or 'xxh64', got {hash!r}")
     ws = words(col)
     sz = F.size(ws)
 
     def _b(g: Column) -> Column:
+        if hash == "xxh64":
+            return F.pmod(F.xxhash64(g), F.lit(n_buckets)).cast("long")
         return (
             F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
             % n_buckets
@@ -358,6 +369,7 @@ def dsir_importance(
     n_buckets: int = 1024,
     smoothing: float = 1.0,
     ns: tuple[int, ...] = (1, 2),
+    hash: str = "md5",
 ) -> DataFrame:
     """Per-document DSIR importance weight log p_target(x)/p_raw(x) under
     hashed n-gram bag-of-words models (Xie et al. 2023): the standard
@@ -384,7 +396,7 @@ def dsir_importance(
         df.select(
             F.col(id_col),
             target.alias("__tgt__"),
-            hashed_ngram_buckets(F.col(text_col), n_buckets, ns).alias(
+            hashed_ngram_buckets(F.col(text_col), n_buckets, ns, hash).alias(
                 "__bs__"
             ),
         ).filter(F.size("__bs__") > 0)
@@ -814,6 +826,7 @@ def quality_classifier_logodds(
     ns: tuple[int, ...] = (1, 2),
     smoothing: float = 1.0,
     threshold: float = 0.0,
+    hash: str = "md5",
 ) -> DataFrame:
     """GPT-3 / LLaMA-style model-based quality gate (Brown et al. 2020
     App. A; Touvron et al. 2023 "classifying pages used as references in
@@ -852,7 +865,7 @@ def quality_classifier_logodds(
         df.select(
             F.col(id_col),
             positive.alias("__pos__"),
-            hashed_ngram_buckets(F.col(text_col), n_buckets, ns).alias(
+            hashed_ngram_buckets(F.col(text_col), n_buckets, ns, hash).alias(
                 "__bs__"
             ),
         ).filter(F.size("__bs__") > 0)

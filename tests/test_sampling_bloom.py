@@ -182,3 +182,36 @@ def test_source_cap_single_corpus_exchange(spark, sf_dir):
     # more than once
     n_corpus_exchanges = plan.count("Exchange hashpartitioning(source")
     assert n_corpus_exchanges <= 2, plan
+
+
+# ----------------------------------------------------------- xxh64 fast path
+
+
+def test_bloom_xxh64_no_false_negatives(spark, sf_dir):
+    """The production xxhash64 path keeps the Bloom guarantee: every
+    benchmark doc flags itself with n_hits == its own gram count."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "grams", tx.word_ngrams(F.col("text"), 5)
+    )
+    bench = docs.filter(F.col("doc_id") % 3 == 0).filter(F.size("grams") > 0)
+    out = bloom_decontaminate(docs, "grams", "doc_id", bench, hash="xxh64")
+    flagged = {r["doc_id"]: (r["n_grams"], r["n_hits"]) for r in out.collect()}
+    for r in bench.select("doc_id", F.size("grams").alias("n")).collect():
+        assert flagged[r["doc_id"]] == (r["n"], r["n"])
+
+
+def test_hashed_ngram_buckets_xxh64_shape(spark):
+    """xxh64 buckets: same arity and range as the md5 twin, different
+    values (it IS a different hash), and a bad hash name raises."""
+    df = spark.createDataFrame(
+        [("the cat sat on the mat",)], "text string"
+    )
+    row = df.select(
+        tx.hashed_ngram_buckets(F.col("text"), 64, (1, 2)).alias("m"),
+        tx.hashed_ngram_buckets(F.col("text"), 64, (1, 2), hash="xxh64").alias("x"),
+    ).collect()[0]
+    assert len(row["m"]) == len(row["x"]) == 6 + 5
+    assert all(0 <= b < 64 for b in row["x"])
+    assert row["m"] != row["x"]
+    with pytest.raises(ValueError):
+        tx.hashed_ngram_buckets(F.col("text"), 64, (1,), hash="sha1")
