@@ -4615,9 +4615,10 @@ def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NEITHER r3's nor r4's driver window go in-window this round so every query
 # has a hard driver signature within two rounds; the tail demotes queries
 # already driver-signed in r3/r4 (union of CORRECTNESS_r03.json +
-# CORRECTNESS_r04.json = 57 signed), keeping ~19 family representatives
-# in-window. Tail queries stay covered every round by
-# tools/check_oracles.py --json -> CORRECTNESS_local.json (committed).
+# CORRECTNESS_r04.json = 57 signed). After the session 10-12 additions the
+# never-signed set is exactly 50, so the r5 window IS that set. Tail queries
+# stay covered every round by tools/check_oracles.py --json ->
+# CORRECTNESS_local.json (committed).
 _DRIVER_WINDOW_TAIL = [
     # signed in r3/r4; family representative retained in-window noted
     "geoip_cidr_join",             # geoip: geoip_mmdb_enrich (new, r5) +
@@ -4673,26 +4674,25 @@ _DRIVER_WINDOW_TAIL = [
     # r5 session 9: demoted (signed r3+r4) so the never-signed
     # tag_route_rollup stays in-window after dsir_importance_weights joined
     "parse_kv_roundtrip",          # kv parse: split_words_rollup in-window
-    # r5 session 10: new queries registered straight into the tail so the
-    # window keeps the 29-never-signed rotation intact; signed locally by
-    # tools/check_oracles.py (CORRECTNESS_local.json)
-    "lm_perplexity_buckets",       # text: quality_scores + dsir in-window
-    "semdedup_cell_keepers",       # embedding dedup: multirot in-window
-    # r5 session 11: same treatment for the span-curation + PQ trio
-    "c4_span_dedup_docs",          # span dedup: dedup family in-window
-    "line_correction_gate",        # line correction: quality_scores in-window
-    "ann_pq_adc",                  # ann: ann_cosine_top10 in-window
-    "token_substring_dedup",       # token: token_repeated_substrings in-window
-    "ivf_lloyd_means",             # ann: ann_cosine_top10 in-window
-    "corpus_top_ngrams",           # text: quality_scores in-window
-    "curation_funnel_v2",          # funnel: corpus_curation_pipeline family
-    # r5 session 12: mixing/decontamination trio registered straight into
-    # the tail (window keeps the never-signed rotation); signed locally by
-    # tools/check_oracles.py (CORRECTNESS_local.json)
-    "temperature_sample_mix",      # sampling: stratified_sample in-window
-    "source_cap_rank_gate",        # sampling: stratified_sample in-window
-    "bloom_contamination_flags",   # decontamination: contamination family
-    "quality_classifier_gate",     # model-based filter: dsir/ppl in-window
+    # r5 final rotation: with the session 10-12 additions the registry holds
+    # EXACTLY 50 queries never driver-signed in r3/r4 — so the window is now
+    # precisely that set (every query hard-signed across r3+r4+r5), and the
+    # 13 family representatives previously retained in-window (all signed in
+    # BOTH r3 and r4) demote here. Tail queries stay covered every round by
+    # tools/check_oracles.py --json -> CORRECTNESS_local.json (committed).
+    "flagship_pipeline_rollup",    # entry() still smoke-runs it every round
+    "parse_delimiter_firstword",   # delimiters: split_words_rollup in-window
+    "parse_timestamp_hour",        # time: reformat_time_gotime in-window
+    "grok_firstmatch_extract",     # grok: grok_apache_combined in-window
+    "spl_parse_json_keys",         # spl: spl_pipeline_extract in-window
+    "context_pack_sequences",      # aggregate: metadata_group in-window
+    "filter_expression_tree",      # filters: include_exclude in-window
+    "dict_map_missing_default",    # enrich: broadcast_lookup_join in-window
+    "desensitize_mask",            # enrich: md5_base64_fields in-window
+    "dedup_minhash_lsh",           # dedup: token_minhash/simhash in-window
+    "ann_cosine_top10",            # ann: ann_pq_adc/ivf_lloyd in-window
+    "stratified_sample_mix",       # sampling: temperature/cap in-window
+    "corpus_curation_pipeline",    # funnel: curation_funnel_v2 in-window
 ]
 
 
