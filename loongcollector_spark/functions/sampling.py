@@ -161,3 +161,104 @@ def source_cap_keepers(
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    strata_col: str,
+    n_tok_col: str,
+    budget: int,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and More
+    Effective Language Sampling"): distribute a total token ``budget`` over
+    strata (languages/sources) as UNIFORMLY as possible subject to a
+    per-stratum repetition cap of ``max_epochs`` passes over its corpus.
+    Greedy rule, smallest stratum first: give each stratum
+    ``min(cap_s, remaining // strata_left)`` tokens — a stratum too small to
+    absorb an equal share is capped at ``max_epochs`` epochs and its unused
+    share rolls over to the larger strata.
+
+    All arithmetic is INTEGER (floor division), so the allocation is exact
+    and bit-identical in any replay engine — no float accumulation.
+
+    Returns one row per stratum: (strata_col, corpus_tokens, cap_tokens,
+    alloc_tokens, epochs_used) where ``epochs_used = alloc / corpus``
+    (<= max_epochs; > 1 means the trainer repeats that stratum).
+
+    Scale shape: ONE map-side-combined groupBy over the bounded stratum key
+    space; the greedy recurrence is inherently sequential in the number of
+    STRATA (not rows), so it runs driver-side over the L aggregated rows —
+    the same treatment as the IVF centroid artifact (functions/similarity).
+    L is |languages| or |sources| (10s-100s), never corpus-sized.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be positive, got {max_epochs}")
+    agg = (
+        df.groupBy(strata_col)
+        .agg(F.sum(F.col(n_tok_col).cast("long")).alias("corpus_tokens"))
+        .orderBy("corpus_tokens", strata_col)
+        .collect()
+    )
+    remaining = int(budget)
+    out_rows = []
+    left = len(agg)
+    for r in agg:
+        corpus = int(r["corpus_tokens"])
+        cap = corpus * max_epochs
+        alloc = min(cap, remaining // left)
+        remaining -= alloc
+        left -= 1
+        out_rows.append((r[strata_col], corpus, cap, alloc))
+    spark = df.sparkSession
+    alloc_df = spark.createDataFrame(
+        out_rows,
+        schema=(
+            f"`{strata_col}` string, corpus_tokens long, "
+            "cap_tokens long, alloc_tokens long"
+        ),
+    )
+    return alloc_df.withColumn(
+        "epochs_used",
+        F.round(
+            F.col("alloc_tokens").cast("double") / F.col("corpus_tokens"), 4
+        )
+        + F.lit(0.0),
+    )
+
+
+def unimax_resample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_tok_col: str,
+    budget: int,
+    max_epochs: int = 4,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Single-epoch materialization of a UniMax allocation: keep documents
+    of stratum ``s`` at rate ``min(1, alloc_s / corpus_s)`` behind the same
+    deterministic md5 gate as ``stratified_sample``/``temperature_resample``
+    (strata whose allocation spans multiple epochs keep everything — the
+    repetition multiplier lives in ``epochs_used`` for the trainer).
+
+    The rate is ONE correctly-rounded double division of two exact integers,
+    so the floor gate replays bit-identically cross-engine. Scale shape:
+    tiny allocation artifact broadcast-joined onto the scan + per-row
+    filter — no wide exchange."""
+    alloc = unimax_allocation(df, strata_col, n_tok_col, budget, max_epochs)
+    rates = alloc.select(
+        strata_col,
+        F.least(
+            F.lit(1.0),
+            F.col("alloc_tokens").cast("double")
+            / F.col("corpus_tokens").cast("double"),
+        ).alias("_rate"),
+    )
+    gated = df.join(F.broadcast(rates), on=strata_col, how="inner")
+    out = gated.filter(
+        _md5_bucket(F.col(id_col), buckets) < F.floor(F.col("_rate") * buckets)
+    )
+    return out.drop("_rate")

@@ -436,3 +436,120 @@ def token_substring_dedup(
         (F.size("__toks__") - F.size(kept)).cast("long").alias("n_removed"),
         kept.alias("tokens_clean"),
     )
+
+
+def token_pair_counts(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies — the merge-candidate
+    statistic of BPE/WordPiece tokenizer training (Sennrich et al. 2016 §3:
+    "count all symbol pairs and replace each occurrence of the most frequent
+    pair"). One row per distinct (a, b) with ``pair_count``; with ``top_k``
+    the result is the deterministic head ordered by
+    (count DESC, a, b) — the candidate list a merge-selection loop consumes.
+
+    Scale shape: the pair relation is built with pure JVM expressions — two
+    shifted ``slice``s of the token array ``arrays_zip``ped and exploded —
+    so pair extraction fuses into the scan (no UDF, no string render). The
+    groupBy is map-side combined: at most |alphabet|^2 partial rows per
+    task cross the shuffle regardless of corpus size, and ``top_k`` lowers
+    to TakeOrderedAndProject (per-partition heads, no global sort).
+    Counting is a pure count — the reference analogue is the
+    content-value-group aggregator (aggregator_content_value_group) with
+    the group key being the token bigram."""
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    # ANSI guard: slice length must be >= 0, so gate the 2-token minimum
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("a"),
+            F.slice(toks, 2, n - 1).alias("b"),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:int,b:int>>"))
+    exploded = df.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+    counts = exploded.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("pair_count")
+    )
+    if top_k is not None:
+        counts = counts.orderBy(
+            F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc()
+        ).limit(top_k)
+    return counts
+
+
+def token_bpe_merge(
+    df: DataFrame,
+    pair: tuple[int, int],
+    new_id: int,
+    tokens_col: str = "tokens",
+    dest: str | None = None,
+) -> DataFrame:
+    """Apply ONE BPE merge across the corpus: every left-to-right greedy,
+    non-overlapping occurrence of adjacent pair ``(a, b)`` in each token
+    array is replaced by ``new_id`` — the per-iteration rewrite step of
+    tokenizer training, and the primitive for re-tokenizing a corpus under
+    an extended merge table. Greedy semantics match the standard BPE rule:
+    for ``a == b`` a run ``aaa`` merges the FIRST pair only (-> ``[new,
+    a]``); for ``a != b`` matches can never overlap.
+
+    Vectorized over Arrow batches — the whole batch flattens to one int64
+    vector, matches are two shifted equality compares, run-parity handles
+    the ``a == b`` overlap chain, and the rebuilt arrays come from a single
+    boolean-mask deletion; no per-row Python in the match/rewrite math.
+    Payload moves once through the UDF straight off the scan (project the
+    merge before any shuffle)."""
+    a, b = int(pair[0]), int(pair[1])
+    nid = int(new_id)
+    dest = dest or tokens_col
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def merge(tok: pd.Series) -> pd.Series:
+        present = [np.asarray(v, dtype=np.int64) for v in tok if v is not None]
+        lengths = np.array(
+            [0 if v is None else len(v) for v in tok], dtype=np.int64
+        )
+        if lengths.sum() == 0:
+            return pd.Series(
+                [None if v is None else [] for v in tok], dtype=object
+            )
+        flat = np.concatenate([v for v in present if len(v)] or [np.empty(0, np.int64)])
+        ends = np.cumsum(lengths)
+        p = np.flatnonzero((flat[:-1] == a) & (flat[1:] == b))
+        if len(p):
+            # a match must live entirely inside one row: p+1 < row end
+            row_of = np.searchsorted(ends, p, side="right")
+            p = p[p + 2 <= ends[row_of]]
+        if len(p) and a == b:
+            # greedy left-to-right inside runs of consecutive matches:
+            # keep every other start, beginning at each run's first
+            run_break = np.empty(len(p), dtype=bool)
+            run_break[0] = True
+            run_break[1:] = np.diff(p) > 1
+            run_id = np.cumsum(run_break) - 1
+            run_start = p[np.flatnonzero(run_break)][run_id]
+            p = p[(p - run_start) % 2 == 0]
+        out_rows: list = []
+        if len(p):
+            row_of = np.searchsorted(ends, p, side="right")
+            flat = flat.copy()
+            flat[p] = nid
+            keep = np.ones(len(flat), dtype=bool)
+            keep[p + 1] = False
+            new_len = lengths - np.bincount(row_of, minlength=len(lengths))
+            flat = flat[keep]
+        else:
+            new_len = lengths
+        bounds = np.cumsum(new_len)[:-1]
+        pieces = np.split(flat.astype(np.int32), bounds)
+        it = iter(pieces)
+        for v in tok:
+            piece = next(it)
+            out_rows.append(None if v is None else piece)
+        return pd.Series(out_rows, dtype=object)
+
+    return df.withColumn(dest, merge(F.col(tokens_col)))

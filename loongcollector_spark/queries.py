@@ -4610,6 +4610,174 @@ def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("keep", F.col("quality_logodds") > F.lit(0.0))
 
 
+# =============================================================================
+# Tokenizer-training primitives: BPE pair statistics and merge application
+# (Sennrich et al. 2016) + UniMax budget allocation (Chung et al. 2023)
+# =============================================================================
+
+_BPE_ROWS = 600
+
+
+def _bpe_toks_cte() -> str:
+    from loongcollector_spark.sources.sql_oracle import f1_tokens_cte
+
+    return f"""WITH RECURSIVE {f1_tokens_cte(_BPE_ROWS)},
+toks AS (SELECT doc_id,
+                list_transform(tokens, t -> CAST(t % 256 AS INT)) AS t
+         FROM f1t)"""
+
+
+def _bpe_reduced(spark: SparkSession) -> DataFrame:
+    from loongcollector_spark.sources.synthetic import generate_sequences
+
+    seqs = generate_sequences(spark, _BPE_ROWS, partitions=8)
+    return seqs.select(
+        "doc_id",
+        F.transform("tokens", lambda x: (x % 256).cast("int")).alias("t"),
+    )
+
+
+@register(
+    "bpe_top_pairs",
+    _bpe_toks_cte()
+    + """,
+pairs AS (SELECT UNNEST(list_transform(range(1, len(t)),
+                                       i -> [t[i], t[i + 1]])) AS p
+          FROM toks)
+SELECT p[1] AS a, p[2] AS b, COUNT(*) AS pair_count
+FROM pairs GROUP BY 1, 2
+ORDER BY pair_count DESC, a, b LIMIT 64
+""",
+    doc="BPE/WordPiece merge-candidate statistics: corpus-wide adjacent "
+        "token-pair counts over the byte-reduced alphabet, deterministic "
+        "top-64 head (count DESC, a, b). Pure JVM pair relation — two "
+        "shifted slices arrays_zip'ped + exploded fuse into the scan, the "
+        "groupBy is map-side combined (<= |alphabet|^2 partials per task "
+        "cross the shuffle), top-k lowers to TakeOrderedAndProject. DuckDB "
+        "regenerates every token from seed and replays the bigram count",
+)
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.token_ops import token_pair_counts
+
+    return token_pair_counts(_bpe_reduced(spark), tokens_col="t", top_k=64)
+
+
+_BPE_PAIR = (7, 13)
+_BPE_NEW_ID = 256
+
+
+@register(
+    "bpe_merge_apply",
+    _bpe_toks_cte()
+    + f""",
+m AS (SELECT doc_id, t,
+  list_transform(
+    list_filter(range(1, len(t) + 1),
+                i -> NOT (i >= 2 AND t[i - 1] = {_BPE_PAIR[0]}
+                                 AND t[i] = {_BPE_PAIR[1]})),
+    i -> CASE WHEN t[i] = {_BPE_PAIR[0]} AND i < len(t)
+                   AND t[i + 1] = {_BPE_PAIR[1]}
+              THEN {_BPE_NEW_ID} ELSE t[i] END) AS tokens_merged
+  FROM toks)
+SELECT doc_id, len(t) - len(tokens_merged) AS n_merged, tokens_merged
+FROM m
+""",
+    doc="one BPE merge applied corpus-wide: every greedy non-overlapping "
+        "occurrence of the pair rewrites to the new symbol (the "
+        "per-iteration step of tokenizer training / merge-table replay). "
+        "Vectorized Arrow kernel: the batch flattens to one int64 vector, "
+        "matches are two shifted equality compares, run-parity resolves "
+        "a==b chains, one boolean-mask deletion rebuilds the arrays — no "
+        "per-row Python. The oracle replays the rewrite as an index-filter "
+        "list lambda (equivalent to greedy for a != b) over seed-"
+        "regenerated tokens and compares FULL merged arrays per row",
+)
+def bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.token_ops import token_bpe_merge
+
+    merged = token_bpe_merge(
+        _bpe_reduced(spark), _BPE_PAIR, _BPE_NEW_ID,
+        tokens_col="t", dest="tokens_merged",
+    )
+    return merged.select(
+        "doc_id",
+        (F.size("t") - F.size("tokens_merged")).cast("long").alias("n_merged"),
+        "tokens_merged",
+    )
+
+
+@register(
+    "unimax_mix_allocation",
+    """
+    WITH RECURSIVE
+    n AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS corpus_tokens
+          FROM documents GROUP BY lang),
+    b AS (SELECT CAST(SUM(n_chars) AS BIGINT) * 2 // 5 AS budget
+          FROM documents),
+    l AS (SELECT COUNT(*) AS n_l FROM n),
+    ord AS (SELECT lang, corpus_tokens, corpus_tokens * 3 AS cap_tokens,
+                   row_number() OVER (ORDER BY corpus_tokens, lang) AS k
+            FROM n),
+    alloc AS (
+      SELECT o.k, o.lang, o.corpus_tokens, o.cap_tokens,
+             LEAST(o.cap_tokens, b.budget // l.n_l) AS alloc_tokens,
+             b.budget - LEAST(o.cap_tokens, b.budget // l.n_l) AS remaining
+      FROM ord o, b, l WHERE o.k = 1
+      UNION ALL
+      SELECT o.k, o.lang, o.corpus_tokens, o.cap_tokens,
+             LEAST(o.cap_tokens, a.remaining // (l.n_l - o.k + 1)),
+             a.remaining - LEAST(o.cap_tokens,
+                                 a.remaining // (l.n_l - o.k + 1))
+      FROM ord o JOIN alloc a ON o.k = a.k + 1, l
+    ),
+    rates AS (SELECT lang, corpus_tokens, cap_tokens, alloc_tokens,
+                     round(CAST(alloc_tokens AS DOUBLE) / corpus_tokens, 4)
+                       + 0.0 AS epochs_used,
+                     LEAST(1.0, CAST(alloc_tokens AS DOUBLE) / corpus_tokens)
+                       AS rate
+              FROM alloc),
+    kept AS (SELECT d.lang, COUNT(*) AS n_kept
+             FROM documents d JOIN rates r USING (lang)
+             WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                     ::BIGINT % 1000000
+                   < CAST(FLOOR(r.rate * 1000000) AS BIGINT)
+             GROUP BY d.lang)
+    SELECT r.lang, r.corpus_tokens, r.cap_tokens, r.alloc_tokens,
+           r.epochs_used, COALESCE(k.n_kept, 0) AS n_kept
+    FROM rates r LEFT JOIN kept k USING (lang)
+    """,
+    doc="UniMax budget allocation (Chung et al. 2023): distribute a total "
+        "token budget (40% of corpus chars) over languages as uniformly as "
+        "possible under a 3-epoch per-language repetition cap — greedy "
+        "smallest-first, all INTEGER arithmetic so the allocation replays "
+        "bit-exactly (the DuckDB oracle runs the same recurrence as a "
+        "recursive CTE). n_kept materializes the single-epoch md5 admit "
+        "gate at rate min(1, alloc/corpus). One bounded groupBy over the "
+        "language key space + broadcast rate join — the greedy loop is "
+        "O(|languages|) driver-side, never row-scale",
+)
+def unimax_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    total = int(docs.agg(F.sum("n_chars")).collect()[0][0])
+    budget = total * 2 // 5
+    alloc = sampling.unimax_allocation(
+        docs, "lang", "n_chars", budget, max_epochs=3
+    )
+    kept = sampling.unimax_resample(
+        docs, "lang", "doc_id", "n_chars", budget, max_epochs=3,
+        buckets=1_000_000,
+    )
+    counts = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        alloc.join(counts, "lang", "left")
+        .fillna(0, subset=["n_kept"])
+        .select(
+            "lang", "corpus_tokens", "cap_tokens", "alloc_tokens",
+            "epochs_used", "n_kept",
+        )
+    )
+
+
 # The driver's correctness gate records only the FIRST 50 registry entries.
 # Round-5 rotation (VERDICT r4 "Next round" #1): the 29 queries that were in
 # NEITHER r3's nor r4's driver window go in-window this round so every query

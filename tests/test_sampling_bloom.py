@@ -215,3 +215,96 @@ def test_hashed_ngram_buckets_xxh64_shape(spark):
     assert row["m"] != row["x"]
     with pytest.raises(ValueError):
         tx.hashed_ngram_buckets(F.col("text"), 64, (1,), hash="sha1")
+
+
+# -------------------------------------------------------------------- unimax
+
+
+def test_unimax_allocation_conservation_and_caps(spark, sf_dir):
+    from loongcollector_spark.functions.sampling import unimax_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = int(docs.agg(F.sum("n_chars")).collect()[0][0])
+    budget = total * 2 // 5
+    rows = unimax_allocation(
+        docs, "lang", "n_chars", budget, max_epochs=3
+    ).collect()
+    assert all(r.alloc_tokens <= r.cap_tokens for r in rows)
+    assert all(r.cap_tokens == 3 * r.corpus_tokens for r in rows)
+    assert all(r.epochs_used <= 3.0 for r in rows)
+    # full conservation: budget is spent exactly (or all caps bind)
+    spent = sum(r.alloc_tokens for r in rows)
+    caps = sum(r.cap_tokens for r in rows)
+    assert spent == min(budget, caps)
+
+
+def test_unimax_uncapped_allocations_nondecreasing(spark, sf_dir):
+    """Greedy smallest-first: the equal share can only grow as capped
+    strata roll budget over, so allocations ordered by corpus size are
+    non-decreasing."""
+    from loongcollector_spark.functions.sampling import unimax_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = unimax_allocation(
+        docs, "lang", "n_chars", budget=10_000_000, max_epochs=2
+    ).orderBy("corpus_tokens", "lang").collect()
+    allocs = [r.alloc_tokens for r in rows]
+    assert allocs == sorted(allocs)
+
+
+def test_unimax_huge_budget_binds_every_cap(spark, sf_dir):
+    from loongcollector_spark.functions.sampling import unimax_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = unimax_allocation(
+        docs, "lang", "n_chars", budget=1 << 60, max_epochs=2
+    ).collect()
+    assert all(r.alloc_tokens == r.cap_tokens for r in rows)
+    assert all(abs(r.epochs_used - 2.0) < 1e-9 for r in rows)
+
+
+def test_unimax_resample_rates_and_determinism(spark, sf_dir):
+    from loongcollector_spark.functions.sampling import (
+        unimax_allocation,
+        unimax_resample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = int(docs.agg(F.sum("n_chars")).collect()[0][0])
+    budget = total // 3
+    kept = unimax_resample(
+        docs, "lang", "doc_id", "n_chars", budget, max_epochs=3
+    )
+    k1 = {r.lang: r.n for r in kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    k2 = {r.lang: r.n for r in kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert k1 == k2  # md5 gate, no RNG
+    alloc = {
+        r.lang: r
+        for r in unimax_allocation(
+            docs, "lang", "n_chars", budget, max_epochs=3
+        ).collect()
+    }
+    n_docs = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for lang, a in alloc.items():
+        rate = min(1.0, a.alloc_tokens / a.corpus_tokens)
+        if rate >= 1.0:
+            assert k1.get(lang, 0) == n_docs[lang]  # multi-epoch keeps all
+        else:
+            # md5 gate tracks the target rate within binomial noise
+            # (4-sigma bound — at sf0.001 a language has only ~70 docs)
+            n = n_docs[lang]
+            tol = 4.0 * (rate * (1.0 - rate) / n) ** 0.5 + 0.01
+            assert abs(k1.get(lang, 0) / n - rate) < tol
+
+
+def test_unimax_validation(spark, sf_dir):
+    from loongcollector_spark.functions.sampling import unimax_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        unimax_allocation(docs, "lang", "n_chars", budget=0)
+    with pytest.raises(ValueError):
+        unimax_allocation(docs, "lang", "n_chars", budget=10, max_epochs=0)

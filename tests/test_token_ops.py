@@ -341,3 +341,128 @@ def test_token_substring_dedup_plan_shape(spark):
     assert plan.count("Exchange") == 3
     assert "rangepartitioning" not in plan.lower()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------------ BPE primitives
+
+
+def _py_bpe_merge(seq, a, b, nid):
+    out, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+            out.append(nid)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def _bpe_corpus(spark, n=300, alpha=4, seed=11):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (str(i), [rng.randrange(alpha) for _ in range(rng.randrange(0, 14))])
+        for i in range(n)
+    ]
+    rows += [("nul", None), ("emp", []), ("run", [2, 2, 2, 2, 2])]
+    return rows, spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+
+def test_token_pair_counts_matches_pure_python(spark):
+    from collections import Counter
+
+    from loongcollector_spark.operators.token_ops import token_pair_counts
+
+    rows, df = _bpe_corpus(spark)
+    want = Counter()
+    for _, seq in rows:
+        for x, y in zip(seq or [], (seq or [])[1:]):
+            want[(x, y)] += 1
+    got = {
+        (r.a, r.b): r.pair_count for r in token_pair_counts(df).collect()
+    }
+    assert got == dict(want)
+
+
+def test_token_pair_counts_top_k_deterministic(spark):
+    from loongcollector_spark.operators.token_ops import token_pair_counts
+
+    _, df = _bpe_corpus(spark)
+    head = [tuple(r) for r in token_pair_counts(df, top_k=5).collect()]
+    again = [tuple(r) for r in token_pair_counts(df, top_k=5).collect()]
+    assert head == again and len(head) == 5
+    counts = [c for _, _, c in head]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_token_pair_counts_is_pure_jvm(spark):
+    from loongcollector_spark.operators.token_ops import token_pair_counts
+
+    _, df = _bpe_corpus(spark)
+    plan = token_pair_counts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # no Python UDF in the pair relation
+
+
+@pytest.mark.parametrize("pair", [(1, 2), (2, 2), (0, 0), (3, 1)])
+def test_token_bpe_merge_matches_pure_python(spark, pair):
+    from loongcollector_spark.operators.token_ops import token_bpe_merge
+
+    rows, df = _bpe_corpus(spark)
+    a, b = pair
+    got = {
+        r.doc_id: (None if r.m is None else list(r.m))
+        for r in token_bpe_merge(df, pair, 99, dest="m").collect()
+    }
+    for did, seq in rows:
+        want = None if seq is None else _py_bpe_merge(seq, a, b, 99)
+        assert got[did] == want, (did, seq, got[did], want)
+
+
+def test_token_bpe_merge_run_parity(spark):
+    """aaaa with pair (a,a) merges greedily left-to-right: [new, new]."""
+    from loongcollector_spark.operators.token_ops import token_bpe_merge
+
+    df = spark.createDataFrame(
+        [("r4", [2, 2, 2, 2]), ("r5", [2, 2, 2, 2, 2])],
+        "doc_id string, tokens array<int>",
+    )
+    got = {
+        r.doc_id: list(r.tokens)
+        for r in token_bpe_merge(df, (2, 2), 9).collect()
+    }
+    assert got == {"r4": [9, 9], "r5": [9, 9, 2]}
+
+
+def test_bpe_training_iterations_compose(spark):
+    """Three rounds of count-top-pair -> merge reproduce the pure-Python BPE
+    trainer on the same corpus (ties broken by (count DESC, a, b))."""
+    from collections import Counter
+
+    from loongcollector_spark.operators.token_ops import (
+        token_bpe_merge,
+        token_pair_counts,
+    )
+
+    rows, df = _bpe_corpus(spark, n=120, alpha=3, seed=23)
+    py = {d: list(s) if s is not None else None for d, s in rows}
+    next_id = 100
+    for _ in range(3):
+        top = token_pair_counts(df, top_k=1).collect()[0]
+        counts = Counter()
+        for s in py.values():
+            for x, y in zip(s or [], (s or [])[1:]):
+                counts[(x, y)] += 1
+        want_pair = min(counts, key=lambda p: (-counts[p], p))
+        assert (top.a, top.b) == want_pair
+        assert top.pair_count == counts[want_pair]
+        df = token_bpe_merge(df, (top.a, top.b), next_id)
+        py = {
+            d: None if s is None else _py_bpe_merge(s, top.a, top.b, next_id)
+            for d, s in py.items()
+        }
+        next_id += 1
+    got = {r.doc_id: (None if r.tokens is None else list(r.tokens))
+           for r in df.collect()}
+    assert got == py

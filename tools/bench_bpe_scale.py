@@ -1,0 +1,137 @@
+"""Scale rehearsal for the BPE tokenizer-training primitives + UniMax.
+
+Runs token_pair_counts, token_bpe_merge (the two corpus-wide rewrite/count
+kernels) over generated token sequences, and unimax_resample over the
+synthesized documents corpus, at two scales (default 2M and 20M rows),
+recording wall time plus shuffle read/write bytes — proving at 10x apart:
+
+- pair counting exchanges ONLY the map-side-combined (a, b) partials — the
+  key space is |alphabet|^2, so shuffle bytes stay bounded (per-task partial
+  count grows with task count, not with rows-per-task);
+- the merge kernel exchanges NOTHING (scan -> Arrow rewrite -> noop write,
+  zero Exchange in the plan);
+- unimax's only exchange is the bounded per-language aggregate; the gate is
+  a scan-side filter behind a broadcast rate table.
+
+Token payload per row is head=32 tokens reduced to a 256-symbol alphabet
+(the byte-level BPE shape); 20M rows = 640M tokens through the kernels.
+
+Usage: python tools/bench_bpe_scale.py [rows ...]  (default: 2000000 20000000)
+Writes .bench_state/bpe_scale.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench_funnel_scale import make_documents, shuffle_totals  # noqa: E402
+
+
+def main() -> None:
+    scales = [int(x) for x in sys.argv[1:]] or [2_000_000, 20_000_000]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    from pyspark.sql import functions as F
+
+    from loongcollector_spark.functions.sampling import unimax_resample
+    from loongcollector_spark.operators.token_ops import (
+        token_bpe_merge,
+        token_pair_counts,
+    )
+    from loongcollector_spark.session import get_spark
+    from loongcollector_spark.sources.synthetic import generate_sequences_head
+
+    spark = get_spark(
+        app_name="bpe-scale",
+        master=f"local[{cpus}]",
+        shuffle_partitions=str(int(cpus) * 4),
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+    ui_url = spark.sparkContext.uiWebUrl
+    if not ui_url:
+        raise RuntimeError("Spark UI is not running — shuffle evidence unavailable")
+
+    def reduced_seqs(n):
+        seqs = generate_sequences_head(spark, n, head=32, partitions=int(cpus) * 4)
+        return seqs.select(
+            "doc_id",
+            F.transform("tokens", lambda x: (x % 256).cast("int")).alias("t"),
+        )
+
+    runners = {
+        "token_pair_counts": lambda n, sf: token_pair_counts(
+            reduced_seqs(n), tokens_col="t", top_k=64
+        ),
+        "token_bpe_merge": lambda n, sf: token_bpe_merge(
+            reduced_seqs(n), (7, 13), 256, tokens_col="t"
+        ),
+        "unimax_resample": lambda n, sf: unimax_resample(
+            spark.read.parquet(os.path.join(sf, "documents.parquet")),
+            "lang", "doc_id", "n_chars",
+            budget=n * 100, max_epochs=3,
+        ),
+    }
+
+    out: dict = {
+        "cpus": int(cpus),
+        "head_tokens": 32,
+        "load_avg_start": round(os.getloadavg()[0], 2),
+        "scales": {},
+    }
+    for n in scales:
+        sf_dir = f"/tmp/lc_funnel_{n}"
+        make_documents(spark, n, os.path.join(sf_dir, "documents.parquet"))
+        per_q = {}
+        for name, fn in runners.items():
+            r0, w0 = shuffle_totals(ui_url, app_id)
+            t0 = time.time()
+            fn(n, sf_dir).write.format("noop").mode("overwrite").save()
+            wall = round(time.time() - t0, 1)
+            r1, w1 = shuffle_totals(ui_url, app_id)
+            per_q[name] = {
+                "wall_sec": wall,
+                "rows_per_sec": round(n / wall, 1),
+                "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+                "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+                "load_avg": round(os.getloadavg()[0], 2),
+            }
+            print(f"[{n}] {name}: {per_q[name]}", flush=True)
+        out["scales"][str(n)] = per_q
+
+    if len(scales) == 2:
+        lo, hi = (str(s) for s in scales)
+        out["linear_ratios"] = {
+            q: {
+                "wall_x": round(
+                    out["scales"][hi][q]["wall_sec"]
+                    / max(out["scales"][lo][q]["wall_sec"], 0.1),
+                    2,
+                ),
+                "shuffle_write_x": round(
+                    out["scales"][hi][q]["shuffle_write_mb"]
+                    / max(out["scales"][lo][q]["shuffle_write_mb"], 0.1),
+                    2,
+                ),
+                "scale_x": scales[1] / scales[0],
+            }
+            for q in out["scales"][lo]
+        }
+
+    os.makedirs(".bench_state", exist_ok=True)
+    with open(".bench_state/bpe_scale.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
