@@ -4842,10 +4842,12 @@ _DRIVER_WINDOW_TAIL = [
     # r5 session 9: demoted (signed r3+r4) so the never-signed
     # tag_route_rollup stays in-window after dsir_importance_weights joined
     "parse_kv_roundtrip",          # kv parse: split_words_rollup in-window
-    # r5 final rotation: with the session 10-12 additions the registry holds
-    # EXACTLY 50 queries never driver-signed in r3/r4 — so the window is now
-    # precisely that set (every query hard-signed across r3+r4+r5), and the
-    # 13 family representatives previously retained in-window (all signed in
+    # r5 final rotation: after the session 10-13 additions the registry holds
+    # 53 queries never driver-signed in r3/r4 for 50 slots. The window is the
+    # judge's enumerated 29 plus 21 more never-signed queries; the 3 newest
+    # (bpe_top_pairs / bpe_merge_apply / unimax_mix_allocation, added after
+    # the window filled) carry CORRECTNESS_local signatures only. The 13
+    # family representatives previously retained in-window (all signed in
     # BOTH r3 and r4) demote here. Tail queries stay covered every round by
     # tools/check_oracles.py --json -> CORRECTNESS_local.json (committed).
     "flagship_pipeline_rollup",    # entry() still smoke-runs it every round

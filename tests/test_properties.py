@@ -356,3 +356,40 @@ def test_line_correction_idempotent(spark, docs):
     )
     for r in twice.collect():
         assert r["n_removed"] == 0 and r["removed_char_frac"] == 0.0
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.lists(st.integers(min_value=0, max_value=3), min_size=0, max_size=16),
+        min_size=1, max_size=12,
+    ),
+    pair=st.tuples(st.integers(min_value=0, max_value=3),
+                   st.integers(min_value=0, max_value=3)),
+)
+def test_bpe_merge_idempotent_and_invertible(spark, rows, pair):
+    """For new_id outside the alphabet: (1) a second application of the same
+    merge is a no-op — the rewrite can never create a fresh (a, b) adjacency
+    because the substituted symbol is new; (2) expanding new_id back to
+    [a, b] recovers the original corpus exactly (greedy non-overlapping
+    merges are individually reversible)."""
+    from loongcollector_spark.operators.token_ops import token_bpe_merge
+
+    nid = 99  # outside the 0..3 alphabet
+    a, b = pair
+    df = spark.createDataFrame(
+        [(str(i), r) for i, r in enumerate(rows)],
+        "doc_id string, tokens array<int>",
+    )
+    once = token_bpe_merge(df, pair, nid)
+    twice = token_bpe_merge(once, pair, nid)
+    got_once = {r.doc_id: list(r.tokens) for r in once.collect()}
+    got_twice = {r.doc_id: list(r.tokens) for r in twice.collect()}
+    assert got_twice == got_once
+    for i, original in enumerate(rows):
+        expanded = []
+        for t in got_once[str(i)]:
+            expanded.extend([a, b] if t == nid else [t])
+        assert expanded == original, (original, pair, got_once[str(i)])

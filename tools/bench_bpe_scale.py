@@ -88,6 +88,22 @@ def main() -> None:
         "load_avg_start": round(os.getloadavg()[0], 2),
         "scales": {},
     }
+    # Unrecorded warm-up: the first pass through each path pays JVM codegen
+    # + Python-worker spin-up (32 Arrow workers); without it the small-scale
+    # wall time is startup-dominated and the 10x wall ratio reads ~1x.
+    warm_sf = f"/tmp/lc_funnel_{scales[0]}"
+    make_documents(spark, scales[0], os.path.join(warm_sf, "documents.parquet"))
+    token_pair_counts(reduced_seqs(200_000), tokens_col="t", top_k=64).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    token_bpe_merge(reduced_seqs(200_000), (7, 13), 256, tokens_col="t").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    unimax_resample(
+        spark.read.parquet(os.path.join(warm_sf, "documents.parquet")),
+        "lang", "doc_id", "n_chars", budget=10_000_000, max_epochs=3,
+    ).write.format("noop").mode("overwrite").save()
+
     for n in scales:
         sf_dir = f"/tmp/lc_funnel_{n}"
         make_documents(spark, n, os.path.join(sf_dir, "documents.parquet"))
