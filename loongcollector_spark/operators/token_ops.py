@@ -18,6 +18,7 @@ the engine is allowed to exploit the token representation.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator, Mapping, Sequence
 from dataclasses import dataclass
 
@@ -553,3 +554,75 @@ def token_bpe_merge(
         return pd.Series(out_rows, dtype=object)
 
     return df.withColumn(dest, merge(F.col(tokens_col)))
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    tokens_col: str = "tokens",
+    start_id: int | None = None,
+    checkpoint_every: int = 1,
+    spill_dir: str | None = None,
+) -> tuple[list[tuple[int, int, int, int]], DataFrame]:
+    """Train ``n_merges`` BPE merges over the corpus (Sennrich et al. 2016
+    algorithm 1): each iteration counts all adjacent pairs corpus-wide,
+    picks the winner deterministically (count DESC, a, b — the same
+    tie-break the reference statistic ships), assigns it the next symbol
+    id, and rewrites every greedy non-overlapping occurrence. Returns
+    ``([(a, b, new_id, pair_count), ...], final_corpus_df)``.
+
+    Scale shape: the loop is O(n_merges) DRIVER-side control flow — each
+    iteration is one bounded-shuffle distributed job (pair stats: at most
+    |alphabet|^2 map-side-combined partials cross the wire; the winner is a
+    1-row collect) plus one Exchange-free Arrow rewrite pass. Lineage is
+    truncated every ``checkpoint_every`` iterations — without it the plan
+    chains n_merges pandas UDFs and re-executes the whole history each
+    count — via ``localCheckpoint`` (in-memory, single-app) or, when
+    ``spill_dir`` is set, a parquet round-trip (durable across executor
+    loss on a real cluster; preferred for large n_merges).
+
+    ``start_id`` defaults to ``max(token) + 1`` (one extra bounded agg)."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    cur = df
+    if start_id is None:
+        start_id = int(
+            cur.select(F.max(F.array_max(F.col(tokens_col)))).first()[0]
+        ) + 1
+    merges: list[tuple[int, int, int, int]] = []
+    for step in range(n_merges):
+        top = token_pair_counts(cur, tokens_col=tokens_col, top_k=1).first()
+        if top is None:
+            break
+        a, b, cnt = int(top["a"]), int(top["b"]), int(top["pair_count"])
+        nid = start_id + step
+        merges.append((a, b, nid, cnt))
+        cur = token_bpe_merge(cur, (a, b), nid, tokens_col=tokens_col)
+        if (step + 1) % max(checkpoint_every, 1) == 0 or step == n_merges - 1:
+            if spill_dir is not None:
+                path = os.path.join(spill_dir, f"bpe_iter_{step}")
+                cur.write.mode("overwrite").parquet(path)
+                cur = cur.sparkSession.read.parquet(path)
+            else:
+                cur = cur.localCheckpoint()
+    return merges, cur
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[int, int, int]] | list[tuple[int, int, int, int]],
+    tokens_col: str = "tokens",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Re-tokenize a corpus under a learned merge table: apply each
+    ``(a, b, new_id)`` in table order (BPE merge priority IS table order).
+    The inverse guarantee is tested property-side: expanding every new_id
+    back in reverse order recovers the original corpus. Lineage is cut
+    every ``checkpoint_every`` merges to keep the chained-UDF plan flat."""
+    cur = df
+    for i, m in enumerate(merges):
+        a, b, nid = int(m[0]), int(m[1]), int(m[2])
+        cur = token_bpe_merge(cur, (a, b), nid, tokens_col=tokens_col)
+        if (i + 1) % max(checkpoint_every, 1) == 0:
+            cur = cur.localCheckpoint()
+    return cur

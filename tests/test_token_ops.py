@@ -466,3 +466,124 @@ def test_bpe_training_iterations_compose(spark):
     got = {r.doc_id: (None if r.tokens is None else list(r.tokens))
            for r in df.collect()}
     assert got == py
+
+
+def _py_bpe_train(rows, n_merges, start_id):
+    """Pure-Python reference trainer: max count, ties -> smallest (a, b)."""
+    from collections import Counter
+
+    py = {d: (None if s is None else list(s)) for d, s in rows}
+    merges = []
+    for step in range(n_merges):
+        counts = Counter()
+        for s in py.values():
+            for x, y in zip(s or [], (s or [])[1:]):
+                counts[(x, y)] += 1
+        if not counts:
+            break
+        a, b = min(counts, key=lambda p: (-counts[p], p))
+        nid = start_id + step
+        merges.append((a, b, nid, counts[(a, b)]))
+        py = {
+            d: None if s is None else _py_bpe_merge(s, a, b, nid)
+            for d, s in py.items()
+        }
+    return merges, py
+
+
+def test_bpe_train_matches_pure_python(spark, tmp_path):
+    """bpe_train (driver loop over the distributed kernels, lineage cut per
+    iteration) reproduces the reference trainer's merge table AND final
+    corpus — alphabet 3 forces a==b winners through the run-parity path."""
+    from loongcollector_spark.operators.token_ops import bpe_train
+
+    rows, df = _bpe_corpus(spark, n=150, alpha=3, seed=7)
+    want_merges, want_corpus = _py_bpe_train(rows, 5, start_id=3)
+    got_merges, final = bpe_train(df, 5, start_id=3)
+    assert got_merges == want_merges
+    got = {r.doc_id: (None if r.tokens is None else list(r.tokens))
+           for r in final.collect()}
+    assert got == want_corpus
+    # spill_dir variant truncates lineage through parquet, same result
+    got_merges2, final2 = bpe_train(
+        df, 5, start_id=3, spill_dir=str(tmp_path), checkpoint_every=2
+    )
+    assert got_merges2 == want_merges
+    got2 = {r.doc_id: (None if r.tokens is None else list(r.tokens))
+            for r in final2.collect()}
+    assert got2 == want_corpus
+
+
+def test_bpe_apply_replays_training(spark):
+    """Re-tokenizing the ORIGINAL corpus under the learned merge table (in
+    table order = merge priority) reproduces the trained corpus exactly —
+    the merge table is the tokenizer."""
+    from loongcollector_spark.operators.token_ops import bpe_apply, bpe_train
+
+    rows, df = _bpe_corpus(spark, n=100, alpha=3, seed=19)
+    merges, final = bpe_train(df, 4, start_id=3)
+    replayed = bpe_apply(df, [(a, b, n) for a, b, n, _ in merges],
+                         checkpoint_every=2)
+    want = {r.doc_id: (None if r.tokens is None else list(r.tokens))
+            for r in final.collect()}
+    got = {r.doc_id: (None if r.tokens is None else list(r.tokens))
+           for r in replayed.collect()}
+    assert got == want
+
+
+def test_bpe_train_sql_oracle_run_parity():
+    """The DuckDB replay of the training loop handles a == b winners with
+    the same greedy run-parity rule as the Spark kernel: drive the
+    generated stage SQL over a handcrafted corpus whose first winner is
+    (2, 2) and compare the whole 2-round result to the pure-Python
+    trainer."""
+    import duckdb
+
+    from loongcollector_spark.queries import _bpe_train_sql
+
+    rows = [
+        ("r1", [2, 2, 2, 2, 2]),
+        ("r2", [2, 2, 2, 2]),
+        ("r3", [2, 2, 1, 2, 2]),
+        ("r4", [1, 0, 1, 0]),
+        ("r5", []),
+    ]
+    vals = ", ".join(
+        f"('{d}', {s if s else 'CAST([] AS INT[])'})" for d, s in rows
+    )
+    prefix = f"WITH corpus_0(doc_id, t) AS (SELECT * FROM (VALUES {vals}))"
+    got = duckdb.sql(_bpe_train_sql(2, corpus_prefix=prefix, start_id=9)).fetchall()
+    want_merges, _ = _py_bpe_train(rows, 2, start_id=9)
+    assert got == [
+        (i + 1, a, b, nid, cnt) for i, (a, b, nid, cnt) in enumerate(want_merges)
+    ]
+    assert got[0][1:3] == (2, 2)  # the parity path actually fired
+
+
+def test_bpe_train_sql_oracle_final_corpus_matches_python():
+    """Beyond the merge table: the SQL rewrite's FINAL corpus equals the
+    pure-Python trainer's, a==b chains included (corpus_k exposed by
+    selecting it instead of the winner union)."""
+    import duckdb
+
+    from loongcollector_spark.queries import _bpe_train_sql
+
+    rows = [
+        ("r1", [3, 3, 3, 3, 3, 1, 3, 3]),
+        ("r2", [3, 3, 1, 3, 3, 1, 3, 3]),
+        ("r3", [1, 3, 3, 3]),
+        ("r4", [2, 1, 2, 1]),
+    ]
+    vals = ", ".join(f"('{d}', {s})" for d, s in rows)
+    prefix = f"WITH corpus_0(doc_id, t) AS (SELECT * FROM (VALUES {vals}))"
+    sql = _bpe_train_sql(3, corpus_prefix=prefix, start_id=50)
+    # swap the final winner-union select for the final corpus
+    body = sql[: sql.rindex("\nSELECT CAST(1")]
+    got = {
+        d: list(t)
+        for d, t in duckdb.sql(
+            body + "\nSELECT doc_id, t FROM corpus_3"
+        ).fetchall()
+    }
+    _, want = _py_bpe_train(rows, 3, start_id=50)
+    assert got == want
