@@ -86,6 +86,19 @@ def main() -> None:
     def tokens_df(n):
         return spark.read.parquet(make_tokens(n))
 
+    def train2(n):
+        # the composed iterative loop: 2 full count-pick-rewrite rounds with
+        # the cluster-durable parquet spill path truncating lineage, so the
+        # measurement includes the materialization an executor-loss-safe
+        # deployment pays (localCheckpoint would hide it in storage memory)
+        from loongcollector_spark.operators.token_ops import bpe_train
+
+        _, final = bpe_train(
+            tokens_df(n), 2, tokens_col="t", start_id=256,
+            spill_dir=f"/tmp/lc_bpetrain_spill_{n}",
+        )
+        return final
+
     runners = {
         "token_pair_counts": lambda n, sf: token_pair_counts(
             tokens_df(n), tokens_col="t", top_k=64
@@ -93,6 +106,7 @@ def main() -> None:
         "token_bpe_merge": lambda n, sf: token_bpe_merge(
             tokens_df(n), (7, 13), 256, tokens_col="t"
         ),
+        "bpe_train_2rounds": lambda n, sf: train2(n),
         "unimax_resample": lambda n, sf: unimax_resample(
             spark.read.parquet(os.path.join(sf, "documents.parquet")),
             "lang", "doc_id", "n_chars",
@@ -124,6 +138,12 @@ def main() -> None:
         spark.read.parquet(os.path.join(warm_sf, "documents.parquet")),
         "lang", "doc_id", "n_chars", budget=10_000_000, max_epochs=3,
     ).write.format("noop").mode("overwrite").save()
+    from loongcollector_spark.operators.token_ops import bpe_train
+
+    bpe_train(
+        warm_toks, 1, tokens_col="t", start_id=256,
+        spill_dir="/tmp/lc_bpetrain_spill_warm",
+    )[1].write.format("noop").mode("overwrite").save()
 
     for n in scales:
         sf_dir = f"/tmp/lc_funnel_{n}"
