@@ -586,9 +586,13 @@ def bpe_train(
         raise ValueError("n_merges must be >= 1")
     cur = df
     if start_id is None:
-        start_id = int(
-            cur.select(F.max(F.array_max(F.col(tokens_col)))).first()[0]
-        ) + 1
+        mx = cur.select(F.max(F.array_max(F.col(tokens_col)))).first()[0]
+        if mx is None:
+            raise ValueError(
+                "bpe_train: corpus has no tokens — pass start_id explicitly "
+                "or train on a non-empty corpus"
+            )
+        start_id = int(mx) + 1
     merges: list[tuple[int, int, int, int]] = []
     for step in range(n_merges):
         top = token_pair_counts(cur, tokens_col=tokens_col, top_k=1).first()

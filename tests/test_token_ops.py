@@ -587,3 +587,13 @@ def test_bpe_train_sql_oracle_final_corpus_matches_python():
     }
     _, want = _py_bpe_train(rows, 3, start_id=50)
     assert got == want
+
+
+def test_bpe_train_empty_corpus_raises(spark):
+    from loongcollector_spark.operators.token_ops import bpe_train
+
+    df = spark.createDataFrame(
+        [("a", []), ("b", None)], "doc_id string, tokens array<int>"
+    )
+    with pytest.raises(ValueError, match="no tokens"):
+        bpe_train(df, 1)
