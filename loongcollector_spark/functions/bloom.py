@@ -67,6 +67,24 @@ def bloom_positions(
     return p1, p2
 
 
+def _md5_pos_structs(grams: Column, m_bits: int) -> Column:
+    """array<struct<p1,p2>> of Bloom positions with ONE md5 per gram: the
+    digest is produced by an inner ``transform`` and both 60-bit slices read
+    the bound lambda variable — two naive position transforms would hash
+    every gram twice, and Spark does not CSE inside higher-order functions
+    (the word_ngrams lesson, functions/text.py)."""
+    digests = F.transform(grams, F.md5)
+    return F.transform(
+        digests,
+        lambda h: F.struct(
+            (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % m_bits)
+            .alias("p1"),
+            (F.conv(F.substring(h, 17, 15), 16, 10).cast("long") % m_bits)
+            .alias("p2"),
+        ),
+    )
+
+
 def build_bloom_bits(
     bench: DataFrame, grams_col: str, m_bits: int = 1 << 18, hash: str = "md5"
 ) -> np.ndarray:
@@ -97,6 +115,12 @@ def bloom_hits_expr(bits: np.ndarray, m_bits: int):
     The bitset is captured in the UDF closure: cloudpickled once into the
     task binary and shared by every batch an executor processes."""
     from pyspark.sql.functions import pandas_udf
+
+    if len(bits) != (m_bits + 7) >> 3:
+        raise ValueError(
+            f"bitset/m_bits mismatch: len(bits)={len(bits)} but m_bits="
+            f"{m_bits} needs {(m_bits + 7) >> 3} bytes"
+        )
 
     @pandas_udf("long")
     def hits(p1s: pd.Series, p2s: pd.Series) -> pd.Series:
@@ -143,12 +167,36 @@ def bloom_decontaminate(
     bench_grams_col = bench_grams_col or grams_col
     bits = build_bloom_bits(bench, bench_grams_col, m_bits, hash)
     g = F.col(grams_col)
-    p1 = F.transform(g, lambda x: bloom_positions(x, m_bits, hash)[0])
-    p2 = F.transform(g, lambda x: bloom_positions(x, m_bits, hash)[1])
-    hits = bloom_hits_expr(bits, m_bits)
-    flagged = corpus.select(
-        F.col(id_col),
-        F.size(g).cast("long").alias("n_grams"),
-        hits(p1, p2).alias("n_hits"),
-    )
+    # The UDF is semantically deterministic, but letting Catalyst treat it
+    # as such pushes the `n_hits > 0` filter below the projection and
+    # re-evaluates the whole hash+membership pipeline TWICE (once for the
+    # filter, once for the output). asNondeterministic() is purely an
+    # optimizer barrier here: one ArrowEvalPython, one gram-hash transform.
+    hits = bloom_hits_expr(bits, m_bits).asNondeterministic()
+    if hash == "md5":
+        # Stage the array<struct<p1,p2>> in its own projection so the
+        # digest transform stays single-evaluated: CollapseProject declines
+        # to inline a non-cheap expression referenced twice above, whereas
+        # two independent position transforms would md5 every gram twice
+        # (md5 dominates this scan at 20M+ rows — see BENCH.md).
+        staged = corpus.select(
+            F.col(id_col),
+            F.size(g).cast("long").alias("n_grams"),
+            _md5_pos_structs(g, m_bits).alias("_ps"),
+        )
+        flagged = staged.select(
+            id_col,
+            "n_grams",
+            hits(
+                F.col("_ps").getField("p1"), F.col("_ps").getField("p2")
+            ).alias("n_hits"),
+        )
+    else:
+        p1 = F.transform(g, lambda x: bloom_positions(x, m_bits, hash)[0])
+        p2 = F.transform(g, lambda x: bloom_positions(x, m_bits, hash)[1])
+        flagged = corpus.select(
+            F.col(id_col),
+            F.size(g).cast("long").alias("n_grams"),
+            hits(p1, p2).alias("n_hits"),
+        )
     return flagged.filter(F.col("n_hits") > 0)

@@ -213,11 +213,22 @@ def unimax_allocation(
         left -= 1
         out_rows.append((r[strata_col], corpus, cap, alloc))
     spark = df.sparkSession
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # Preserve the caller's strata type (int lang ids, etc.) — a hard-coded
+    # string field would silently coerce and change the join/union schema.
+    strata_field = df.schema[strata_col]
     alloc_df = spark.createDataFrame(
         out_rows,
-        schema=(
-            f"`{strata_col}` string, corpus_tokens long, "
-            "cap_tokens long, alloc_tokens long"
+        schema=StructType(
+            [
+                StructField(
+                    strata_col, strata_field.dataType, strata_field.nullable
+                ),
+                StructField("corpus_tokens", LongType(), False),
+                StructField("cap_tokens", LongType(), False),
+                StructField("alloc_tokens", LongType(), False),
+            ]
         ),
     )
     return alloc_df.withColumn(
@@ -237,6 +248,7 @@ def unimax_resample(
     budget: int,
     max_epochs: int = 4,
     buckets: int = 1_000_000,
+    alloc: DataFrame | None = None,
 ) -> DataFrame:
     """Single-epoch materialization of a UniMax allocation: keep documents
     of stratum ``s`` at rate ``min(1, alloc_s / corpus_s)`` behind the same
@@ -247,8 +259,11 @@ def unimax_resample(
     The rate is ONE correctly-rounded double division of two exact integers,
     so the floor gate replays bit-identically cross-engine. Scale shape:
     tiny allocation artifact broadcast-joined onto the scan + per-row
-    filter — no wide exchange."""
-    alloc = unimax_allocation(df, strata_col, n_tok_col, budget, max_epochs)
+    filter — no wide exchange. Pass a precomputed ``alloc`` (the
+    ``unimax_allocation`` result the caller already holds) to skip the
+    internal full-corpus aggregation."""
+    if alloc is None:
+        alloc = unimax_allocation(df, strata_col, n_tok_col, budget, max_epochs)
     rates = alloc.select(
         strata_col,
         F.least(

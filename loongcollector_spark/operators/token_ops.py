@@ -594,6 +594,7 @@ def bpe_train(
             )
         start_id = int(mx) + 1
     merges: list[tuple[int, int, int, int]] = []
+    prev_spill: str | None = None
     for step in range(n_merges):
         top = token_pair_counts(cur, tokens_col=tokens_col, top_k=1).first()
         if top is None:
@@ -607,9 +608,28 @@ def bpe_train(
                 path = os.path.join(spill_dir, f"bpe_iter_{step}")
                 cur.write.mode("overwrite").parquet(path)
                 cur = cur.sparkSession.read.parquet(path)
+                # The previous snapshot is unreferenced once this write is
+                # durable — drop it so spill usage stays O(1) corpus copies
+                # instead of O(n_merges / checkpoint_every).
+                if prev_spill is not None and prev_spill != path:
+                    _hadoop_rmtree(cur.sparkSession, prev_spill)
+                prev_spill = path
             else:
                 cur = cur.localCheckpoint()
     return merges, cur
+
+
+def _hadoop_rmtree(spark, path: str) -> None:
+    """Recursive delete via the Hadoop FileSystem API — scheme-agnostic
+    (local / HDFS / object store), best-effort: a failed cleanup must never
+    fail the training loop."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+    except Exception:  # pragma: no cover - cleanup is advisory
+        pass
 
 
 def bpe_apply(

@@ -4487,11 +4487,15 @@ def temperature_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="per-source document cap (C4 per-host / Dolma per-domain): keep the "
         "cap smallest (md5, id) per key via a two-stage gate — a scan-side "
         "60-bit md5-prefix filter passes ~over*cap candidates per key "
-        "(cutting in the SAME order the rank uses, so the result is the "
-        "exact unconditional top-cap), then row_number over the bounded "
-        "survivors. The window partition size is capped by the gate, not "
-        "the group size — no skew hotspot at 10^9-doc hosts. Oracle "
-        "replays BOTH stages",
+        "(cutting in the SAME order the rank uses), then row_number over "
+        "the bounded survivors. The composition equals the unconditional "
+        "top-cap only when the gate admits >= cap rows per key: at "
+        "cap*over >= 20 the under-admit chance is < 1e-9 per key (see "
+        "source_cap_keepers), while this registered cap=3/over=2 instance "
+        "under-admits a large key with prob ~e^-6*(1+6+18) ~= 6% — exact "
+        "vs the ORACLE regardless, since the oracle replays BOTH stages. "
+        "The window partition size is capped by the gate, not the group "
+        "size — no skew hotspot at 10^9-doc hosts",
 )
 def source_cap_rank_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -4765,7 +4769,7 @@ def unimax_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = sampling.unimax_resample(
         docs, "lang", "doc_id", "n_chars", budget, max_epochs=3,
-        buckets=1_000_000,
+        buckets=1_000_000, alloc=alloc,
     )
     counts = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
     return (
@@ -4828,7 +4832,7 @@ corpus_{s + 1} AS (
                      THEN w.nid ELSE c.t[i] END) AS t
   FROM corpus_{s} c
   LEFT JOIN sel_{s} sp ON c.doc_id = sp.doc_id
-  CROSS JOIN winner_{s} w)""")
+  LEFT JOIN winner_{s} w ON TRUE)""")
     selects = [
         f"SELECT CAST({s + 1} AS INT) AS step, CAST(a AS INT) AS a,"
         f" CAST(b AS INT) AS b, CAST(nid AS INT) AS new_id,"
@@ -4954,6 +4958,9 @@ _DRIVER_WINDOW_TAIL = [
     "stratified_sample_mix",       # sampling: temperature/cap in-window
     "corpus_curation_pipeline",    # funnel: curation_funnel_v2 in-window
     "bpe_train_merges",            # added post-rotation; local-signed only
+    "bpe_top_pairs",               # added post-rotation; local-signed only
+    "bpe_merge_apply",             # added post-rotation; local-signed only
+    "unimax_mix_allocation",       # added post-rotation; local-signed only
 ]
 
 

@@ -18,11 +18,14 @@ bytes — proving at 10x apart:
 
 Token payload per row is head=32 tokens reduced to a 256-symbol alphabet
 (the byte-level BPE shape); 20M rows = 640M tokens through the kernels.
-Each measurement is a MEDIAN of 3 warm runs after an unrecorded warm-up
-pass (JVM codegen + 32 Arrow worker spin-ups), with the 1-min load average
-recorded per measurement: a fresh-JVM probe on this host showed identical
-pair-count jobs swinging 4.7s..37.6s at 20M rows across JVMs (GC/host
-noise), so single samples here are not measurements.
+Each headline (``wall_sec``) is the MIN of N warm runs (N =
+``LC_BENCH_QUERY_RUNS``, default 3; the committed record used 5) after an
+unrecorded warm-up pass (JVM codegen
++ 32 Arrow worker spin-ups); every raw sample, the median, and the 1-min
+load average are recorded alongside. Min-not-median because the noise on
+this host is strictly additive neighbor load: a fresh-JVM probe showed
+identical pair-count jobs swinging 4.7s..37.6s at 20M rows across JVMs
+(GC/host noise), so single samples here are not measurements.
 
 Usage: python tools/bench_bpe_scale.py [rows ...]  (default: 2000000 20000000)
 Writes .bench_state/bpe_scale.json and prints one JSON line.
