@@ -589,6 +589,36 @@ def test_bpe_train_sql_oracle_final_corpus_matches_python():
     assert got == want
 
 
+def test_bpe_train_sql_oracle_dry_round_preserves_corpus():
+    """A training round with NO remaining adjacent pairs (empty winner CTE)
+    must pass the corpus through unchanged — matching bpe_train's
+    break-and-return — not wipe it: the stage rewrite joins the winner with
+    LEFT JOIN ON TRUE, so an empty winner leaves every row intact and the
+    merge-table union simply stops early. Regression: the original CROSS
+    JOIN emptied corpus_{s+1} and every later corpus."""
+    import duckdb
+
+    from loongcollector_spark.queries import _bpe_train_sql
+
+    # After merge 1 ([0,1] -> 50) the corpus is single-token rows: round 2
+    # is dry.
+    prefix = (
+        "WITH corpus_0(doc_id, t) AS "
+        "(SELECT * FROM (VALUES ('a', [0, 1]), ('b', [0, 1])))"
+    )
+    sql = _bpe_train_sql(3, corpus_prefix=prefix, start_id=50)
+    assert duckdb.sql(sql).fetchall() == [(1, 0, 1, 50, 2)]
+    body = sql[: sql.rindex("\nSELECT CAST(1")]
+    for k in (1, 2, 3):
+        got = {
+            d: list(t)
+            for d, t in duckdb.sql(
+                body + f"\nSELECT doc_id, t FROM corpus_{k}"
+            ).fetchall()
+        }
+        assert got == {"a": [50], "b": [50]}, f"corpus_{k} diverged"
+
+
 def test_bpe_train_empty_corpus_raises(spark):
     from loongcollector_spark.operators.token_ops import bpe_train
 
