@@ -300,6 +300,30 @@ def test_unimax_resample_rates_and_determinism(spark, sf_dir):
             assert abs(k1.get(lang, 0) / n - rate) < tol
 
 
+def test_unimax_allocation_preserves_strata_dtype(spark):
+    """The allocation artifact must carry the CALLER's strata type — an int
+    lang id stays int (regression: a hard-coded string schema coerced 2 to
+    '2', changing the join/union schema downstream)."""
+    from loongcollector_spark.functions.sampling import (
+        unimax_allocation,
+        unimax_resample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, i % 3, 100 + i) for i in range(60)],
+        "doc_id int, lang int, n_chars int",
+    )
+    alloc = unimax_allocation(docs, "lang", "n_chars", budget=3000)
+    assert dict(alloc.dtypes)["lang"] == "int"
+    assert {r.lang for r in alloc.collect()} == {0, 1, 2}
+    # and the precomputed-alloc path joins it back without implicit casts
+    kept = unimax_resample(
+        docs, "lang", "doc_id", "n_chars", budget=3000, alloc=alloc
+    )
+    assert dict(kept.dtypes)["lang"] == "int"
+    assert kept.count() > 0
+
+
 def test_unimax_validation(spark, sf_dir):
     from loongcollector_spark.functions.sampling import unimax_allocation
 

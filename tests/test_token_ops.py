@@ -512,6 +512,12 @@ def test_bpe_train_matches_pure_python(spark, tmp_path):
     got2 = {r.doc_id: (None if r.tokens is None else list(r.tokens))
             for r in final2.collect()}
     assert got2 == want_corpus
+    # superseded spill snapshots are cleaned up: only the LAST checkpoint
+    # remains on disk (O(1) corpus copies, not O(n_merges/checkpoint_every))
+    import os as _os
+
+    dirs = [d for d in _os.listdir(tmp_path) if d.startswith("bpe_iter_")]
+    assert dirs == ["bpe_iter_4"], dirs
 
 
 def test_bpe_apply_replays_training(spark):
