@@ -4957,10 +4957,14 @@ _DRIVER_WINDOW_TAIL = [
     "ann_cosine_top10",            # ann: ann_pq_adc/ivf_lloyd in-window
     "stratified_sample_mix",       # sampling: temperature/cap in-window
     "corpus_curation_pipeline",    # funnel: curation_funnel_v2 in-window
-    "bpe_train_merges",            # added post-rotation; local-signed only
-    "bpe_top_pairs",               # added post-rotation; local-signed only
-    "bpe_merge_apply",             # added post-rotation; local-signed only
-    "unimax_mix_allocation",       # added post-rotation; local-signed only
+    # r5 session 14: the four BPE/UniMax queries added after the final
+    # rotation had zero driver signatures ever; promote them into the
+    # window by demoting four r1+r2-double-signed representatives. After
+    # this every registry entry ends round 5 with >=1 driver signature.
+    "anchor_extract_span",         # enrich: signed r1+r2
+    "split_words_rollup",          # delimiters: signed r1+r2
+    "reformat_time_gotime",        # time: signed r1+r2; parse_timestamp
+    "dynamic_topic_format",        # routing: signed r1+r2; router tests
 ]
 
 
