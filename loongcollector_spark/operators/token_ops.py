@@ -341,6 +341,104 @@ def token_pack_chunks(
     return out
 
 
+def token_pack_bestfit(
+    df: DataFrame,
+    capacity: int = 2048,
+    id_col: str = "doc_id",
+    n_tok_col: str = "n_tok",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Best-Fit-Decreasing sequence packing (Ding et al. 2024, "Fewer
+    Truncations Improve Language Modeling"): instead of concatenating
+    documents and cutting every ``capacity`` tokens (token_pack_chunks —
+    which truncates whatever straddles a cut), pack whole documents into
+    fixed-capacity bins so only documents LONGER than the capacity are ever
+    split. Two phases, exactly the paper's:
+
+    1. pre-chunk: a document of n tokens becomes ceil(n/capacity) pieces —
+       floor(n/capacity) full pieces plus a remainder — pure JVM
+       explode(sequence), no Python;
+    2. BFD: per shard, pieces sorted by (size DESC, doc_id, piece_id) are
+       placed greedily into the bin with the SMALLEST remaining capacity
+       that still fits (lowest bin index on ties); no fit opens a new bin.
+
+    Returns one row per piece: (shard, doc_id, piece_id, piece_tokens,
+    bin_id). Every bin's fill is <= capacity and only oversize documents
+    are split, so the truncation count is exactly the paper's guarantee.
+
+    Scale shape: bin packing is inherently sequential WITHIN a bin set, so
+    the unit of parallelism is the shard — the production layout packs one
+    shard per executor core exactly like token_pack_chunks's partition_by
+    path (hash shuffle on shard, per-shard work independent). The inner
+    loop is one numpy mask/argmin per piece over the open-bin capacities
+    (O(pieces x bins) worst case per shard; a segment tree drops that to
+    O(pieces log bins) if a single shard ever holds millions of pieces —
+    shard sizing keeps that bounded long before the asymptotics matter).
+    Nothing global: no driver state, no collect, shard skew is the only
+    skew and it is the caller's shard-key choice."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    n = F.col(n_tok_col).cast("long")
+    full = F.floor(n / capacity)
+    n_pieces = F.ceil(n / F.lit(float(capacity))).cast("long")
+    pieces = (
+        df.filter(n > 0)
+        .select(
+            F.col(shard_col).alias("shard"),
+            F.col(id_col).alias("doc_id"),
+            n.alias("_n"),
+            full.alias("_full"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_pieces - 1)).alias(
+                "piece_id"
+            ),
+        )
+        .select(
+            "shard",
+            "doc_id",
+            "piece_id",
+            F.when(F.col("piece_id") < F.col("_full"), F.lit(capacity))
+            .otherwise(F.col("_n") % capacity)
+            .cast("long")
+            .alias("piece_tokens"),
+        )
+    )
+
+    def bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["piece_tokens", "doc_id", "piece_id"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).reset_index(drop=True)
+        sizes = pdf["piece_tokens"].to_numpy(dtype=np.int64)
+        caps = np.empty(len(pdf), dtype=np.int64)
+        bins = np.empty(len(pdf), dtype=np.int64)
+        n_bins = 0
+        for i in range(len(sizes)):
+            s = sizes[i]
+            view = caps[:n_bins]
+            fit = np.flatnonzero(view >= s)
+            if len(fit):
+                # smallest remaining capacity that fits; argmin returns the
+                # FIRST minimal index, so ties break to the lowest bin id —
+                # the same rule the DuckDB oracle's list_position applies
+                j = fit[np.argmin(view[fit])]
+                caps[j] -= s
+                bins[i] = j
+            else:
+                caps[n_bins] = capacity - s
+                bins[i] = n_bins
+                n_bins += 1
+        out = pdf.copy()
+        out["bin_id"] = bins
+        return out
+
+    schema = (
+        "shard string, doc_id string, piece_id long, "
+        "piece_tokens long, bin_id long"
+    )
+    return pieces.groupBy("shard").applyInPandas(bfd, schema=schema)
+
+
 def token_minhash_lsh(
     df: DataFrame,
     tokens_col: str = "tokens",

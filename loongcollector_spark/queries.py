@@ -3240,6 +3240,73 @@ def token_pack_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_bestfit_oracle(n_rows: int = 1200, cap: int = 1024) -> str:
+    from loongcollector_spark.sources.sql_oracle import f1_cte
+
+    return f"""
+WITH RECURSIVE {f1_cte(n_rows, 42, (0,))},
+pieces AS (
+  SELECT source AS shard,
+         source || '-' || lpad(CAST(i AS VARCHAR), 12, '0') AS doc_id,
+         CAST(unnest(range(CAST(ceil(n_tok / {cap}.0) AS BIGINT))) AS BIGINT)
+           AS piece_id,
+         n_tok
+  FROM f1 WHERE n_tok > 0),
+sized AS (
+  SELECT shard, doc_id, piece_id,
+         CAST(CASE WHEN piece_id < n_tok // {cap} THEN {cap}
+                   ELSE n_tok % {cap} END AS BIGINT) AS piece_tokens
+  FROM pieces),
+ordered AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY shard
+      ORDER BY piece_tokens DESC, doc_id, piece_id) AS rnk
+  FROM sized),
+rec AS (
+  SELECT shard, 0 AS rnk, CAST([] AS BIGINT[]) AS caps,
+         CAST(NULL AS VARCHAR) AS doc_id, CAST(NULL AS BIGINT) AS piece_id,
+         CAST(NULL AS BIGINT) AS piece_tokens, CAST(NULL AS BIGINT) AS bin_id
+  FROM (SELECT DISTINCT shard FROM ordered)
+  UNION ALL
+  SELECT shard, rnk,
+         CASE WHEN idx IS NULL THEN list_append(caps, {cap} - piece_tokens)
+              ELSE list_concat(list_concat(caps[1:idx-1],
+                                           [caps[idx] - piece_tokens]),
+                               caps[idx+1:]) END,
+         doc_id, piece_id, piece_tokens,
+         COALESCE(idx, len(caps) + 1) - 1
+  FROM (
+    SELECT o.shard, o.rnk, r.caps, o.doc_id, o.piece_id, o.piece_tokens,
+           list_position(r.caps,
+             list_min(list_filter(r.caps, c -> c >= o.piece_tokens))) AS idx
+    FROM rec r JOIN ordered o ON o.shard = r.shard AND o.rnk = r.rnk + 1))
+SELECT shard, doc_id, piece_id, piece_tokens, bin_id
+FROM rec WHERE rnk >= 1
+"""
+
+
+@register(
+    "bestfit_pack_assignments",
+    _pack_bestfit_oracle(),
+    doc="Best-Fit-Decreasing sequence packing (Ding et al. 2024, 'Fewer "
+        "Truncations Improve Language Modeling'): oversize docs pre-chunk "
+        "to <= capacity pieces (JVM explode), then per shard the pieces "
+        "(size DESC, doc_id, piece_id order) place into the tightest bin "
+        "that fits, lowest bin id on ties — only oversize docs are ever "
+        "split, vs token_pack_chunks' cut-every-L truncations. One row per "
+        "piece with its bin assignment. The DuckDB oracle regenerates the "
+        "corpus from seed and replays the greedy fold as a recursive CTE "
+        "carrying the open-bin capacity list (list_min/list_filter/"
+        "list_position give the identical best-fit tie-break)",
+)
+def bestfit_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.token_ops import token_pack_bestfit
+    from loongcollector_spark.sources.synthetic import generate_sequences_head
+
+    seqs = generate_sequences_head(spark, 1200, head=1)
+    return token_pack_bestfit(seqs, capacity=1024, shard_col="source")
+
+
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125}
 _MIX_DEFAULT = 0.0625  # exact binary fractions: rate*buckets is integral
 
@@ -4965,6 +5032,9 @@ _DRIVER_WINDOW_TAIL = [
     "split_words_rollup",          # delimiters: signed r1+r2
     "reformat_time_gotime",        # time: signed r1+r2; parse_timestamp
     "dynamic_topic_format",        # routing: signed r1+r2; router tests
+    # r5 session 14: one more r1+r2-signed demotion keeps the brand-new
+    # bestfit_pack_assignments (BFD packing) inside the 50-slot window
+    "geoip_prefix_join",           # geoip: signed r1+r2; cidr/mmdb in tail
 ]
 
 

@@ -633,3 +633,101 @@ def test_bpe_train_empty_corpus_raises(spark):
     )
     with pytest.raises(ValueError, match="no tokens"):
         bpe_train(df, 1)
+
+
+def _bfd_reference(pieces, capacity):
+    """Plain-Python Best-Fit-Decreasing over (doc_id, piece_id, size)."""
+    order = sorted(pieces, key=lambda p: (-p[2], p[0], p[1]))
+    caps, out = [], {}
+    for doc, pid, size in order:
+        fits = [(c, j) for j, c in enumerate(caps) if c >= size]
+        if fits:
+            _, j = min(fits, key=lambda t: (t[0], t[1]))
+            caps[j] -= size
+        else:
+            caps.append(capacity - size)
+            j = len(caps) - 1
+        out[(doc, pid)] = j
+    return out, caps
+
+
+def test_token_pack_bestfit_hand_example(spark):
+    from loongcollector_spark.operators.token_ops import token_pack_bestfit
+
+    # sizes desc: a=7, b=6, c=4, d=3, e=2 into capacity 10:
+    # a->bin0(rem 3), b->bin1(rem 4), c->bin1(rem 0), d->bin0(rem 0),
+    # e->bin2 (new)
+    rows = [("s", "a", 7), ("s", "b", 6), ("s", "c", 4), ("s", "d", 3),
+            ("s", "e", 2)]
+    df = spark.createDataFrame(rows, "source string, doc_id string, n_tok int")
+    got = {
+        r["doc_id"]: r["bin_id"]
+        for r in token_pack_bestfit(df, capacity=10).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 0, "e": 2}
+
+
+def test_token_pack_bestfit_oversize_prechunk(spark):
+    from loongcollector_spark.operators.token_ops import token_pack_bestfit
+
+    # n=25 at capacity 10 -> pieces 10,10,5; n=10 exactly -> one piece of 10
+    df = spark.createDataFrame(
+        [("s", "big", 25), ("s", "exact", 10)],
+        "source string, doc_id string, n_tok int",
+    )
+    out = token_pack_bestfit(df, capacity=10).collect()
+    sizes = sorted((r["doc_id"], r["piece_id"], r["piece_tokens"]) for r in out)
+    assert sizes == [("big", 0, 10), ("big", 1, 10), ("big", 2, 5),
+                     ("exact", 0, 10)]
+    # every bin fill <= capacity, full pieces each alone in their bin
+    fills = {}
+    for r in out:
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["piece_tokens"]
+    assert all(v <= 10 for v in fills.values())
+
+
+def test_token_pack_bestfit_invariants_and_reference_parity(spark):
+    import numpy as np
+
+    from loongcollector_spark.operators.token_ops import token_pack_bestfit
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (f"sh{i % 3}", f"d{i:04d}", int(rng.randint(1, 30)))
+        for i in range(120)
+    ]
+    cap = 16
+    df = spark.createDataFrame(rows, "source string, doc_id string, n_tok int")
+    out = token_pack_bestfit(df, capacity=cap).collect()
+
+    # piece mass conservation
+    assert sum(r["piece_tokens"] for r in out) == sum(n for _, _, n in rows)
+
+    by_shard: dict[str, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        # bin fill <= capacity; bin ids contiguous from 0
+        fills: dict[int, int] = {}
+        for r in rs:
+            fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["piece_tokens"]
+        assert all(v <= cap for v in fills.values())
+        assert sorted(fills) == list(range(len(fills)))
+        # exact parity with the plain-Python BFD reference
+        pieces = []
+        for _, doc, n in (t for t in rows if t[0] == shard):
+            fullp, rem = divmod(n, cap)
+            sizes = [cap] * fullp + ([rem] if rem else [])
+            pieces += [(doc, pid, s) for pid, s in enumerate(sizes)]
+        expect, _ = _bfd_reference(pieces, cap)
+        got = {(r["doc_id"], r["piece_id"]): r["bin_id"] for r in rs}
+        assert got == expect, f"shard {shard} diverged"
+
+
+def test_token_pack_bestfit_rejects_bad_capacity(spark):
+    from loongcollector_spark.operators.token_ops import token_pack_bestfit
+
+    df = spark.createDataFrame([("s", "a", 1)],
+                               "source string, doc_id string, n_tok int")
+    with pytest.raises(ValueError, match="capacity"):
+        token_pack_bestfit(df, capacity=0)
