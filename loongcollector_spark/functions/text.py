@@ -105,6 +105,72 @@ def content_hash(col: Column) -> Column:
     return F.xxhash64(col)
 
 
+def html_strip(col: Column) -> Column:
+    """HTML → text extraction (the Common-Crawl WET-style stage every web
+    corpus runs before quality filtering): drop comments and script/style
+    blocks wholesale, break block-level closers into newlines, strip the
+    remaining tags, decode the core entities, collapse whitespace.
+
+    Pure JVM regexp_replace chain — fuses into the scan, zero exchange,
+    and every pattern is dialect-portable (no lookaround, so Java regex
+    and RE2/DuckDB agree): an external engine can replay the extraction
+    with the same pattern sequence. Entity decode order matters
+    (&amp; LAST, so '&amp;lt;' decodes to '&lt;' not '<'); the whitespace
+    collapse keeps line structure for downstream line-wise filters."""
+    t = F.regexp_replace(col, r"(?s)<!--.*?-->", "")
+    t = F.regexp_replace(t, r"(?is)<script\b[^>]*>.*?</script>", "")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style>", "")
+    # block-level closers + <br> become line breaks, everything else a space
+    t = F.regexp_replace(
+        t, r"(?i)<(?:br\s*/?|/p|/div|/h[1-6]|/li|/tr|/title)>", "\n"
+    )
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        t = F.regexp_replace(t, ent, rep)
+    t = F.regexp_replace(t, r"[ \t\r]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{2,}", "\n")
+    return F.trim(t)
+
+
+# regex fragments shared by url_canonicalize and its documentation: tracking
+# parameters every major pipeline strips (CCNet dedups on normalized URLs)
+_URL_TRACKING = r"(?:utm_[a-z]+|fbclid|gclid|ref)"
+
+
+def url_canonicalize(col: Column) -> Column:
+    """URL canonicalization for URL-level dedup (the CCNet/RefinedWeb stage
+    that collapses crawl duplicates before any content hashing): strip the
+    fragment, lowercase scheme+authority, drop default ports (:80 http /
+    :443 https), remove tracking query params (utm_*, fbclid, gclid, ref),
+    tidy separator debris, drop a trailing slash.
+
+    Contract: absolute http(s) URLs. Pure JVM expressions, no lookaround
+    (RE2-portable). Tracking-param removal runs three passes because a
+    global regexp_replace resumes AFTER each replacement and so misses
+    back-to-back params; three passes canonicalize any run of <= 6
+    adjacent tracking params — beyond that a URL keeps its tail (harmless:
+    canonicalization is a dedup key, not a fetcher)."""
+    auth = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+    u = F.trim(col)
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.concat(
+        F.lower(F.regexp_extract(u, auth, 0)), F.regexp_replace(u, auth, "")
+    )
+    u = F.regexp_replace(u, r"^(http://[^/?#:]+):80([/?#]|$)", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?#:]+):443([/?#]|$)", "$1$2")
+    for _ in range(3):
+        u = F.regexp_replace(u, r"([?&])" + _URL_TRACKING + r"=[^&#]*&", "$1")
+    u = F.regexp_replace(u, r"[?&]" + _URL_TRACKING + r"=[^&#]*$", "")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    u = F.regexp_replace(u, r"/$", "")
+    return u
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style repetition filters (Rae et al. 2021, "Scaling Language Models",
 # Table A1): duplicate-line fraction, duplicate-line character fraction, and

@@ -2041,6 +2041,165 @@ def text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HTML_WRAP_SQL = (
+    "'<html><!-- id=' || doc_id || ' --><head>"
+    "<script type=\"text/javascript\">var x = 1 < 2;</script>"
+    "<style>p { color: red; }</style>"
+    "<title>Doc ' || doc_id || '</title></head>"
+    "<body><h1>Header &amp; Intro</h1><p>' || text || '</p>"
+    "<div>Tom &amp;amp; Jerry &lt;3 &quot;quoted&#39;&nbsp;end</div>"
+    "</body></html>'"
+)
+
+
+@register(
+    "html_text_extract",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_HTML_WRAP_SQL} AS h FROM documents),
+    s1 AS (SELECT doc_id,
+      regexp_replace(h, '(?s)<!--.*?-->', '', 'g') AS t FROM base),
+    s2 AS (SELECT doc_id,
+      regexp_replace(t, '(?is)<script\\b[^>]*>.*?</script>', '', 'g') AS t FROM s1),
+    s3 AS (SELECT doc_id,
+      regexp_replace(t, '(?is)<style\\b[^>]*>.*?</style>', '', 'g') AS t FROM s2),
+    s4 AS (SELECT doc_id,
+      regexp_replace(t, '(?i)<(?:br\\s*/?|/p|/div|/h[1-6]|/li|/tr|/title)>',
+                     chr(10), 'g') AS t FROM s3),
+    s5 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s4),
+    e1 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t FROM s5),
+    e2 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t FROM e1),
+    e3 AS (SELECT doc_id, regexp_replace(t, '&quot;', '"', 'g') AS t FROM e2),
+    e4 AS (SELECT doc_id, regexp_replace(t, '&#39;', '''', 'g') AS t FROM e3),
+    e5 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM e4),
+    e6 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g') AS t FROM e5),
+    w1 AS (SELECT doc_id, regexp_replace(t, '[ \\t\\r]+', ' ', 'g') AS t FROM e6),
+    w2 AS (SELECT doc_id, regexp_replace(t, ' ?\\n ?', chr(10), 'g') AS t FROM w1),
+    w3 AS (SELECT doc_id,
+      trim(regexp_replace(t, '\\n{{2,}}', chr(10), 'g')) AS t FROM w2)
+    SELECT doc_id, t AS extracted,
+           CAST(len(t) AS BIGINT) AS n_chars,
+           CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines
+    FROM w3
+    """,
+    doc="HTML -> text extraction (the WET-style stage before any quality "
+        "filtering): comments/script/style dropped wholesale, block closers "
+        "become line breaks, tags stripped, core entities decoded "
+        "(&amp; last — single-pass, no double-decode), whitespace collapsed "
+        "with line structure kept for the line-wise filters downstream. "
+        "Pure scan-fused regexp_replace chain, dialect-portable (no "
+        "lookaround) so DuckDB/RE2 replays the identical pattern sequence "
+        "over the identically wrapped fixture docs; the full extracted "
+        "text value-hashes across engines",
+)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><!-- id="), did,
+        F.lit(' --><head><script type="text/javascript">var x = 1 < 2;'
+              "</script><style>p { color: red; }</style><title>Doc "),
+        did,
+        F.lit("</title></head><body><h1>Header &amp; Intro</h1><p>"),
+        F.col("text"),
+        F.lit("</p><div>Tom &amp;amp; Jerry &lt;3 &quot;quoted&#39;&nbsp;"
+              "end</div></body></html>"),
+    )
+    t = tx.html_strip(html)
+    return docs.select(
+        "doc_id",
+        t.alias("extracted"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.size(F.split(t, r"\n")).cast("long").alias("n_lines"),
+    )
+
+
+_URL_TRACK_SQL = "(?:utm_[a-z]+|fbclid|gclid|ref)"
+_URL_AUTH_SQL = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+
+
+@register(
+    "url_canonical_dedup",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'HTTP://WWW.' || source || '.COM:80/Path/'
+            || CAST(doc_id % 7 AS VARCHAR)
+            || '?utm_source=feed&utm_campaign=x&id=' || CAST(doc_id % 3 AS VARCHAR)
+          WHEN 1 THEN 'http://www.' || source || '.com/Path/'
+            || CAST(doc_id % 7 AS VARCHAR)
+            || '?id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_medium=email#frag'
+          WHEN 2 THEN 'HTTPS://Blog.' || source || '.COM:443/post/'
+            || CAST(doc_id % 5 AS VARCHAR) || '/'
+          ELSE 'https://blog.' || source || '.com/post/'
+            || CAST(doc_id % 5 AS VARCHAR) || '?gclid=abc123'
+        END AS raw
+      FROM documents),
+    s1 AS (SELECT doc_id, regexp_replace(trim(raw), '#.*$', '', 'g') AS t FROM base),
+    s2 AS (SELECT doc_id,
+      lower(regexp_extract(t, '{_URL_AUTH_SQL}', 0))
+        || regexp_replace(t, '{_URL_AUTH_SQL}', '') AS t FROM s1),
+    s3 AS (SELECT doc_id,
+      regexp_replace(t, '^(http://[^/?#:]+):80([/?#]|$)', '\\1\\2') AS t FROM s2),
+    s4 AS (SELECT doc_id,
+      regexp_replace(t, '^(https://[^/?#:]+):443([/?#]|$)', '\\1\\2') AS t FROM s3),
+    p1 AS (SELECT doc_id,
+      regexp_replace(t, '([?&]){_URL_TRACK_SQL}=[^&#]*&', '\\1', 'g') AS t FROM s4),
+    p2 AS (SELECT doc_id,
+      regexp_replace(t, '([?&]){_URL_TRACK_SQL}=[^&#]*&', '\\1', 'g') AS t FROM p1),
+    p3 AS (SELECT doc_id,
+      regexp_replace(t, '([?&]){_URL_TRACK_SQL}=[^&#]*&', '\\1', 'g') AS t FROM p2),
+    p4 AS (SELECT doc_id,
+      regexp_replace(t, '[?&]{_URL_TRACK_SQL}=[^&#]*$', '', 'g') AS t FROM p3),
+    p5 AS (SELECT doc_id, regexp_replace(t, '\\?&', '?', 'g') AS t FROM p4),
+    p6 AS (SELECT doc_id, regexp_replace(t, '[?&]$', '', 'g') AS t FROM p5),
+    p7 AS (SELECT doc_id, regexp_replace(t, '/$', '', 'g') AS t FROM p6)
+    SELECT t AS canon_url, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM p7 GROUP BY t
+    """,
+    doc="URL canonicalization + URL-level dedup (the CCNet/RefinedWeb stage "
+        "collapsing crawl duplicates before content hashing): fragment "
+        "strip, scheme+authority lowercase, default-port drop, tracking-"
+        "param removal (utm_*/fbclid/gclid/ref), separator tidy, trailing-"
+        "slash drop — all RE2-portable JVM expressions fused into the scan; "
+        "the only exchange is the bounded canon-URL rollup. Fixture URLs "
+        "are derived from doc_id so upper/port/utm/fragment variants of "
+        "the same resource provably collapse to one canonical key in both "
+        "engines",
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    k7 = (F.col("doc_id") % 7).cast("string")
+    k5 = (F.col("doc_id") % 5).cast("string")
+    k3 = (F.col("doc_id") % 3).cast("string")
+    m = (F.col("doc_id") % 4).cast("int")
+    raw = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTP://WWW."), F.col("source"), F.lit(".COM:80/Path/"),
+            k7, F.lit("?utm_source=feed&utm_campaign=x&id="), k3))
+        .when(m == 1, F.concat(
+            F.lit("http://www."), F.col("source"), F.lit(".com/Path/"),
+            k7, F.lit("?id="), k3, F.lit("&utm_medium=email#frag")))
+        .when(m == 2, F.concat(
+            F.lit("HTTPS://Blog."), F.col("source"), F.lit(".COM:443/post/"),
+            k5, F.lit("/")))
+        .otherwise(F.concat(
+            F.lit("https://blog."), F.col("source"), F.lit(".com/post/"),
+            k5, F.lit("?gclid=abc123")))
+    )
+    canon = tx.url_canonicalize(raw)
+    return (
+        docs.select(canon.alias("canon_url"), "doc_id")
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )
+
+
 def _lang_id_oracle() -> str:
     # mirror lang_id()'s sequential strict-greater argmax: the FIRST language
     # (sorted order) reaching the max hit count wins; zero hits -> 'und'
@@ -5035,6 +5194,10 @@ _DRIVER_WINDOW_TAIL = [
     # r5 session 14: one more r1+r2-signed demotion keeps the brand-new
     # bestfit_pack_assignments (BFD packing) inside the 50-slot window
     "geoip_prefix_join",           # geoip: signed r1+r2; cidr/mmdb in tail
+    # ... and two more so html_text_extract / url_canonical_dedup (new,
+    # never signed) take window slots from r1+r2-double-signed reps
+    "otel_span_projection",        # otel: signed r1+r2; trace/log in tail
+    "broadcast_lookup_join",       # enrich: signed r1+r2; dict_map in tail
 ]
 
 

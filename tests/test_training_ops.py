@@ -1167,3 +1167,56 @@ def test_quality_classifier_score_is_length_normalized(spark):
     # doc 3 = doc 1 twice: every unigram count doubles and one bridging
     # bigram appears, so the means differ only by that one gram's dilution
     assert got[3] == pytest.approx(got[1], rel=0.2)
+
+
+def test_html_strip_known_document(spark):
+    from loongcollector_spark.functions.text import html_strip
+
+    html = (
+        '<html><!-- hidden --><head><script type="a">var x = 1 < 2;</script>'
+        "<style>p{}</style><title>T</title></head>"
+        "<body><h1>Head &amp; Tail</h1><p>Tom &amp;amp; Jerry &lt;3</p>"
+        "<div>A&nbsp;B&quot;C&#39;D</div><ul><li>one</li><li>two</li></ul>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    got = df.select(html_strip(F.col("h")).alias("t")).first()["t"]
+    # comments/script/style gone; closers -> newlines; entities decoded
+    # single-pass (&amp;amp; -> &amp;, NOT &); whitespace collapsed
+    # trailing newline: trim() strips spaces only (same rule both engines)
+    assert got == ('T\nHead & Tail\nTom &amp; Jerry <3\nA B"C\'D\none\ntwo\n')
+
+
+def test_html_strip_keeps_plain_text(spark):
+    from loongcollector_spark.functions.text import html_strip
+
+    df = spark.createDataFrame([("no markup here",)], "h string")
+    assert df.select(html_strip(F.col("h")).alias("t")).first()["t"] == (
+        "no markup here"
+    )
+
+
+@pytest.mark.parametrize(
+    "raw,expect",
+    [
+        # scheme+host lowercase, default port, tracking params, fragment
+        ("HTTP://WWW.Ex.COM:80/Path/7?utm_source=a&utm_campaign=b&id=1#x",
+         "http://www.ex.com/Path/7?id=1"),
+        # https default port + trailing slash
+        ("HTTPS://Blog.Ex.COM:443/post/2/", "https://blog.ex.com/post/2"),
+        # only-tracking query vanishes entirely
+        ("https://ex.com/p?gclid=abc", "https://ex.com/p"),
+        # non-default port survives; path case survives
+        ("http://ex.com:8080/A/B?z=1", "http://ex.com:8080/A/B?z=1"),
+        # six adjacent tracking params fully stripped by 3 passes + end rule
+        ("http://ex.com/p?utm_a=1&utm_b=2&utm_c=3&utm_d=4&utm_e=5&utm_f=6",
+         "http://ex.com/p"),
+        # tracking in the middle keeps surrounding real params
+        ("http://ex.com/p?a=1&fbclid=zz&b=2", "http://ex.com/p?a=1&b=2"),
+    ],
+)
+def test_url_canonicalize_cases(spark, raw, expect):
+    from loongcollector_spark.functions.text import url_canonicalize
+
+    df = spark.createDataFrame([(raw,)], "u string")
+    assert df.select(url_canonicalize(F.col("u")).alias("c")).first()["c"] == expect
