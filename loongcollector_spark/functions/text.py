@@ -8,6 +8,8 @@ full predicate pushdown upstream.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -169,6 +171,55 @@ def url_canonicalize(col: Column) -> Column:
     u = F.regexp_replace(u, r"[?&]$", "")
     u = F.regexp_replace(u, r"/$", "")
     return u
+
+
+# two-level public-suffix subset for the registrable-domain heuristic; the
+# full PSL is a plan-time broadcast table in a production deployment — the
+# heuristic covers the dominant cases and is the documented contract here
+_SECOND_LEVEL_TLDS = ("co", "com", "org", "net", "gov", "ac", "edu")
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host of an absolute http(s) URL (port dropped)."""
+    return F.lower(
+        F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1)
+    )
+
+
+def registrable_domain(col: Column) -> Column:
+    """Registrable ('eTLD+1') domain of a host: the last two labels, or the
+    last three when the penultimate label is a common second-level suffix
+    ('bbc.co.uk' -> 'bbc.co.uk', 'www.example.com' -> 'example.com').
+    RE2-portable regexes so external engines replay the identical rule."""
+    sl = "|".join(_SECOND_LEVEL_TLDS)
+    last3 = F.regexp_extract(col, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    last2 = F.regexp_extract(col, r"([^.]+\.[^.]+)$", 1)
+    is_sl = col.rlike(r"\.(" + sl + r")\.[a-z]{2}$")
+    return F.when(is_sl & (last3 != ""), last3).otherwise(
+        F.when(last2 != "", last2).otherwise(col)
+    )
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    url_col: str,
+    blocked: Sequence[str],
+    keep_col: str | None = None,
+) -> DataFrame:
+    """URL blocklist filtering (the RefinedWeb/UT1-style front-door gate:
+    drop every document whose registrable domain is on the list). The
+    blocklist is a plan-time literal set (broadcast-sized by definition —
+    even UT1's multi-million-entry list is MBs against a 100 TB corpus),
+    so the gate is a scan-side isin/anti filter: no shuffle, no join
+    exchange, fuses into the scan with the other quality gates.
+
+    ``keep_col=None`` drops blocked rows; a column name instead annotates
+    each row with the boolean verdict (audit mode)."""
+    dom = registrable_domain(url_host(F.col(url_col)))
+    keep = ~dom.isin(*[b.lower() for b in blocked])
+    if keep_col is not None:
+        return df.withColumn(keep_col, keep)
+    return df.filter(keep)
 
 
 # ---------------------------------------------------------------------------

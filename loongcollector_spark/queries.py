@@ -2200,6 +2200,71 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "url_blocklist_gate",
+    """
+    WITH base AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 3 AS INT)
+          WHEN 0 THEN 'HTTP://WWW.' || source || '.COM/a/' || CAST(doc_id % 5 AS VARCHAR)
+          WHEN 1 THEN 'https://News.' || source || '.CO.UK:443/b'
+          ELSE 'http://cdn.assets.' || source || '.net/c#frag'
+        END AS raw
+      FROM documents),
+    hosts AS (
+      SELECT doc_id,
+        lower(regexp_extract(raw, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1))
+          AS host
+      FROM base),
+    doms AS (
+      SELECT doc_id, host,
+        CASE WHEN regexp_matches(host, '\\.(co|com|org|net|gov|ac|edu)\\.[a-z]{2}$')
+                  AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
+             THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+             WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) <> ''
+             THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+             ELSE host END AS dom
+      FROM hosts)
+    SELECT dom AS domain,
+           CAST(dom NOT IN ('src1.com', 'src2.co.uk', 'src3.net') AS INT)
+             AS kept,
+           COUNT(*) AS n_docs
+    FROM doms GROUP BY 1, 2
+    """,
+    doc="URL blocklist filtering (the RefinedWeb/UT1-style front-door "
+        "gate): registrable eTLD+1 domain via the 2-level-suffix heuristic "
+        "(news.src.co.uk -> src.co.uk, www.src.com -> src.com), then a "
+        "plan-time literal isin gate — scan-side, zero exchange; the only "
+        "shuffle is this audit rollup. Fixture hosts exercise .com, "
+        ".co.uk (last-3 rule) and a deep .net subdomain; blocklist hits "
+        "span all three shapes",
+)
+def url_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 3).cast("int")
+    raw = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTP://WWW."), F.col("source"), F.lit(".COM/a/"),
+            (F.col("doc_id") % 5).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("https://News."), F.col("source"), F.lit(".CO.UK:443/b")))
+        .otherwise(F.concat(
+            F.lit("http://cdn.assets."), F.col("source"), F.lit(".net/c#frag")))
+    )
+    annotated = tx.domain_blocklist_filter(
+        docs.select("doc_id", raw.alias("url")),
+        "url",
+        ["src1.com", "src2.co.uk", "src3.net"],
+        keep_col="kept",
+    )
+    dom = tx.registrable_domain(tx.url_host(F.col("url")))
+    return (
+        annotated.select(dom.alias("domain"), F.col("kept").cast("int").alias("kept"))
+        .groupBy("domain", "kept")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def _lang_id_oracle() -> str:
     # mirror lang_id()'s sequential strict-greater argmax: the FIRST language
     # (sorted order) reaching the max hit count wins; zero hits -> 'und'
@@ -5198,6 +5263,8 @@ _DRIVER_WINDOW_TAIL = [
     # never signed) take window slots from r1+r2-double-signed reps
     "otel_span_projection",        # otel: signed r1+r2; trace/log in tail
     "broadcast_lookup_join",       # enrich: signed r1+r2; dict_map in tail
+    # ... and one for url_blocklist_gate (new, never signed)
+    "md5_base64_fields",           # enrich: signed r1+r2; desensitize in tail
 ]
 
 

@@ -1220,3 +1220,38 @@ def test_url_canonicalize_cases(spark, raw, expect):
 
     df = spark.createDataFrame([(raw,)], "u string")
     assert df.select(url_canonicalize(F.col("u")).alias("c")).first()["c"] == expect
+
+
+@pytest.mark.parametrize(
+    "host,expect",
+    [
+        ("www.example.com", "example.com"),
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("cdn.assets.site.net", "site.net"),
+        ("bbc.co.uk", "bbc.co.uk"),
+        ("localhost", "localhost"),
+        ("deep.a.b.example.gov.br", "example.gov.br"),
+    ],
+)
+def test_registrable_domain_cases(spark, host, expect):
+    from loongcollector_spark.functions.text import registrable_domain
+
+    df = spark.createDataFrame([(host,)], "h string")
+    assert df.select(
+        registrable_domain(F.col("h")).alias("d")
+    ).first()["d"] == expect
+
+
+def test_domain_blocklist_filter_modes(spark):
+    from loongcollector_spark.functions.text import domain_blocklist_filter
+
+    df = spark.createDataFrame(
+        [("a", "http://www.Bad.COM/x"), ("b", "https://ok.org/y"),
+         ("c", "http://sub.bad.com:8080/z")],
+        "doc_id string, url string",
+    )
+    kept = domain_blocklist_filter(df, "url", ["bad.com"])
+    assert [r["doc_id"] for r in kept.collect()] == ["b"]
+    audit = domain_blocklist_filter(df, "url", ["BAD.com"], keep_col="ok")
+    got = {r["doc_id"]: r["ok"] for r in audit.collect()}
+    assert got == {"a": False, "b": True, "c": False}
