@@ -182,3 +182,41 @@ def test_pq_topk_zero_exchange_before_cut(spark):
     assert plan.count("Exchange") == 0
     assert plan.count("TakeOrderedAndProject") == 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_html_strip_zero_exchange(spark):
+    """html_strip is a scan-fused regexp chain: extracting text for every
+    doc must introduce NO Exchange — one projection over the scan."""
+    from pyspark.sql import functions as F
+
+    from loongcollector_spark.functions.text import html_strip
+    from loongcollector_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    q = docs.select("doc_id", html_strip(F.col("text")).alias("t"))
+    assert "Exchange" not in _plan(q)
+
+
+def test_url_canonical_blocklist_scan_side(spark):
+    """url_canonicalize + domain_blocklist_filter stay scan-side: the
+    filtered projection has no Exchange and no join — the blocklist is a
+    plan-time literal isin, not a join relation."""
+    from pyspark.sql import functions as F
+
+    from loongcollector_spark.functions.text import (
+        domain_blocklist_filter,
+        url_canonicalize,
+    )
+    from loongcollector_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id",
+        F.concat(F.lit("http://h"), F.col("doc_id").cast("string"),
+                 F.lit(".example.com/p")).alias("url"),
+    )
+    q = domain_blocklist_filter(
+        docs.select("doc_id", url_canonicalize(F.col("url")).alias("url")),
+        "url", ["blocked.com"],
+    )
+    plan = _plan(q)
+    assert "Exchange" not in plan and "Join" not in plan
