@@ -393,3 +393,49 @@ def test_bpe_merge_idempotent_and_invertible(spark, rows, pair):
         for t in got_once[str(i)]:
             expanded.extend([a, b] if t == nid else [t])
         assert expanded == original, (original, pair, got_once[str(i)])
+
+
+# URL pieces for the canonicalization idempotence property: schemes/hosts in
+# mixed case, optional default/explicit port, path segments, query params
+# mixing tracking and real keys, optional fragment
+_url_strategy = st.builds(
+    lambda scheme, host, port, segs, params, frag: (
+        scheme + "://" + host + port + "/" + "/".join(segs)
+        + ("?" + "&".join(f"{k}={v}" for k, v in params) if params else "")
+        + frag
+    ),
+    st.sampled_from(["http", "HTTP", "https", "HTTPS", "hTtP"]),
+    st.builds(
+        lambda a, b: a + "." + b,
+        st.text(alphabet="abcDEF123", min_size=1, max_size=8),
+        st.sampled_from(["Example.COM", "ex.co.uk", "site.NET", "x.org"]),
+    ),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.lists(st.text(alphabet="AbC09._-", min_size=1, max_size=6), max_size=3),
+    st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["utm_source", "utm_campaign", "fbclid", "gclid", "ref",
+                 "id", "q", "page"]
+            ),
+            st.text(alphabet="abc123", min_size=1, max_size=5),
+        ),
+        max_size=6,
+    ),
+    st.sampled_from(["", "#frag", "#a/b?c"]),
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(_url_strategy, min_size=1, max_size=20))
+def test_url_canonicalize_idempotent(spark, urls):
+    """canonicalize(canonicalize(u)) == canonicalize(u): the output is a
+    stable dedup key — re-running the normalizer can never split or merge
+    groups. One batched job per example set."""
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = tx.url_canonicalize(F.col("u"))
+    twice = tx.url_canonicalize(once)
+    bad = df.select(once.alias("c1"), twice.alias("c2")).filter(
+        F.col("c1") != F.col("c2")
+    )
+    assert bad.count() == 0, bad.collect()
