@@ -168,8 +168,10 @@ def url_canonicalize(col: Column) -> Column:
         u = F.regexp_replace(u, r"([?&])" + _URL_TRACKING + r"=[^&#]*&", "$1")
     u = F.regexp_replace(u, r"[?&]" + _URL_TRACKING + r"=[^&#]*$", "")
     u = F.regexp_replace(u, r"\?&", "?")
-    u = F.regexp_replace(u, r"[?&]$", "")
-    u = F.regexp_replace(u, r"/$", "")
+    # one combined trailing-separator strip ([/?&]+$, not /$ then [?&]$):
+    # the single-char forms were not idempotent ('p//' -> 'p/', 'p?/' ->
+    # 'p?') and a canonical form must be a FIXED POINT to be a dedup key
+    u = F.regexp_replace(u, r"[/?&]+$", "")
     return u
 
 
@@ -205,6 +207,7 @@ def domain_blocklist_filter(
     url_col: str,
     blocked: Sequence[str],
     keep_col: str | None = None,
+    domain_col: str | None = None,
 ) -> DataFrame:
     """URL blocklist filtering (the RefinedWeb/UT1-style front-door gate:
     drop every document whose registrable domain is on the list). The
@@ -214,12 +217,15 @@ def domain_blocklist_filter(
     exchange, fuses into the scan with the other quality gates.
 
     ``keep_col=None`` drops blocked rows; a column name instead annotates
-    each row with the boolean verdict (audit mode)."""
+    each row with the boolean verdict (audit mode). ``domain_col`` also
+    exposes the registrable domain the verdict was computed from, so audits
+    group on the SAME expression the gate evaluated."""
     dom = registrable_domain(url_host(F.col(url_col)))
     keep = ~dom.isin(*[b.lower() for b in blocked])
+    out = df.withColumn(domain_col, dom) if domain_col is not None else df
     if keep_col is not None:
-        return df.withColumn(keep_col, keep)
-    return df.filter(keep)
+        return out.withColumn(keep_col, keep)
+    return out.filter(keep)
 
 
 # ---------------------------------------------------------------------------

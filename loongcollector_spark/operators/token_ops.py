@@ -363,7 +363,8 @@ def token_pack_bestfit(
        that still fits (lowest bin index on ties); no fit opens a new bin.
 
     Returns one row per piece: (shard, doc_id, piece_id, piece_tokens,
-    bin_id). Every bin's fill is <= capacity and only oversize documents
+    bin_id), shard and doc_id cast to string (any input type accepted).
+    Every bin's fill is <= capacity and only oversize documents
     are split, so the truncation count is exactly the paper's guarantee.
 
     Scale shape: bin packing is inherently sequential WITHIN a bin set, so
@@ -381,11 +382,15 @@ def token_pack_bestfit(
     n = F.col(n_tok_col).cast("long")
     full = F.floor(n / capacity)
     n_pieces = F.ceil(n / F.lit(float(capacity))).cast("long")
+    # shard/doc_id cast to string up front: the applyInPandas schema below
+    # declares string fields, so a BIGINT id column must not reach Arrow
+    # as int64 (ArrowTypeError mid-job); casting here keeps the operator
+    # type-agnostic like token_pack_chunks
     pieces = (
         df.filter(n > 0)
         .select(
-            F.col(shard_col).alias("shard"),
-            F.col(id_col).alias("doc_id"),
+            F.col(shard_col).cast("string").alias("shard"),
+            F.col(id_col).cast("string").alias("doc_id"),
             n.alias("_n"),
             full.alias("_full"),
             F.explode(F.sequence(F.lit(0).cast("long"), n_pieces - 1)).alias(

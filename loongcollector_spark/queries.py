@@ -2114,8 +2114,11 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_URL_TRACK_SQL = "(?:utm_[a-z]+|fbclid|gclid|ref)"
+# oracle regex fragments derive from the text.py constants so the two
+# engines cannot silently desync when the shared lists change
+_URL_TRACK_SQL = tx._URL_TRACKING
 _URL_AUTH_SQL = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+_SL_TLD_SQL = "|".join(tx._SECOND_LEVEL_TLDS)
 
 
 @register(
@@ -2153,8 +2156,7 @@ _URL_AUTH_SQL = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
     p4 AS (SELECT doc_id,
       regexp_replace(t, '[?&]{_URL_TRACK_SQL}=[^&#]*$', '', 'g') AS t FROM p3),
     p5 AS (SELECT doc_id, regexp_replace(t, '\\?&', '?', 'g') AS t FROM p4),
-    p6 AS (SELECT doc_id, regexp_replace(t, '[?&]$', '', 'g') AS t FROM p5),
-    p7 AS (SELECT doc_id, regexp_replace(t, '/$', '', 'g') AS t FROM p6)
+    p7 AS (SELECT doc_id, regexp_replace(t, '[/?&]+$', '', 'g') AS t FROM p5)
     SELECT t AS canon_url, COUNT(*) AS n_docs,
            CAST(MIN(doc_id) AS BIGINT) AS first_doc
     FROM p7 GROUP BY t
@@ -2202,7 +2204,7 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "url_blocklist_gate",
-    """
+    f"""
     WITH base AS (
       SELECT doc_id,
         CASE CAST(doc_id % 3 AS INT)
@@ -2218,7 +2220,7 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base),
     doms AS (
       SELECT doc_id, host,
-        CASE WHEN regexp_matches(host, '\\.(co|com|org|net|gov|ac|edu)\\.[a-z]{2}$')
+        CASE WHEN regexp_matches(host, '\\.({_SL_TLD_SQL})\\.[a-z]{{2}}$')
                   AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
              THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
              WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) <> ''
@@ -2256,10 +2258,10 @@ def url_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url",
         ["src1.com", "src2.co.uk", "src3.net"],
         keep_col="kept",
+        domain_col="domain",
     )
-    dom = tx.registrable_domain(tx.url_host(F.col("url")))
     return (
-        annotated.select(dom.alias("domain"), F.col("kept").cast("int").alias("kept"))
+        annotated.select("domain", F.col("kept").cast("int").alias("kept"))
         .groupBy("domain", "kept")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

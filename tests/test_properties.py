@@ -411,7 +411,9 @@ _url_strategy = st.builds(
         st.sampled_from(["Example.COM", "ex.co.uk", "site.NET", "x.org"]),
     ),
     st.sampled_from(["", ":80", ":443", ":8080"]),
-    st.lists(st.text(alphabet="AbC09._-", min_size=1, max_size=6), max_size=3),
+    # min_size=0 segments produce '//' runs and trailing '/'; these shapes
+    # caught the original single-char trailing-strip non-idempotence
+    st.lists(st.text(alphabet="AbC09._-?", min_size=0, max_size=6), max_size=4),
     st.lists(
         st.tuples(
             st.sampled_from(

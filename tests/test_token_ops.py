@@ -731,3 +731,19 @@ def test_token_pack_bestfit_rejects_bad_capacity(spark):
                                "source string, doc_id string, n_tok int")
     with pytest.raises(ValueError, match="capacity"):
         token_pack_bestfit(df, capacity=0)
+
+
+def test_token_pack_bestfit_bigint_ids(spark):
+    """Non-string id/shard columns must work — the operator casts to string
+    before the Arrow boundary instead of crashing mid-job."""
+    from loongcollector_spark.operators.token_ops import token_pack_bestfit
+
+    df = spark.createDataFrame(
+        [(1, 101, 7), (1, 102, 6), (2, 103, 4)],
+        "source int, doc_id bigint, n_tok int",
+    )
+    out = token_pack_bestfit(df, capacity=10).collect()
+    assert {(r["shard"], r["doc_id"]) for r in out} == {
+        ("1", "101"), ("1", "102"), ("2", "103")
+    }
+    assert all(r["bin_id"] >= 0 for r in out)
