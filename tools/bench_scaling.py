@@ -22,7 +22,8 @@ Two measurements, because a single box conflates two different resources:
    own memory bus. Reported for throughput, not for the scaling criterion.
 
 Usage: python tools/bench_scaling.py [n_low] [n_rows_scaling] [n_rows_payload]
-Writes BENCH.md and prints one JSON line.
+Writes .bench_state/scaling_report.md and prints one JSON line
+(BENCH.md is curated by hand — this tool must never overwrite it).
 """
 
 from __future__ import annotations
@@ -103,7 +104,7 @@ def main() -> None:
     # Phased so each phase fits a bounded wall-clock budget:
     #   phase "scaling": the long compute-bound N vs 4N runs -> scaling.json
     #   phase "payload": full-token bench at N and 4N            -> payload.json
-    #   phase "report":  assemble BENCH.md from both
+    #   phase "report":  assemble the scaling report from both
     # No phase argument runs everything in sequence.
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     phase = next((a[2:] for a in sys.argv[1:] if a.startswith("--")), "all")
@@ -206,7 +207,8 @@ Reference context: LoongCollector claims 100 MB/s/core *simple collection*
 the parse-everything pipeline above does ~{tp_high / n_high:,.0f} lines/s/core
 plus moves the 2 KB/row token payload intact.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
+    os.makedirs(os.path.join(REPO, ".bench_state"), exist_ok=True)
+    with open(os.path.join(REPO, ".bench_state", "scaling_report.md"), "w") as fh:
         fh.write(md)
 
 
