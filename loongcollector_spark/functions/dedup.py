@@ -241,27 +241,11 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_from_gram_hashes(
-    grams: DataFrame, num_hashes: int = 32, bands: int = 8, seed: int = 42
-) -> DataFrame:
-    """Banding over a precomputed (id, gh:array<long>) gram-hash relation —
-    the shared core of the text and token-native MinHash paths."""
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
-    # The banded self-join references this relation on BOTH sides; without a
-    # persist the whole shingle chain executes twice. The signature table
-    # is tiny (id + k longs per doc) — at cluster scale this is the relation
-    # you'd checkpoint to a table before the candidate join anyway.
-    # (explode already drops docs with zero grams, matching the old
-    # sig-is-null filter.)
-    sig = _track_persist(minhash_signatures(grams, num_hashes, seed))
-
-    # The band self-join moves only (id, band, bh) triples — the 32-long
-    # signature arrays stay OUT of the bands×docs shuffle and are joined
-    # back onto the (small) deduped pair set afterwards. At b bands this
-    # cuts the join shuffle payload from b × |sig| to 2 × |sig| per doc.
-    banded = sig.select(
+def _banded_keys(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bh) band-bucket keys from an (id, sig) signature relation —
+    bh is xxhash64 of the band's slice rendered as a string, so two docs land
+    in the same bucket iff the slice values are equal."""
+    return sig.select(
         "id",
         F.explode(
             F.transform(
@@ -284,6 +268,29 @@ def minhash_lsh_from_gram_hashes(
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
+
+def minhash_lsh_from_gram_hashes(
+    grams: DataFrame, num_hashes: int = 32, bands: int = 8, seed: int = 42
+) -> DataFrame:
+    """Banding over a precomputed (id, gh:array<long>) gram-hash relation —
+    the shared core of the text and token-native MinHash paths."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    # The banded self-join references this relation on BOTH sides; without a
+    # persist the whole shingle chain executes twice. The signature table
+    # is tiny (id + k longs per doc) — at cluster scale this is the relation
+    # you'd checkpoint to a table before the candidate join anyway.
+    # (explode already drops docs with zero grams, matching the old
+    # sig-is-null filter.)
+    sig = _track_persist(minhash_signatures(grams, num_hashes, seed))
+
+    # The band self-join moves only (id, band, bh) triples — the 32-long
+    # signature arrays stay OUT of the bands×docs shuffle and are joined
+    # back onto the (small) deduped pair set afterwards. At b bands this
+    # cuts the join shuffle payload from b × |sig| to 2 × |sig| per doc.
+    banded = _banded_keys(sig, bands, rows_per_band)
+
     pairs = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bh"])
@@ -301,6 +308,78 @@ def minhash_lsh_from_gram_hashes(
         pairs.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sa")), "id_a")
         .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sb")), "id_b")
         .select("id_a", "id_b", est.cast("double").alias("est_jaccard"))
+    )
+
+
+def minhash_cross_candidates(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    gram_hash: Callable[[Column], Column] = F.xxhash64,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: MinHash+LSH candidates BETWEEN a
+    training corpus and a benchmark relation (the near-dup counterpart to
+    the exact-n-gram ops token_subseq_find_multi and the Bloom bitset —
+    catches paraphrased/truncated test-set leakage those miss). Both inputs
+    need (id_col, text_col); returns (corpus_id, bench_id, est_jaccard)
+    for every pair sharing at least one signature band.
+
+    Scale shape: the benchmark side is small by definition (test sets are
+    thousands of rows against a 10^12-row corpus), so its banded keys and
+    signatures BROADCAST — the band probe and the bench-signature lookup
+    are broadcast hash joins. The corpus side pays two (id × k longs)
+    exchanges — the signature groupBy's map-side-combined shuffle and the
+    candidate join-back onto the signature relation (AQE turns the latter
+    into a broadcast when the candidate set is small, the common case) —
+    and the text never shuffles. Same signature/banding kernels as the
+    self-join dedup path (minhash_signatures/_banded_keys), so the
+    estimate is bit-identical to what dedup would report for the pair."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rpb = num_hashes // bands
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        if gram_hash is F.xxhash64:
+            gh = hashed_shingles(F.col(text_col), n)
+        else:
+            gh = F.transform(shingles(F.col(text_col), n), lambda g: gram_hash(g))
+        return df.select(F.col(id_col).alias("id"), gh.alias("gh"))
+
+    sig_c = _track_persist(minhash_signatures(grams_of(corpus), num_hashes, seed))
+    sig_b = _track_persist(minhash_signatures(grams_of(bench), num_hashes, seed))
+    banded_c = _banded_keys(sig_c, bands, rpb)
+    banded_b = _banded_keys(sig_b, bands, rpb)
+    pairs = (
+        banded_c.alias("a")
+        .join(F.broadcast(banded_b.alias("b")), ["band", "bh"])
+        .select(
+            F.col("a.id").alias("corpus_id"), F.col("b.id").alias("bench_id")
+        )
+        .dropDuplicates(["corpus_id", "bench_id"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        pairs.join(
+            sig_c.select(F.col("id").alias("corpus_id"), F.col("sig").alias("sa")),
+            "corpus_id",
+        )
+        .join(
+            F.broadcast(
+                sig_b.select(F.col("id").alias("bench_id"), F.col("sig").alias("sb"))
+            ),
+            "bench_id",
+        )
+        .select("corpus_id", "bench_id", est.cast("double").alias("est_jaccard"))
     )
 
 

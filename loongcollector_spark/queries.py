@@ -1800,6 +1800,89 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_cross_oracle_sql(
+    n: int = 3, num_hashes: int = 32, bands: int = 8, seed: int = 42
+) -> str:
+    """Cross-corpus twin of _minhash_oracle_sql: corpus = documents, bench =
+    the 240-char prefix of every 20th document (a deterministic truncated
+    'benchmark set' whose near-dup overlap with its source is guaranteed);
+    signatures/banding identical, the band join is corpus x bench instead
+    of a self-join, no ordering constraint on the pair."""
+    a, b = dedup.minhash_coeffs(num_hashes, seed)
+    rpb = num_hashes // bands
+    A = "[" + ",".join(map(str, a)) + "]"
+    B = "[" + ",".join(map(str, b)) + "]"
+    gh = _MD5H60.format(g="g")
+    shingle = (
+        f"list_distinct(list_transform(range(1, len(l) - {n - 2}),"
+        f" i -> array_to_string(l[i:i+{n - 1}], ' ')))"
+    )
+    sig = (
+        f"list_transform(range({num_hashes}), k ->"
+        f" list_min(list_transform(h, x -> ({A}[k+1] * x + {B}[k+1]) % 2147483647)))"
+    )
+    return f"""
+    WITH bench_raw AS (
+      SELECT doc_id, substr(text, 1, 240) AS text
+      FROM documents WHERE doc_id % 20 = 0),
+    ctoks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS l
+      FROM documents),
+    btoks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS l
+      FROM bench_raw),
+    csh AS (SELECT doc_id, {shingle} AS grams FROM ctoks WHERE len(l) >= {n}),
+    bsh AS (SELECT doc_id, {shingle} AS grams FROM btoks WHERE len(l) >= {n}),
+    cgh AS (SELECT doc_id, list_transform(grams, g -> {gh} % 2147483647) AS h
+            FROM csh WHERE len(grams) > 0),
+    bgh AS (SELECT doc_id, list_transform(grams, g -> {gh} % 2147483647) AS h
+            FROM bsh WHERE len(grams) > 0),
+    csig AS (SELECT doc_id, {sig} AS sig FROM cgh),
+    bsig AS (SELECT doc_id, {sig} AS sig FROM bgh),
+    cband AS (
+      SELECT doc_id, sig, band,
+             array_to_string(sig[band*{rpb}+1 : band*{rpb}+{rpb}], ',') AS bh
+      FROM csig CROSS JOIN (SELECT unnest(range({bands})) AS band) bands_t),
+    bband AS (
+      SELECT doc_id, sig, band,
+             array_to_string(sig[band*{rpb}+1 : band*{rpb}+{rpb}], ',') AS bh
+      FROM bsig CROSS JOIN (SELECT unnest(range({bands})) AS band) bands_t),
+    pairs AS (
+      SELECT DISTINCT c.doc_id AS corpus_id, b.doc_id AS bench_id
+      FROM cband c JOIN bband b ON c.band = b.band AND c.bh = b.bh)
+    SELECT corpus_id, bench_id,
+           len(list_filter(range({num_hashes}), k -> sc.sig[k+1] = sb.sig[k+1]))
+             / {num_hashes}.0 AS est_jaccard
+    FROM pairs
+    JOIN csig sc ON sc.doc_id = corpus_id
+    JOIN bsig sb ON sb.doc_id = bench_id
+    """
+
+
+@register(
+    "fuzzy_contamination_minhash",
+    _minhash_cross_oracle_sql(),
+    doc="fuzzy benchmark decontamination: MinHash+LSH candidates BETWEEN "
+        "the corpus and a benchmark relation (the near-dup counterpart to "
+        "the exact token-window and Bloom decontamination ops — catches "
+        "truncated/paraphrased test-set leakage). Benchmark side broadcasts "
+        "(test sets are tiny vs a 10^12-row corpus); the only corpus "
+        "exchange is the signature groupBy. Same signature/banding kernels "
+        "as the dedup self-join path; the fixture benchmark is the 240-char "
+        "prefix of every 20th doc so real overlap is guaranteed and DuckDB "
+        "replays signatures, banding, and the cross join exactly",
+)
+def fuzzy_contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0).select(
+        "doc_id", F.substring("text", 1, 240).alias("text")
+    )
+    return dedup.minhash_cross_candidates(
+        docs, bench, "text", "doc_id", n=3, num_hashes=32, bands=8,
+        gram_hash=dedup.md5_hash60,
+    )
+
+
 def _simhash_oracle_sql(n: int = 2, max_hamming: int = 8, prefix_bits: int = 16) -> str:
     """DuckDB replay of simhash_near_dups: per-bit majority vote over the
     gram hashes (md5 60-bit variant), prefix-bucket join, bit_count(xor)
@@ -5267,6 +5350,8 @@ _DRIVER_WINDOW_TAIL = [
     "broadcast_lookup_join",       # enrich: signed r1+r2; dict_map in tail
     # ... and one for url_blocklist_gate (new, never signed)
     "md5_base64_fields",           # enrich: signed r1+r2; desensitize in tail
+    # ... and one for fuzzy_contamination_minhash (new, never signed)
+    "sessionize_events",           # sessionize: signed r1+r2; window rollup
 ]
 
 

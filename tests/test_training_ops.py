@@ -1255,3 +1255,40 @@ def test_domain_blocklist_filter_modes(spark):
     audit = domain_blocklist_filter(df, "url", ["BAD.com"], keep_col="ok")
     got = {r["doc_id"]: r["ok"] for r in audit.collect()}
     assert got == {"a": False, "b": True, "c": False}
+
+
+def test_minhash_cross_candidates_finds_planted_overlap(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight again"),
+         (2, "completely unrelated text about spark shuffles and joins"),
+         (3, "short one")],
+        "id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy dog tonight"),
+         (102, "nothing in common with any training document at all")],
+        "id long, text string",
+    )
+    got = {
+        (r.corpus_id, r.bench_id): r.est_jaccard
+        for r in dedup.minhash_cross_candidates(
+            corpus, bench, "text", "id", n=3, num_hashes=32, bands=16
+        ).collect()
+    }
+    assert (1, 101) in got and got[(1, 101)] > 0.5
+    assert not any(b == 102 for _, b in got)
+
+
+def test_minhash_cross_broadcasts_bench_side(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} common tail of every document here {i}") for i in range(50)],
+        "id long, text string",
+    )
+    bench = corpus.limit(5)
+    plan = dedup.minhash_cross_candidates(
+        corpus, bench, "text", "id"
+    )._jdf.queryExecution().executedPlan().toString()
+    # the band probe AND the bench-signature lookup must both broadcast
+    # (the corpus-signature join-back may legitimately sort-merge; AQE
+    # converts it at runtime when the candidate set is small)
+    assert plan.count("BroadcastHashJoin") >= 2
