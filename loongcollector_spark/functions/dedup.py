@@ -200,12 +200,26 @@ def minhash_lsh_candidates(
     No upfront repartition: shingle+hash runs on the scan partitions, and
     the signature groupBy's map-side combine means the only doc-count-sized
     shuffle moves (id, k longs) rows — never the text."""
+    grams = _gram_hashes(df, text_col, id_col, n, gram_hash)
+    return minhash_lsh_from_gram_hashes(grams, num_hashes, bands, seed)
+
+
+def _gram_hashes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    gram_hash: Callable[[Column], Column],
+) -> DataFrame:
+    """(id, gh:array<long>) shingle-hash relation — the single dispatch
+    point for the gram hash, shared by the self-join dedup path and the
+    cross-corpus decontamination path so their signatures can never
+    diverge. xxhash64 takes the string-free fast path."""
     if gram_hash is F.xxhash64:
-        gh = hashed_shingles(F.col(text_col), n)  # string-free fast path
+        gh = hashed_shingles(F.col(text_col), n)
     else:
         gh = F.transform(shingles(F.col(text_col), n), lambda g: gram_hash(g))
-    grams = df.select(F.col(id_col).alias("id"), gh.alias("gh"))
-    return minhash_lsh_from_gram_hashes(grams, num_hashes, bands, seed)
+    return df.select(F.col(id_col).alias("id"), gh.alias("gh"))
 
 
 def minhash_signatures(
@@ -342,16 +356,12 @@ def minhash_cross_candidates(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rpb = num_hashes // bands
-
-    def grams_of(df: DataFrame) -> DataFrame:
-        if gram_hash is F.xxhash64:
-            gh = hashed_shingles(F.col(text_col), n)
-        else:
-            gh = F.transform(shingles(F.col(text_col), n), lambda g: gram_hash(g))
-        return df.select(F.col(id_col).alias("id"), gh.alias("gh"))
-
-    sig_c = _track_persist(minhash_signatures(grams_of(corpus), num_hashes, seed))
-    sig_b = _track_persist(minhash_signatures(grams_of(bench), num_hashes, seed))
+    sig_c = _track_persist(minhash_signatures(
+        _gram_hashes(corpus, text_col, id_col, n, gram_hash), num_hashes, seed
+    ))
+    sig_b = _track_persist(minhash_signatures(
+        _gram_hashes(bench, text_col, id_col, n, gram_hash), num_hashes, seed
+    ))
     banded_c = _banded_keys(sig_c, bands, rpb)
     banded_b = _banded_keys(sig_b, bands, rpb)
     pairs = (

@@ -1738,16 +1738,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MD5H60 = "('0x' || substr(md5({g}), 1, 15))::BIGINT"
 
 
-def _shingle_ctes(n: int) -> str:
-    """DuckDB CTEs replicating dedup.shingles(): distinct word n-grams."""
+def _shingle_ctes(n: int, table: str = "documents", prefix: str = "") -> str:
+    """DuckDB CTEs replicating dedup.shingles(): distinct word n-grams.
+    ``table``/``prefix`` let one statement shingle several relations (the
+    cross-corpus oracle) with the SAME expression text as the self-join
+    oracle — the fragments live here once so the oracles cannot drift."""
     return f"""
-    toks AS (
+    {prefix}toks AS (
       SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS l
-      FROM documents),
-    sh AS (
+      FROM {table}),
+    {prefix}sh AS (
       SELECT doc_id, list_distinct(list_transform(range(1, len(l) - {n - 2}),
                                    i -> array_to_string(l[i:i+{n - 1}], ' '))) AS grams
-      FROM toks WHERE len(l) >= {n})"""
+      FROM {prefix}toks WHERE len(l) >= {n})"""
+
+
+def _minhash_sig_expr(num_hashes: int, A: str, B: str) -> str:
+    """The (a*x+b) mod 2^31-1 min-signature list expression over a gram-hash
+    list column ``h`` — shared by the self-join and cross-corpus oracles."""
+    return (
+        f"list_transform(range({num_hashes}), k -> "
+        f"list_min(list_transform(h, x -> ({A}[k+1] * x + {B}[k+1]) % 2147483647)))"
+    )
+
+
+def _minhash_band_cte(sig_cte: str, rpb: int, bands: int) -> str:
+    """Band-key CTE body over a (doc_id, sig) CTE — slice rendered as a
+    string, matching Spark's xxhash64-of-joined-slice equivalence classes."""
+    return (
+        f"SELECT doc_id, sig, band,\n"
+        f"             array_to_string(sig[band*{rpb}+1 : band*{rpb}+{rpb}], ',') AS bh\n"
+        f"      FROM {sig_cte} CROSS JOIN (SELECT unnest(range({bands})) AS band) bands_t"
+    )
 
 
 def _minhash_oracle_sql(n: int = 3, num_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
@@ -1767,13 +1789,10 @@ def _minhash_oracle_sql(n: int = 3, num_hashes: int = 32, bands: int = 8, seed: 
       SELECT doc_id, list_transform(grams, g -> {gh} % 2147483647) AS h
       FROM sh WHERE len(grams) > 0),
     sig AS (
-      SELECT doc_id, list_transform(range({num_hashes}), k ->
-        list_min(list_transform(h, x -> ({A}[k+1] * x + {B}[k+1]) % 2147483647))) AS sig
+      SELECT doc_id, {_minhash_sig_expr(num_hashes, A, B)} AS sig
       FROM gh),
     banded AS (
-      SELECT doc_id, sig, band,
-             array_to_string(sig[band*{rpb}+1 : band*{rpb}+{rpb}], ',') AS bh
-      FROM sig CROSS JOIN (SELECT unnest(range({bands})) AS band) bands_t),
+      {_minhash_band_cte("sig", rpb, bands)}),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
@@ -1813,26 +1832,13 @@ def _minhash_cross_oracle_sql(
     A = "[" + ",".join(map(str, a)) + "]"
     B = "[" + ",".join(map(str, b)) + "]"
     gh = _MD5H60.format(g="g")
-    shingle = (
-        f"list_distinct(list_transform(range(1, len(l) - {n - 2}),"
-        f" i -> array_to_string(l[i:i+{n - 1}], ' ')))"
-    )
-    sig = (
-        f"list_transform(range({num_hashes}), k ->"
-        f" list_min(list_transform(h, x -> ({A}[k+1] * x + {B}[k+1]) % 2147483647)))"
-    )
+    sig = _minhash_sig_expr(num_hashes, A, B)
     return f"""
     WITH bench_raw AS (
       SELECT doc_id, substr(text, 1, 240) AS text
       FROM documents WHERE doc_id % 20 = 0),
-    ctoks AS (
-      SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS l
-      FROM documents),
-    btoks AS (
-      SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS l
-      FROM bench_raw),
-    csh AS (SELECT doc_id, {shingle} AS grams FROM ctoks WHERE len(l) >= {n}),
-    bsh AS (SELECT doc_id, {shingle} AS grams FROM btoks WHERE len(l) >= {n}),
+    {_shingle_ctes(n, table="documents", prefix="c")},
+    {_shingle_ctes(n, table="bench_raw", prefix="b")},
     cgh AS (SELECT doc_id, list_transform(grams, g -> {gh} % 2147483647) AS h
             FROM csh WHERE len(grams) > 0),
     bgh AS (SELECT doc_id, list_transform(grams, g -> {gh} % 2147483647) AS h
@@ -1840,13 +1846,9 @@ def _minhash_cross_oracle_sql(
     csig AS (SELECT doc_id, {sig} AS sig FROM cgh),
     bsig AS (SELECT doc_id, {sig} AS sig FROM bgh),
     cband AS (
-      SELECT doc_id, sig, band,
-             array_to_string(sig[band*{rpb}+1 : band*{rpb}+{rpb}], ',') AS bh
-      FROM csig CROSS JOIN (SELECT unnest(range({bands})) AS band) bands_t),
+      {_minhash_band_cte("csig", rpb, bands)}),
     bband AS (
-      SELECT doc_id, sig, band,
-             array_to_string(sig[band*{rpb}+1 : band*{rpb}+{rpb}], ',') AS bh
-      FROM bsig CROSS JOIN (SELECT unnest(range({bands})) AS band) bands_t),
+      {_minhash_band_cte("bsig", rpb, bands)}),
     pairs AS (
       SELECT DISTINCT c.doc_id AS corpus_id, b.doc_id AS bench_id
       FROM cband c JOIN bband b ON c.band = b.band AND c.bh = b.bh)

@@ -1277,6 +1277,7 @@ def test_minhash_cross_candidates_finds_planted_overlap(spark):
     }
     assert (1, 101) in got and got[(1, 101)] > 0.5
     assert not any(b == 102 for _, b in got)
+    dedup.release_persisted()
 
 
 def test_minhash_cross_broadcasts_bench_side(spark):
@@ -1292,3 +1293,4 @@ def test_minhash_cross_broadcasts_bench_side(spark):
     # (the corpus-signature join-back may legitimately sort-merge; AQE
     # converts it at runtime when the candidate set is small)
     assert plan.count("BroadcastHashJoin") >= 2
+    dedup.release_persisted()

@@ -38,7 +38,9 @@ from bench_funnel_scale import shuffle_totals  # noqa: E402
 
 
 def main() -> None:
-    scales = [int(x) for x in sys.argv[1:]] or [2_000_000, 20_000_000]
+    scales = sorted(int(x) for x in sys.argv[1:]) or [2_000_000, 20_000_000]
+    # sorted: linear_ratios assumes ascending scales; an inverted CLI
+    # order would write ratios that misread as super-linear results
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     from pyspark.sql import functions as F
